@@ -1,0 +1,156 @@
+package graft.extensions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM training-data pipelines (north-star
+  * extensions): exact, MinHash+LSH, SimHash, and n-gram Jaccard — the standard
+  * ladder from cheapest/strictest to fuzziest.
+  *
+  * Scale design: every variant is shuffle-bounded by a BLOCKING key (hash
+  * bucket, LSH band, length band) so no operator ever compares all pairs.
+  * At 100 TB the only all-data movements are (a) the exact-dedup hash shuffle
+  * and (b) the LSH band-key shuffles — both single narrow shuffles with
+  * map-side combine; candidate verification happens within buckets only.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact --
+
+  /** Exact dedup: first row (by `keep` order) per sha256 of `key` survives.
+    * groupBy-hash + min_by instead of a window: one shuffle, no sort, and the
+    * combiner collapses duplicates map-side before they travel.
+    */
+  def exact(df: DataFrame, key: Column, keep: Column): DataFrame = {
+    val h = sha2(key, 256)
+    df.withColumn("__h", h)
+      .withColumn("__keep", keep)
+      .groupBy(col("__h"))
+      .agg(min_by(struct(df.columns.map(col): _*), col("__keep")).as("__row"),
+        count(lit(1)).as("dup_count"))
+      .select(col("__row.*"), col("dup_count"))
+  }
+
+  // -------------------------------------------------------------- minhash --
+
+  /** Distinct token `n`-gram shingles of a text column. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = TextAnalysis.tokens(text)
+    val count = greatest(size(toks) - (n - 1), lit(1))
+    array_distinct(transform(sequence(lit(1), count),
+      i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
+  /** MinHash signature: `k` permutations simulated by seeded xxhash64
+    * (the standard "one hash, k seeds" construction). Codegen'd end to end —
+    * no UDF, no ml.linalg boxing.
+    */
+  def minhashSignature(shingleArr: Column, k: Int = 32): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      seed => array_min(transform(shingleArr, s => xxhash64(s, seed))))
+
+  /** Banded-LSH candidate pairs with MinHash-estimated Jaccard ≥ `threshold`.
+    *
+    * bands×rows = k; two docs collide iff some band of their signatures is
+    * identical — the classic S-curve knob. The self-join is on the band-bucket
+    * key, so comparisons happen only inside buckets. Pair (a,b) kept once
+    * (a<b), ordered deterministically.
+    */
+  def minhashPairs(df: DataFrame, id: Column, text: Column,
+      k: Int = 32, bands: Int = 8, threshold: Double = 0.5): DataFrame = {
+    val rows = k / bands
+    val sig = df.select(id.as("id"), minhashSignature(shingles(text)).as("sig"))
+    val banded = sig.select(col("id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws(",", slice(col("sig"), b * rows + lit(1), lit(rows))), b))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+          .cast("double") / k).as("est_jaccard"))
+      .distinct() // same pair can collide in several bands
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  // -------------------------------------------------------------- simhash --
+
+  /** 64-bit SimHash over token shingles, returned as two 32-bit halves
+    * (hi, lo) — long-safe under ANSI overflow checking. Bit i of the sketch is
+    * the sign of Σ_tokens ±1, where the ±1 for bit i comes from an independent
+    * seeded hash (random-projection construction; independent hashes per bit
+    * sidestep variable-amount bit shifts, which the Column API can't express).
+    */
+  def simhash(text: Column): Column = {
+    val toks = shingles(text, 2)
+    val counts = aggregate(
+      toks,
+      array_repeat(lit(0), 64),
+      (acc, t) => zip_with(acc, sequence(lit(0), lit(63)),
+        (c, i) => c + when(xxhash64(t, i) > 0, 1).otherwise(-1)))
+    val bit = (i: Int) => when(element_at(counts, i + 1) > 0, 1L << (i % 32)).otherwise(0L)
+    struct(
+      (0 until 32).map(i => bit(i + 32)).reduce(_ + _).as("hi"),
+      (0 until 32).map(bit).reduce(_ + _).as("lo"))
+  }
+
+  /** Hamming distance between two (hi,lo) sketches. */
+  def simhashDistance(a: Column, b: Column): Column =
+    bit_count(a.getField("hi").bitwiseXOR(b.getField("hi"))) +
+      bit_count(a.getField("lo").bitwiseXOR(b.getField("lo")))
+
+  /** Near-dup pairs with Hamming distance ≤ `maxDist` (≤ 3 by default) via the
+    * pigeonhole blocking: split 64 bits into 4 chunks of 16; distance ≤ 3 ⇒ at
+    * least one chunk matches exactly, so the self-join runs per-chunk-bucket.
+    */
+  def simhashPairs(df: DataFrame, id: Column, text: Column, maxDist: Int = 3): DataFrame = {
+    val sk = df.select(id.as("id"), simhash(text).as("sk"))
+    val chunk = (c: Column, i: Int) => {
+      val word = if (i < 2) c.getField("lo") else c.getField("hi")
+      shiftright(word, (i % 2) * 16).bitwiseAND(lit(0xffff))
+    }
+    val chunked = sk.select(col("id"), col("sk"),
+      posexplode(array((0 until 4).map(i => chunk(col("sk"), i)): _*)))
+      .withColumnRenamed("pos", "chunk_idx").withColumnRenamed("col", "chunk_val")
+    val l = chunked.select(col("chunk_idx"), col("chunk_val"), col("id").as("id_a"), col("sk").as("sk_a"))
+    val r = chunked.select(col("chunk_idx"), col("chunk_val"), col("id").as("id_b"), col("sk").as("sk_b"))
+    l.join(r, Seq("chunk_idx", "chunk_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), simhashDistance(col("sk_a"), col("sk_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
+  // ------------------------------------------------------- n-gram jaccard --
+
+  /** Exact n-gram Jaccard pairs within a blocking key (same block only — the
+    * caller picks blocks that bound bucket size, e.g. lang × length band).
+    *
+    * Formulation: block-bounded self-join + array_intersect on the (distinct)
+    * shingle sets. For corpora with SELECTIVE shingles the explode-equi-join
+    * (token-level join, count = |∩|) shuffles less; for small shared
+    * vocabularies (like the synthetic word-soup docs) every token hits every
+    * doc and the explode-join degenerates to |bucket|²·|vocab| rows — the
+    * array-intersect form keeps it at |bucket|² with O(|A|+|B|) work per pair.
+    * Either way the blocking key bounds the quadratic term: at 100 TB you
+    * size blocks (e.g. lang × length-band × LSH-prefilter) so buckets stay
+    * thousands, not millions.
+    */
+  def ngramJaccardPairs(df: DataFrame, id: Column, text: Column, block: Column,
+      n: Int = 3, threshold: Double = 0.3): DataFrame = {
+    val sh = df.select(id.as("id"), block.as("block"), shingles(text, n).as("sh"))
+    val l = sh.select(col("block"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val r = sh.select(col("block"), col("id").as("id_b"), col("sh").as("sh_b"))
+    l.join(r, Seq("block"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "inter", "jaccard")
+  }
+}

@@ -1,0 +1,102 @@
+package graft.extensions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`ARRAY<FLOAT>`) — north-star
+  * extension for training-data pipelines.
+  *
+  * Baseline: brute-force cosine top-k (exact). Scale path: sign-LSH bucketing
+  * (random hyperplanes from seeded hashes) so candidate generation touches only
+  * same-bucket rows. All math is Column-composed (zip_with/aggregate) in double
+  * precision — codegen'd, no UDF, no ml.linalg boxing; floats are widened to
+  * double before any arithmetic so results are engine-reproducible.
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ in double (left fold, deterministic order). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** cosine = dot/(‖a‖·‖b‖); 0 when either norm is 0. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val na = norm(a)
+    val nb = norm(b)
+    when(na === 0.0 || nb === 0.0, 0.0).otherwise(d / (na * nb))
+  }
+
+  /** Exact brute-force top-k neighbors for each query vector.
+    *
+    * Scale shape: `queries` is the SMALL side (it broadcasts — the corpus is
+    * never shuffled by the join); the per-query top-k window shuffles only
+    * (corpus × |queries|) similarity rows, partitioned by query id — never a
+    * global sort. Similarity is pre-rounded to 6 dp so ranking is stable
+    * across engines/architectures; `corpusId` breaks exact ties.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("qv")))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "sim", "rank")
+  }
+
+  /** Sign-LSH bucket key: `nBits` hyperplanes hᵢ with components in {-1,+1}
+    * derived from xxhash64(seed=i, dim=j) — deterministic, shared by every
+    * executor with zero driver state, and re-derivable by any engine. Bucket =
+    * the sign-bit string of the projections.
+    */
+  def lshBucket(v: Column, nBits: Int = 12): Column = {
+    val bits = (0 until nBits).map { plane =>
+      val proj = aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1),
+          (x, j) => x.cast("double") * when(xxhash64(lit(plane), j) > 0, 1.0).otherwise(-1.0)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit("1")).otherwise(lit("0"))
+    }
+    concat(bits: _*)
+  }
+
+  /** Approximate NN: candidates share an LSH bucket; exact cosine re-ranks
+    * within the bucket. Recall is tuned by `nBits` (fewer bits → bigger
+    * buckets → higher recall, more compute). At 100 TB the bucket key is the
+    * shuffle key — a single narrow shuffle, no cross join anywhere.
+    */
+  def annTopK(df: DataFrame, k: Int, nBits: Int = 12): DataFrame = {
+    val withBucket = df.select(col("vec_id"), col("embedding"),
+      lshBucket(col("embedding"), nBits).as("bucket"))
+    val l = withBucket.select(col("bucket"), col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val r = withBucket.select(col("bucket"), col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val scored = l.join(r, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "sim", "rank")
+  }
+
+  /** Embedding near-duplicate pairs: cosine ≥ threshold within a blocking key
+    * (e.g. label, or an LSH bucket at scale). Pairs emitted once (a<b).
+    */
+  def nearDupPairs(df: DataFrame, block: Column, threshold: Double): DataFrame = {
+    val b = df.select(block.as("block"), col("vec_id"), col("embedding"))
+    val l = b.select(col("block"), col("vec_id").as("id_a"), col("embedding").as("va"))
+    val r = b.select(col("block"), col("vec_id").as("id_b"), col("embedding").as("vb"))
+    l.join(r, Seq("block"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", round(cosine(col("va"), col("vb")), 6))
+      .filter(col("sim") >= threshold)
+      .select("block", "id_a", "id_b", "sim")
+  }
+}

@@ -1,0 +1,78 @@
+package graft.extensions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines (north-star
+  * extensions, SURVEY §7.6): language ID, quality scoring, token counting,
+  * document fingerprinting. All are pure Column compositions of codegen'd
+  * built-ins — they run inside whole-stage codegen, shuffle nothing, and scale
+  * linearly with the scan.
+  */
+object TextAnalysis {
+
+  /** Lowercased whitespace tokens, empties dropped. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => t =!= "")
+
+  /** Whitespace token count. */
+  def tokenCountWs(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: letter runs, digit runs, and isolated symbols —
+    * the standard pre-tokenizer shape (letters|digits|other, whitespace eaten).
+    */
+  def tokenCountBpe(text: Column): Column =
+    regexp_count(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"))
+
+  /** Tiny per-language stopword profiles for the n-gram/stopword heuristic.
+    * Deliberately small + deterministic (the heuristic, not a model).
+    */
+  val StopwordProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "is", "in", "it", "that", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es", "los", "del"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "est", "en", "du", "les", "des"))
+
+  /** Occurrences of any word from `words` among the text's tokens. */
+  def stopwordHits(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(words.map(lit(_)): _*)))
+
+  /** Language-ID by stopword-hit argmax with fixed tie order (profile order). */
+  def languageId(text: Column): Column = {
+    val scores = StopwordProfiles.map { case (lang, words) => lang -> stopwordHits(text, words) }
+    // argmax with first-wins ties, as a when-ladder over pairwise comparisons
+    scores.zipWithIndex.foldRight(lit("und")) { case (((lang, score), i), elseCol) =>
+      val laterScores = scores.drop(i + 1).map(_._2)
+      val isMax = laterScores.foldLeft(score > 0) { (acc, other) => acc && score >= other }
+      when(isMax, lang).otherwise(elseCol)
+    }
+  }
+
+  /** Heuristic quality score in [0,1]: length saturation (0.4) + stopword ratio
+    * (0.4) + punctuation sanity (0.2). Rounded to 6 dp for cross-engine
+    * stability (all inputs are exact integers, so the double math is
+    * deterministic).
+    */
+  def qualityScore(text: Column): Column = {
+    val nChars = length(text).cast("double")
+    val nTokens = tokenCountWs(text).cast("double")
+    val punct = regexp_count(text, lit("[.,;:!?]")).cast("double")
+    val stops = stopwordHits(text, StopwordProfiles.flatMap(_._2)).cast("double")
+    val lenScore = least(nChars / 500.0, lit(1.0))
+    val stopRatio = when(nTokens > 0, least(stops / nTokens * 5.0, lit(1.0))).otherwise(0.0)
+    val punctSanity = when(nChars > 0, greatest(lit(0.0), lit(1.0) - punct / nChars * 10.0)).otherwise(0.0)
+    round(lenScore * 0.4 + stopRatio * 0.4 + punctSanity * 0.2, 6)
+  }
+
+  /** Document fingerprint: min-sampled 8-char-shingle hash (winnowing-style
+    * selection with w = whole document). The shingle hash is the first 48 bits
+    * of sha256 — chosen over xxhash/murmur because it is reproducible in any
+    * engine (the DuckDB oracle re-derives it), collision-adequate for
+    * fingerprinting, and cheap at scan speed.
+    */
+  def docFingerprint(text: Column, shingleLen: Int = 8): Column = {
+    val n = greatest(length(text) - (shingleLen - 1), lit(1))
+    val hashes = transform(sequence(lit(1), n),
+      i => conv(substring(sha2(text.substr(i, lit(shingleLen)), 256), 1, 12), 16, 10).cast("long"))
+    array_min(hashes)
+  }
+}

@@ -1,0 +1,247 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.extensions.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** North-star extension queries (dedup / similarity / text analysis /
+  * multimodal — the LLM-training-data operators), each oracle-verified where
+  * SQL-expressible; LSH-family ops (engine-specific xxhash64) get the driver's
+  * rows-only check and are unit-tested for semantics instead.
+  */
+object ExtensionQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def embeds(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  // ---------------------------------------------------------------------------
+  // X1 — exact dedup: first-by-doc_id survivor per coarse content key
+  // (prefix-60 manufactures duplicates; production key = full-text sha).
+  // ---------------------------------------------------------------------------
+  private def x1(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(docs(s, dir), substring(col("text"), 1, 60), col("doc_id"))
+      .select(col("doc_id"), col("source"), col("dup_count"))
+
+  private val x1Sql =
+    """WITH g AS (
+         SELECT sha256(substr(text, 1, 60)) AS h, min(doc_id) AS keep_id, count(*) AS c
+         FROM documents GROUP BY 1)
+       SELECT d.doc_id, d.source, g.c AS dup_count
+       FROM documents d JOIN g ON d.doc_id = g.keep_id"""
+
+  // ---------------------------------------------------------------------------
+  // X2 — n-gram Jaccard near-dup pairs, blocked by lang × length band.
+  // ---------------------------------------------------------------------------
+  private def x2(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(docs(s, dir), col("doc_id"), col("text"),
+      concat(col("lang"), lit("|"), (col("n_chars") / 25).cast("long")),
+      n = 1, threshold = 0.7)
+
+  private val x2Sql =
+    """WITH t AS (
+         SELECT doc_id, lang || '|' || CAST(n_chars // 25 AS VARCHAR) AS block,
+                list_distinct(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS toks
+         FROM documents)
+       SELECT * FROM (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                len(list_intersect(a.toks, b.toks)) AS inter,
+                round(len(list_intersect(a.toks, b.toks)) * 1.0 /
+                      (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 6) AS jaccard
+         FROM t a JOIN t b ON a.block = b.block AND a.doc_id < b.doc_id)
+       WHERE jaccard >= 0.7"""
+
+  // ---------------------------------------------------------------------------
+  // X3/X4 — MinHash-LSH and SimHash near-dup pairs (rows-only: xxhash64 is
+  // engine-specific; estimator semantics are unit-tested in DedupSpec).
+  // ---------------------------------------------------------------------------
+  private def x3(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashPairs(docs(s, dir), col("doc_id"), col("text"),
+      k = 32, bands = 8, threshold = 0.5)
+
+  private def x4(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(docs(s, dir), col("doc_id"), col("text"), maxDist = 26)
+
+  // ---------------------------------------------------------------------------
+  // X5 — brute-force cosine top-k (every 50th vector queries the corpus).
+  // ---------------------------------------------------------------------------
+  private def x5(s: SparkSession, dir: String): DataFrame = {
+    val e = embeds(s, dir)
+    Similarity.bruteForceTopK(e.filter(col("vec_id") % 50 === 0), e, k = 5)
+  }
+
+  private val x5Sql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       scored AS (
+         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                round(CASE WHEN list_dot_product(q.v,q.v) = 0 OR list_dot_product(c.v,c.v) = 0 THEN 0
+                      ELSE list_dot_product(q.v,c.v) /
+                           (sqrt(list_dot_product(q.v,q.v)) * sqrt(list_dot_product(c.v,c.v))) END, 6) AS sim
+         FROM e q JOIN e c ON q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id)
+       SELECT query_id, neighbor_id, sim,
+              CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rank
+       FROM scored QUALIFY rank <= 5"""
+
+  // ---------------------------------------------------------------------------
+  // X6 — LSH-bucketed approximate NN (rows-only; recall vs X5 is unit-tested).
+  // ---------------------------------------------------------------------------
+  private def x6(s: SparkSession, dir: String): DataFrame =
+    Similarity.annTopK(embeds(s, dir), k = 5, nBits = 8)
+
+  // ---------------------------------------------------------------------------
+  // X7 — language ID by stopword-profile argmax.
+  // ---------------------------------------------------------------------------
+  private def x7(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), col("lang").as("labeled_lang"),
+      TextAnalysis.stopwordHits(col("text"), TextAnalysis.StopwordProfiles(0)._2).as("s_en"),
+      TextAnalysis.stopwordHits(col("text"), TextAnalysis.StopwordProfiles(1)._2).as("s_es"),
+      TextAnalysis.stopwordHits(col("text"), TextAnalysis.StopwordProfiles(2)._2).as("s_fr"),
+      TextAnalysis.languageId(col("text")).as("predicted_lang"))
+
+  private val x7Sql =
+    """WITH t AS (
+         SELECT doc_id, lang, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+         FROM documents),
+       s AS (
+         SELECT doc_id, lang,
+           len(list_filter(toks, t -> list_contains(['the','and','of','to','a','is','in','it','that','for'], t))) AS s_en,
+           len(list_filter(toks, t -> list_contains(['el','la','de','que','y','en','un','es','los','del'], t))) AS s_es,
+           len(list_filter(toks, t -> list_contains(['le','la','de','et','un','est','en','du','les','des'], t))) AS s_fr
+         FROM t)
+       SELECT doc_id, lang AS labeled_lang, s_en, s_es, s_fr,
+              CASE WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                   WHEN s_es > 0 AND s_es >= s_fr THEN 'es'
+                   WHEN s_fr > 0 THEN 'fr'
+                   ELSE 'und' END AS predicted_lang
+       FROM s"""
+
+  // ---------------------------------------------------------------------------
+  // X8 — quality scoring (length saturation + stopword ratio + punct sanity).
+  // ---------------------------------------------------------------------------
+  private def x8(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), col("lang"),
+      TextAnalysis.qualityScore(col("text")).as("quality"))
+
+  private val x8Sql = {
+    val allStops = TextAnalysis.StopwordProfiles.flatMap(_._2)
+      .map(w => s"'$w'").mkString("[", ",", "]")
+    s"""WITH t AS (
+         SELECT doc_id, lang, CAST(length(text) AS DOUBLE) AS nc,
+           CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS DOUBLE) AS nt,
+           CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS punct,
+           CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                t -> list_contains($allStops, t))) AS DOUBLE) AS stops
+         FROM documents)
+       SELECT doc_id, lang,
+              round(least(nc / 500.0, 1.0) * 0.4 +
+                    (CASE WHEN nt > 0 THEN least(stops / nt * 5.0, 1.0) ELSE 0.0 END) * 0.4 +
+                    (CASE WHEN nc > 0 THEN greatest(0.0, 1.0 - punct / nc * 10.0) ELSE 0.0 END) * 0.2,
+                    6) AS quality
+       FROM t"""
+  }
+
+  // ---------------------------------------------------------------------------
+  // X9 — token statistics by language (whitespace + BPE-ish counts).
+  // ---------------------------------------------------------------------------
+  private def x9(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("lang"),
+        TextAnalysis.tokenCountWs(col("text")).as("ws"),
+        TextAnalysis.tokenCountBpe(col("text")).as("bpe"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws").cast("long")).as("ws_tokens"),
+        sum(col("bpe").cast("long")).as("bpe_tokens"),
+        round(avg(col("ws")), 6).as("avg_ws_tokens"))
+
+  private val x9Sql =
+    """WITH t AS (
+         SELECT lang,
+           len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS ws,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpe
+         FROM documents)
+       SELECT lang, count(*) AS n_docs,
+              CAST(sum(ws) AS BIGINT) AS ws_tokens,
+              CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+              round(avg(ws), 6) AS avg_ws_tokens
+       FROM t GROUP BY lang"""
+
+  // ---------------------------------------------------------------------------
+  // X10 — document fingerprint (min-sampled sha256 8-char shingle, 48-bit).
+  // ---------------------------------------------------------------------------
+  private def x10(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      TextAnalysis.docFingerprint(col("text")).as("fingerprint"))
+
+  private val x10Sql =
+    """SELECT doc_id,
+       list_min(list_transform(range(1, greatest(length(text) - 7, 1) + 1),
+         i -> CAST('0x' || substr(sha256(substr(text, CAST(i AS INT), 8)), 1, 12) AS BIGINT))) AS fingerprint
+       FROM documents"""
+
+  // ---------------------------------------------------------------------------
+  // X11 — embedding near-dup pairs within label blocks.
+  // ---------------------------------------------------------------------------
+  private def x11(s: SparkSession, dir: String): DataFrame =
+    Similarity.nearDupPairs(embeds(s, dir), col("label"), threshold = 0.3)
+
+  private val x11Sql =
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+       SELECT * FROM (
+         SELECT a.label AS block, a.vec_id AS id_a, b.vec_id AS id_b,
+                round(CASE WHEN list_dot_product(a.v,a.v) = 0 OR list_dot_product(b.v,b.v) = 0 THEN 0
+                      ELSE list_dot_product(a.v,b.v) /
+                           (sqrt(list_dot_product(a.v,a.v)) * sqrt(list_dot_product(b.v,b.v))) END, 6) AS sim
+         FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+       WHERE sim >= 0.3"""
+
+  // ---------------------------------------------------------------------------
+  // X12 — multimodal decode plumbing: binary assets → typed metadata
+  // (FakeDecoder's sha-derived fields are re-derived by the oracle).
+  // ---------------------------------------------------------------------------
+  private def x12(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeAssets(Multimodal.documentsAsAssets(s, dir)).toDF()
+      .select("asset_id", "mime", "byte_size", "content_sha256", "width", "height",
+        "n_frames", "decode_ok")
+
+  private val x12Sql =
+    """SELECT doc_id AS asset_id,
+              CASE WHEN doc_id % 3 = 0 THEN 'image/png' WHEN doc_id % 3 = 1 THEN 'image/jpeg'
+                   ELSE 'image/tiff' END AS mime,
+              CAST(octet_length(encode(text)) AS BIGINT) AS byte_size,
+              sha256(text) AS content_sha256,
+              CAST(64 + CAST('0x' || substr(sha256(text), 1, 2) AS BIGINT) * 4 AS INT) AS width,
+              CAST(64 + CAST('0x' || substr(sha256(text), 3, 2) AS BIGINT) * 4 AS INT) AS height,
+              1 AS n_frames,
+              TRUE AS decode_ok
+       FROM documents"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x01_dedup_exact" -> x1 _,
+    "x02_dedup_ngram_jaccard" -> x2 _,
+    "x03_dedup_minhash_lsh" -> x3 _,
+    "x04_dedup_simhash" -> x4 _,
+    "x05_embed_topk_cosine" -> x5 _,
+    "x06_embed_ann_lsh" -> x6 _,
+    "x07_lang_id" -> x7 _,
+    "x08_quality_score" -> x8 _,
+    "x09_token_stats" -> x9 _,
+    "x10_doc_fingerprint" -> x10 _,
+    "x11_embed_neardup_pairs" -> x11 _,
+    "x12_multimodal_decode" -> x12 _
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "x01_dedup_exact" -> x1Sql,
+    "x02_dedup_ngram_jaccard" -> x2Sql,
+    "x05_embed_topk_cosine" -> x5Sql,
+    "x07_lang_id" -> x7Sql,
+    "x08_quality_score" -> x8Sql,
+    "x09_token_stats" -> x9Sql,
+    "x10_doc_fingerprint" -> x10Sql,
+    "x11_embed_neardup_pairs" -> x11Sql,
+    "x12_multimodal_decode" -> x12Sql
+  )
+}

@@ -1,0 +1,145 @@
+package graft.extensions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Semantic tests for the training-data extensions — especially the LSH family
+  * that the DuckDB oracle can't check (engine-specific hashes).
+  */
+class ExtensionsSpec extends AnyFunSuite with SparkTestSession {
+
+  private lazy val docs = {
+    import spark.implicits._
+    // corpus with planted near-dups: (id, text); 100/101 identical, 102 near-dup
+    // of 100 (one token changed), 200+ unrelated
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    Seq(
+      (100L, base, "en"),
+      (101L, base, "en"),
+      (102L, base.replace("kappa", "lambda"), "en"),
+      (200L, "one two three four five six seven eight nine ten", "en"),
+      (201L, "red orange yellow green blue indigo violet pink brown black", "es")
+    ).toDF("doc_id", "text", "lang")
+  }
+
+  test("exact dedup keeps first by keep-order and counts duplicates") {
+    val out = Dedup.exact(docs, col("text"), col("doc_id"))
+      .select("doc_id", "dup_count").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set(100L, 102L, 200L, 201L)) // 101 deduped into 100
+    assert(out(100L) == 2 && out(102L) == 1)
+  }
+
+  test("minhash estimate tracks exact jaccard on planted dups") {
+    val pairs = Dedup.minhashPairs(docs, col("doc_id"), col("text"),
+      k = 32, bands = 8, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // identical docs: every minhash component equal → estimate 1.0
+    assert(pairs((100L, 101L)) == 1.0)
+    // near-dup (9/11 shingle overlap ≈ 0.8 jaccard): estimate must be high
+    assert(pairs.contains((100L, 102L)) && pairs((100L, 102L)) >= 0.5)
+    // unrelated docs never pair
+    assert(!pairs.keys.exists { case (a, b) => b >= 200L && a < 200L })
+  }
+
+  test("simhash: identical docs at distance 0, unrelated docs far") {
+    val sk = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sk"))
+    val d = sk.as("a").join(sk.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        Dedup.simhashDistance(col("a.sk"), col("b.sk")).as("dist"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(d((100L, 101L)) == 0)
+    assert(d((100L, 102L)) < d((100L, 200L)))
+    assert(d((100L, 200L)) > 10)
+  }
+
+  test("simhashPairs pigeonhole blocking finds the planted pair") {
+    val pairs = Dedup.simhashPairs(docs, col("doc_id"), col("text"), maxDist = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((100L, 101L)))
+  }
+
+  test("ngram jaccard: identical=1, near-dup high, cross-block suppressed") {
+    val pairs = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+      col("lang"), n = 1, threshold = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(pairs((100L, 101L)) == 1.0)
+    assert(pairs((100L, 102L)) == math.round(9.0 / 11.0 * 1e6) / 1e6)
+    assert(!pairs.keys.exists { case (_, b) => b == 201L } // es block never joins en
+    )
+  }
+
+  test("cosine column: known values, zero-norm guard") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f), 1.0),
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f), 0.0),
+      (Array(1.0f, 1.0f), Array(1.0f, -1.0f), 0.0),
+      (Array(0.0f, 0.0f), Array(1.0f, 1.0f), 0.0) // zero vector → 0 by definition
+    ).toDF("a", "b", "want")
+    val got = df.select(Similarity.cosine(col("a"), col("b")).as("c"), col("want")).collect()
+    got.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9))
+  }
+
+  test("ANN recall: bucketed top-1 finds the planted twin vector") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val vecs = (0L until 60L).map(i => (i, Array.fill(16)(rng.nextGaussian().toFloat)))
+    // plant a twin: 999 ≈ copy of 0 (tiny noise) — cosine ≈ 1
+    val twin = (999L, vecs(0)._2.map(x => x + 0.001f))
+    val df = (vecs :+ twin).toDF("vec_id", "embedding")
+    val ann = Similarity.annTopK(df, k = 1, nBits = 6)
+      .filter(col("query_id") === 999L).collect()
+    assert(ann.nonEmpty && ann(0).getAs[Long]("neighbor_id") == 0L)
+    // and brute force agrees
+    val bf = Similarity.bruteForceTopK(df.filter(col("vec_id") === 999L), df, k = 1).collect()
+    assert(bf(0).getAs[Long]("neighbor_id") == 0L)
+  }
+
+  test("multimodal decode plumbing: deterministic metadata, frame sampling, resize") {
+    import spark.implicits._
+    val assets = Seq(
+      (1L, "image/png", "HELLOBYTES".getBytes("UTF-8"), "s"),
+      (2L, "video/mp4", "MOVIEBYTES".getBytes("UTF-8"), "s")
+    ).toDF("asset_id", "mime", "content", "source")
+    val meta = Multimodal.decodeAssets(assets).toDF()
+    val rows = meta.collect().map(r => r.getAs[Long]("asset_id") -> r).toMap
+    assert(rows(1L).getAs[Boolean]("decode_ok"))
+    assert(rows(1L).getAs[Long]("duration_ms") == 0L && rows(1L).getAs[Int]("n_frames") == 1)
+    assert(rows(2L).getAs[Long]("duration_ms") > 0L && rows(2L).getAs[Int]("n_frames") > 1)
+    // decode is deterministic (sha-derived)
+    val again = Multimodal.decodeAssets(assets).toDF().collect()
+      .map(r => r.getAs[Long]("asset_id") -> r.getAs[Int]("width")).toMap
+    assert(again(1L) == rows(1L).getAs[Int]("width"))
+
+    val frames = Multimodal.sampleFrames(meta, 4)
+      .filter(col("asset_id") === 2L).collect().map(_.getAs[Int]("frame_idx"))
+    assert(frames.length >= 2 && frames.forall(i => i >= 0 && i < rows(2L).getAs[Int]("n_frames")))
+
+    val resized = Multimodal.resizePlan(meta, 128).collect()
+      .map(r => (r.getAs[Int]("target_width"), r.getAs[Int]("target_height")))
+    assert(resized.forall { case (w, h) => w <= 128 && h <= 128 && w > 0 && h > 0 })
+  }
+
+  test("text analysis: language profiles score their own stopwords highest") {
+    import spark.implicits._
+    val df = Seq(
+      ("the cat and the dog of it", "en"),
+      ("el perro y la casa de los", "es"),
+      ("le chien et la maison des", "fr")
+    ).toDF("text", "want")
+    val got = df.select(TextAnalysis.languageId(col("text")).as("got"), col("want")).collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1)))
+  }
+
+  test("fingerprint: equal texts equal, shifted window stable") {
+    import spark.implicits._
+    val df = Seq("abcdefghijklmno", "abcdefghijklmno", "xyzdefghijklmno").toDF("t")
+    val fps = df.select(TextAnalysis.docFingerprint(col("t")).as("fp")).collect().map(_.getLong(0))
+    assert(fps(0) == fps(1))
+    // shares shingles 'defghijk'… → min may coincide; just assert determinism + range
+    assert(fps.forall(f => f >= 0 && f < (1L << 48)))
+  }
+}
