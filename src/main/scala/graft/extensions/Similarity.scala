@@ -38,11 +38,22 @@ object Similarity {
     * global sort. Similarity is pre-rounded to 6 dp so ranking is stable
     * across engines/architectures; `corpusId` breaks exact ties.
     */
+  /** Per-pair similarity with per-ROW norms: ‖v‖ is computed once per vector
+    * before the join (n·d work), never per pair (n²·d) — the dominant cost of
+    * any pairwise cosine stage. Formula stays dot/(‖a‖·‖b‖), identical doubles
+    * to [[cosine]].
+    */
+  private def simWithNorms(va: Column, na: Column, vb: Column, nb: Column): Column =
+    round(when(na === 0.0 || nb === 0.0, 0.0)
+      .otherwise(dot(va, vb) / (na * nb)), 6)
+
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val q = broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("qv")))
-    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val q = broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+      norm(col("embedding")).as("qn")))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+      norm(col("embedding")).as("cn"))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("sim", simWithNorms(col("qv"), col("qn"), col("cv"), col("cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -73,12 +84,15 @@ object Similarity {
     */
   def annTopK(df: DataFrame, k: Int, nBits: Int = 12): DataFrame = {
     val withBucket = df.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"),
       lshBucket(col("embedding"), nBits).as("bucket"))
-    val l = withBucket.select(col("bucket"), col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val r = withBucket.select(col("bucket"), col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val l = withBucket.select(col("bucket"), col("vec_id").as("query_id"),
+      col("embedding").as("qv"), col("nrm").as("qn"))
+    val r = withBucket.select(col("bucket"), col("vec_id").as("neighbor_id"),
+      col("embedding").as("cv"), col("nrm").as("cn"))
     val scored = l.join(r, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("sim", simWithNorms(col("qv"), col("qn"), col("cv"), col("cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -90,12 +104,15 @@ object Similarity {
     * (e.g. label, or an LSH bucket at scale). Pairs emitted once (a<b).
     */
   def nearDupPairs(df: DataFrame, block: Column, threshold: Double): DataFrame = {
-    val b = df.select(block.as("block"), col("vec_id"), col("embedding"))
-    val l = b.select(col("block"), col("vec_id").as("id_a"), col("embedding").as("va"))
-    val r = b.select(col("block"), col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val b = df.select(block.as("block"), col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+    val l = b.select(col("block"), col("vec_id").as("id_a"), col("embedding").as("va"),
+      col("nrm").as("na"))
+    val r = b.select(col("block"), col("vec_id").as("id_b"), col("embedding").as("vb"),
+      col("nrm").as("nb"))
     l.join(r, Seq("block"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("sim", round(cosine(col("va"), col("vb")), 6))
+      .withColumn("sim", simWithNorms(col("va"), col("na"), col("vb"), col("nb")))
       .filter(col("sim") >= threshold)
       .select("block", "id_a", "id_b", "sim")
   }

@@ -310,15 +310,14 @@ object ParityQueries {
   // Q13 — sequence renumber (K4/F5, /root/reference/worker.py:220-236): global
   // row_number → zfill(9) → literal token replacement.
   // ---------------------------------------------------------------------------
-  private def q13Renumber(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("doc_id"))
-    t(s, dir, "documents")
-      .withColumn("rn", row_number().over(w))
+  private def q13Renumber(s: SparkSession, dir: String): DataFrame =
+    // global numbering via the two-phase SeqNumber op — a raw
+    // Window.orderBy(doc_id) would collapse to a single partition
+    graft.ops.SeqNumber.withGlobalSeq(t(s, dir, "documents"), "rn", col("doc_id"))
       .select(col("doc_id"),
         Scalars.renumberToken(
           concat(lit("entry 000000001 of "), col("source"), lit(" [000000001]")),
           col("rn")).as("line"))
-  }
 
   private val q13Sql =
     """SELECT doc_id,
@@ -484,11 +483,10 @@ object ParityQueries {
   private def q20ArchiveSort(s: SparkSession, dir: String): DataFrame = {
     val priOrNull = when(col("o_orderkey") % 10 === 0, lit(null).cast("string"))
       .otherwise(col("o_orderpriority"))
-    val w = Window.orderBy(col("sort_key").asc_nulls_last, col("o_orderkey").asc)
-    t(s, dir, "orders")
-      .withColumn("sort_key", priOrNull)
-      .withColumn("rank", row_number().over(w))
-      .select(col("o_orderkey"), col("sort_key"), col("rank"))
+    graft.ops.SeqNumber.withGlobalSeq(
+      t(s, dir, "orders").withColumn("sort_key", priOrNull), "rank",
+      col("sort_key").asc_nulls_last, col("o_orderkey").asc)
+      .select(col("o_orderkey"), col("sort_key"), col("rank").cast("int").as("rank"))
   }
 
   private val q20Sql =
