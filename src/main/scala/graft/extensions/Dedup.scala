@@ -108,29 +108,18 @@ object Dedup {
 
   // -------------------------------------------------------------- simhash --
 
-  /** 64-bit SimHash over token shingles, returned as two 32-bit halves
-    * (hi, lo) — long-safe under ANSI overflow checking. Bit i of the sketch is
-    * the sign of Σ_tokens ±1, where the ±1 for bit i comes from an independent
-    * seeded hash (random-projection construction; independent hashes per bit
-    * sidestep variable-amount bit shifts, which the Column API can't express).
+  /** 64-bit SimHash over token shingles, as one LONG sketch. Backed by the
+    * native [[graft.functions.SimHash64]] Catalyst expression: one xxhash per
+    * shingle with all 64 bit-counters updated in a tight JVM loop — the
+    * Column-API formulation needed a seeded hash per BIT (no variable shifts
+    * in HOF lambdas), 64× the hash work.
     */
-  def simhash(text: Column): Column = {
-    val toks = shingles(text, 2)
-    val counts = aggregate(
-      toks,
-      array_repeat(lit(0), 64),
-      (acc, t) => zip_with(acc, sequence(lit(0), lit(63)),
-        (c, i) => c + when(xxhash64(t, i) > 0, 1).otherwise(-1)))
-    val bit = (i: Int) => when(element_at(counts, i + 1) > 0, 1L << (i % 32)).otherwise(0L)
-    struct(
-      (0 until 32).map(i => bit(i + 32)).reduce(_ + _).as("hi"),
-      (0 until 32).map(bit).reduce(_ + _).as("lo"))
-  }
+  def simhash(text: Column): Column =
+    graft.functions.SimHash64.simhash64(shingles(text, 2))
 
-  /** Hamming distance between two (hi,lo) sketches. */
+  /** Hamming distance between two sketches. */
   def simhashDistance(a: Column, b: Column): Column =
-    bit_count(a.getField("hi").bitwiseXOR(b.getField("hi"))) +
-      bit_count(a.getField("lo").bitwiseXOR(b.getField("lo")))
+    bit_count(a.bitwiseXOR(b))
 
   /** Near-dup pairs with Hamming distance ≤ `maxDist` (≤ 3 by default) via the
     * pigeonhole blocking: split 64 bits into 4 chunks of 16; distance ≤ 3 ⇒ at
@@ -140,10 +129,7 @@ object Dedup {
       maxBucketSize: Int = 2000): DataFrame = {
     val sk = df.select(id.as("id"), simhash(text).as("sk"))
       .persist(StorageLevel.MEMORY_AND_DISK) // sketch table: see minhashPairs
-    val chunk = (c: Column, i: Int) => {
-      val word = if (i < 2) c.getField("lo") else c.getField("hi")
-      shiftright(word, (i % 2) * 16).bitwiseAND(lit(0xffff))
-    }
+    val chunk = (c: Column, i: Int) => shiftright(c, i * 16).bitwiseAND(lit(0xffff))
     val chunked = sk.select(col("id"),
       posexplode(array((0 until 4).map(i => chunk(col("sk"), i)): _*)))
       .withColumnRenamed("pos", "chunk_idx").withColumnRenamed("col", "chunk_val")

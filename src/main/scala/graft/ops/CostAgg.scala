@@ -58,4 +58,19 @@ object CostAgg {
     import spark.implicits._
     Seq((results.count(), totalGroups)).toDF("processed", "total")
   }
+
+  /** A5, zero-extra-pass flavor: attach an `Observation` to the results plan.
+    * The counters ride along with whatever action consumes the results (no
+    * second scan — the Spark-native replacement for the reference's
+    * write-meta-after-every-group loop); read them with `observation.get`
+    * after the action completes.
+    */
+  def observedProgress(results: DataFrame): (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation()
+    val observed = results.observe(obs,
+      count(lit(1)).as("processed"),
+      count(col("usage_json")).as("successful"),
+      count(col("error")).as("failed"))
+    (observed, obs)
+  }
 }

@@ -497,8 +497,37 @@ object ParityQueries {
              FROM orders)"""
 
   // ---------------------------------------------------------------------------
+  // Q23 — set operations (§2.7 pass-through capabilities): customers ordering
+  // in 1995 vs 1996 → UNION / INTERSECT / EXCEPT with a tag column.
+  // ---------------------------------------------------------------------------
+  private def q23SetOps(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+    def keysIn(year: Int) = ord
+      .filter(col("o_orderdate") >= lit(s"$year-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit(s"${year + 1}-01-01").cast("timestamp"))
+      .select(col("o_custkey")).distinct()
+    val a = keysIn(1995)
+    val b = keysIn(1996)
+    a.union(b).distinct().withColumn("op", lit("union"))
+      .unionByName(a.intersect(b).withColumn("op", lit("intersect")))
+      .unionByName(a.except(b).withColumn("op", lit("except")))
+  }
+
+  private val q23Sql =
+    """WITH a AS (SELECT DISTINCT o_custkey FROM orders
+                  WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'),
+            b AS (SELECT DISTINCT o_custkey FROM orders
+                  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01')
+       SELECT o_custkey, 'union' AS op FROM (SELECT o_custkey FROM a UNION SELECT o_custkey FROM b)
+       UNION ALL
+       SELECT o_custkey, 'intersect' AS op FROM (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b)
+       UNION ALL
+       SELECT o_custkey, 'except' AS op FROM (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b)"""
+
+  // ---------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q23_set_ops" -> q23SetOps _,
     "q01_pricing_summary" -> q1Agg _,
     "q02_filter_project" -> q2Filter _,
     "q03_join_revenue_by_nation" -> q3Join _,
@@ -522,6 +551,7 @@ object ParityQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q23_set_ops" -> q23Sql,
     "q01_pricing_summary" -> q1Sql,
     "q02_filter_project" -> q2Sql,
     "q03_join_revenue_by_nation" -> q3Sql,

@@ -139,6 +139,18 @@ class PipelineSpec extends AnyFunSuite with SparkTestSession {
     assert(cs.getAs[Double]("upstream_inference_prompt_cost") == 0.0006)
   }
 
+  test("A5 observedProgress counters ride along with the consuming action") {
+    val groups = Grouping.buildGroups(fixtureFiles, groupBySubfolder = true)
+    val res = Enrich.enrich(groups, () => new Enrich.MockModelClient(failEvery = 3),
+      Enrich.JobConfig())
+    val (observed, obs) = CostAgg.observedProgress(res)
+    observed.write.mode("overwrite").parquet(
+      java.nio.file.Files.createTempDirectory("graft-obs").toString + "/out")
+    val row = obs.get
+    assert(row("processed") == 5L)
+    assert(row("successful").asInstanceOf[Long] + row("failed").asInstanceOf[Long] == 4L)
+  }
+
   test("SeqNumber matches single-partition row_number on unique keys") {
     import spark.implicits._
     val df = (1 to 1000).map(i => ((i * 7919) % 1000, i)).toDF("k", "uniq")
