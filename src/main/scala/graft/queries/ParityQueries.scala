@@ -147,11 +147,17 @@ object ParityQueries {
   // order verifiable under the driver's order-insensitive hash.
   // ---------------------------------------------------------------------------
   private def q5TopK(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    // orderBy + limit compiles to TakeOrderedAndProject: per-partition top-k
+    // merged on the driver — no shuffle of the full table, unlike a global
+    // row_number window (which WindowExec collapses to ONE partition). The
+    // rank window below runs over the ≤10-row result, so its single partition
+    // is bounded by k, not by the data (partitionBy(lit) documents that).
+    val ord = Seq(col("o_totalprice").desc, col("o_orderkey").asc)
     t(s, dir, "orders")
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 10)
+      .orderBy(ord: _*)
+      .limit(10)
+      .withColumn("rank", row_number().over(Window.partitionBy(lit(0)).orderBy(ord: _*)))
   }
 
   private val q5Sql =
@@ -525,8 +531,29 @@ object ParityQueries {
        SELECT o_custkey, 'except' AS op FROM (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b)"""
 
   // ---------------------------------------------------------------------------
+  // Q24 — event-time tumbling windows (§2.9 / streaming EventTimeOps, run in
+  // batch: window() is the same expression in both modes). Spark's tumbling
+  // windows align to the epoch; the oracle re-derives the bucket with integer
+  // epoch-nanosecond division, so the window math is independently checked.
+  // Window bounds go out as formatted strings (F6) to dodge ns-vs-µs physics.
+  // ---------------------------------------------------------------------------
+  private def q24EventWindows(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+      .select(Scalars.formatTs(col("window.start")).as("window_start"),
+        Scalars.formatTs(col("window.end")).as("window_end"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  private val q24Sql =
+    """WITH t AS (SELECT event_type, "value", epoch_ns(ts) // 300000000000 AS bucket FROM events)
+       SELECT strftime(make_timestamp(bucket * 300000000), '%Y-%m-%d %H:%M:%S') AS window_start,
+              strftime(make_timestamp((bucket + 1) * 300000000), '%Y-%m-%d %H:%M:%S') AS window_end,
+              event_type, count(*) AS n_events, round(sum("value"), 4) AS sum_value
+       FROM t GROUP BY 1, 2, 3"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q24_event_windows" -> q24EventWindows _,
     "q23_set_ops" -> q23SetOps _,
     "q01_pricing_summary" -> q1Agg _,
     "q02_filter_project" -> q2Filter _,
@@ -551,6 +578,7 @@ object ParityQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q24_event_windows" -> q24Sql,
     "q23_set_ops" -> q23Sql,
     "q01_pricing_summary" -> q1Sql,
     "q02_filter_project" -> q2Sql,
