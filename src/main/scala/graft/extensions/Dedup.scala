@@ -35,29 +35,30 @@ object Dedup {
 
   // -------------------------------------------------------------- minhash --
 
-  /** Distinct token `n`-gram shingles of a text column. */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = TextAnalysis.tokens(text)
-    val count = greatest(size(toks) - (n - 1), lit(1))
-    array_distinct(transform(sequence(lit(1), count),
-      i => concat_ws(" ", slice(toks, i, lit(n)))))
-  }
+  /** Distinct token `n`-gram shingles of a text column, via the native
+    * [[graft.functions.NGrams]] expression — the equivalent
+    * `array_distinct(transform(sequence(...), i => concat_ws(" ", slice(...))))`
+    * HOF tree runs interpreted and measured ~4× the cost of the entire
+    * downstream LSH join; shingling is the hot path of every near-dup op.
+    */
+  def shingles(text: Column, n: Int = 3): Column =
+    graft.functions.NGrams.ngrams(TextAnalysis.tokens(text), n)
 
   /** MinHash signature: `k` permutations simulated by seeded xxhash64
-    * (the standard "one hash, k seeds" construction). Codegen'd end to end —
-    * no UDF, no ml.linalg boxing.
+    * (the standard "one hash, k seeds" construction), via the native
+    * [[graft.functions.MinHashSig]] expression — one string hash + k
+    * constant-time mixes per shingle, one allocation per row.
     *
-    * Shape matters: a single aggregate pass over the shingle array maintaining
-    * all `k` minima. The naive `transform(seeds, s => array_min(transform(...)))`
-    * references the shingle-array EXPRESSION k times, and Catalyst inlines the
-    * whole shingle construction per seed — measured 30× slower at k=32.
+    * History of this shape (each step measured): naive
+    * `transform(seeds, s => array_min(transform(shingles, ...)))` inlines the
+    * whole shingle construction per seed (30× slower at k=32); the
+    * single-pass `aggregate`/`zip_with` fixed that but still ran interpreted
+    * with a k-wide array allocation per shingle; the native expression keeps
+    * the same output values (Spark's `xxhash64(s, seed)` chain re-derived
+    * in-loop) with none of that.
     */
   def minhashSignature(shingleArr: Column, k: Int = 32): Column =
-    aggregate(
-      shingleArr,
-      array_repeat(lit(Long.MaxValue), k),
-      (acc, s) => zip_with(acc, sequence(lit(0), lit(k - 1)),
-        (m, seed) => least(m, xxhash64(s, seed))))
+    graft.functions.MinHashSig.minhashSig(shingleArr, k)
 
   /** Banded-LSH candidate pairs with MinHash-estimated Jaccard ≥ `threshold`.
     *

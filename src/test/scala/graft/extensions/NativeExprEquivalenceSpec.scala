@@ -1,0 +1,60 @@
+package graft.extensions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.extensions.{Dedup, TextAnalysis}
+
+/** The native NGrams/MinHashSig expressions claim value-identity with the
+  * Column-API formulations they replaced — this spec pins that claim on real
+  * corpus text (sf0.001 documents) plus hand-built edge cases.
+  */
+class NativeExprEquivalenceSpec extends AnyFunSuite with SparkTestSession {
+
+  private lazy val docs =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(200)
+
+  private def hofShingles(text: org.apache.spark.sql.Column, n: Int) = {
+    val toks = TextAnalysis.tokens(text)
+    val count = greatest(size(toks) - (n - 1), lit(1))
+    array_distinct(transform(sequence(lit(1), count),
+      i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
+  private def hofMinhash(sh: org.apache.spark.sql.Column, k: Int) =
+    aggregate(sh, array_repeat(lit(Long.MaxValue), k),
+      (acc, s) => zip_with(acc, sequence(lit(0), lit(k - 1)),
+        (m, seed) => least(m, xxhash64(s, seed))))
+
+  test("NGrams matches the HOF shingle formulation for n=1,2,3 on corpus text") {
+    for (n <- Seq(1, 2, 3)) {
+      val mismatches = docs
+        .select(Dedup.shingles(col("text"), n).as("native"),
+          hofShingles(col("text"), n).as("hof"))
+        .filter(col("native") =!= col("hof"))
+        .count()
+      assert(mismatches == 0, s"n=$n")
+    }
+  }
+
+  test("NGrams edge cases: empty tokens, fewer tokens than n") {
+    val rows = spark.createDataFrame(Seq(
+      Tuple1(""), Tuple1("   "), Tuple1("one"), Tuple1("one two"))).toDF("text")
+    val out = rows.select(Dedup.shingles(col("text"), 3).as("native"),
+        hofShingles(col("text"), 3).as("hof"))
+      .collect()
+    out.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1), r.toString))
+    // empty text → the single all-tokens window = one empty-string shingle
+    assert(out(0).getSeq[String](0) == Seq(""))
+  }
+
+  test("MinHashSig matches the aggregate/zip_with formulation (k=32) on corpus text") {
+    val mismatches = docs
+      .select(Dedup.minhashSignature(Dedup.shingles(col("text")), 32).as("native"),
+        hofMinhash(hofShingles(col("text"), 3), 32).as("hof"))
+      .filter(col("native") =!= col("hof"))
+      .count()
+    assert(mismatches == 0)
+  }
+}
