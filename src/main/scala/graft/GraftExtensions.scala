@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+import graft.functions.{MinHashSig, NGrams, SimHash64}
+
+/** Registers graft's native Catalyst expressions as SQL functions, so
+  * `spark.sql("SELECT simhash64(ngrams(tokens, 2)) ...")` works the same as
+  * the Column API — the idiomatic packaging for a Spark-native library
+  * (`spark.sql.extensions=graft.GraftExtensions` on any cluster, zero code).
+  *
+  * Functions: `ngrams(ARRAY<STRING>, n)`, `minhash_sig(ARRAY<STRING>, k)`,
+  * `simhash64(ARRAY<STRING>)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  /** Second argument of ngrams/minhash_sig must be a foldable INT (it shapes
+    * the expression itself, like Spark's own `array_repeat` count). */
+  private def litInt(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn requires a literal INT, got ${other.sql}")
+  }
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (args: Seq[Expression]) => SimHash64(args.head)),
+    (FunctionIdentifier("ngrams"),
+      new ExpressionInfo(classOf[NGrams].getName, "ngrams"),
+      (args: Seq[Expression]) => NGrams(args(0), litInt(args(1), "ngrams"))),
+    (FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (args: Seq[Expression]) => MinHashSig(args(0), litInt(args(1), "minhash_sig"))))
+
+  /** Imperative registration on an existing session (same builders as the
+    * config-driven path). */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
+}

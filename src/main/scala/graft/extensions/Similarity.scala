@@ -100,6 +100,64 @@ object Similarity {
       .select("query_id", "neighbor_id", "sim", "rank")
   }
 
+  /** IVF (inverted-file) approximate NN — the other standard scale path next
+    * to sign-LSH: the corpus is coarsely quantized to `nCentroids` k-means
+    * cells; each query probes its `nProbe` nearest cells and exact cosine
+    * re-ranks inside them.
+    *
+    * Scale shape: centroid training touches a bounded sample; corpus cell
+    * assignment is one narrow map (`KMeansModel.transform`, no shuffle); the
+    * probe is a (queries × nProbe)-row broadcast-joinable table, so the only
+    * data-sized movement is the cell-keyed join — same single-shuffle profile
+    * as [[annTopK]], with recall tuned by `nProbe` instead of bit width.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 2, seed: Long = 42L,
+      maxTrainRows: Int = 100000, maxIter: Int = 8): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val feat = corpus.select(col("vec_id"),
+      array_to_vector(col("embedding").cast("array<double>")).as("features"))
+    // a coarse quantizer needs neither the full corpus nor convergence:
+    // train on a bounded sample with few iterations (at 100 TB, training on
+    // everything would be a full extra pass for centroid digits that don't
+    // change the recall/probe trade-off)
+    val model = new KMeans().setK(nCentroids).setSeed(seed).setFeaturesCol("features")
+      .setMaxIter(maxIter)
+      .fit(feat.limit(maxTrainRows))
+    val cells = model.transform(feat).select(col("vec_id"), col("prediction").as("cell"))
+    val c = corpus.join(cells, "vec_id")
+      .select(col("cell"), col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+        norm(col("embedding")).as("cn"))
+
+    // nProbe nearest cells per query: queries × centroid table (nCentroids
+    // rows — broadcast), ranked by L2 distance, never a global window
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = model.clusterCenters.toSeq.zipWithIndex
+      .map { case (v, i) => (i, v.toArray) }.toDF("cell", "centroid")
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+      norm(col("embedding")).as("qn"))
+    val l2 = aggregate(zip_with(col("qv"), col("centroid"),
+        (x, cVal) => pow(x.cast("double") - cVal, 2)), lit(0.0), (acc, x) => acc + x)
+    val probes = q.join(broadcast(centroids))
+      .withColumn("cdist", l2)
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cdist").asc, col("cell").asc)))
+      .filter(col("crank") <= nProbe)
+      .select("query_id", "qv", "qn", "cell")
+
+    val scored = probes.join(c, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", simWithNorms(col("qv"), col("qn"), col("cv"), col("cn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "sim", "rank")
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold within a blocking key
     * (e.g. label, or an LSH bucket at scale). Pairs emitted once (a<b).
     */

@@ -91,6 +91,16 @@ object ExtensionQueries {
     Similarity.annTopK(embeds(s, dir), k = 5, nBits = 8)
 
   // ---------------------------------------------------------------------------
+  // X13 — IVF approximate NN (rows-only: k-means cells are model-derived;
+  // recall vs brute force is unit-tested in ExtensionsSpec).
+  // ---------------------------------------------------------------------------
+  private def x13(s: SparkSession, dir: String): DataFrame = {
+    val e = embeds(s, dir)
+    Similarity.ivfTopK(e.filter(col("vec_id") % 50 === 0), e, k = 5,
+      nCentroids = 16, nProbe = 4)
+  }
+
+  // ---------------------------------------------------------------------------
   // X7 — language ID by stopword-profile argmax.
   // ---------------------------------------------------------------------------
   private def x7(s: SparkSession, dir: String): DataFrame =
@@ -230,7 +240,8 @@ object ExtensionQueries {
     "x09_token_stats" -> x9 _,
     "x10_doc_fingerprint" -> x10 _,
     "x11_embed_neardup_pairs" -> x11 _,
-    "x12_multimodal_decode" -> x12 _
+    "x12_multimodal_decode" -> x12 _,
+    "x13_embed_ivf" -> x13 _
   )
 
   val oracleSql: Map[String, String] = Map(

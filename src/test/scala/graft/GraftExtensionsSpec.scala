@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL-surface registration of the native expressions (§2.10). */
+class GraftExtensionsSpec extends AnyFunSuite with SparkTestSession {
+
+  test("register() exposes ngrams/minhash_sig/simhash64 to SQL") {
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      """SELECT ngrams(array('a','b','c'), 2) AS sh,
+                simhash64(ngrams(array('a','b','c'), 2)) AS sk,
+                minhash_sig(array('a b','b c'), 4) AS sig""").head()
+    assert(row.getSeq[String](0) == Seq("a b", "b c"))
+    // SQL path must equal the Column path exactly
+    import org.apache.spark.sql.functions._
+    val viaColumns = spark.range(1)
+      .select(graft.functions.SimHash64.simhash64(
+        graft.functions.NGrams.ngrams(array(lit("a"), lit("b"), lit("c")), 2)))
+      .head().getLong(0)
+    assert(row.getLong(1) == viaColumns)
+    assert(row.getSeq[Long](2).length == 4)
+  }
+
+  test("builder.withExtensions(new GraftExtensions) injects the same functions") {
+    // `spark.sql.extensions=graft.GraftExtensions` is the cluster-config route,
+    // but it is read at SparkContext creation — unreachable from a shared test
+    // context. withExtensions applies the same class at session build time.
+    val prior = spark // keep the shared session's context alive
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new GraftExtensions())
+        .getOrCreate()
+      val n = s2.sql("SELECT size(ngrams(array('x','y','z','w'), 3)) AS n").head().getInt(0)
+      assert(n == 2)
+    } finally {
+      SparkSession.setDefaultSession(prior)
+      SparkSession.setActiveSession(prior)
+    }
+  }
+
+  test("non-literal n is rejected with a clear error") {
+    GraftExtensions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT ngrams(array('a','b'), cast(id AS INT)) FROM range(1)").head()
+    }
+    assert(e.getMessage.contains("literal INT"))
+  }
+}

@@ -98,6 +98,25 @@ class ExtensionsSpec extends AnyFunSuite with SparkTestSession {
     assert(bf(0).getAs[Long]("neighbor_id") == 0L)
   }
 
+  test("IVF recall: probed cells find the planted twin; recall vs brute force") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val vecs = (0L until 80L).map(i => (i, Array.fill(16)(rng.nextGaussian().toFloat)))
+    val twin = (999L, vecs(0)._2.map(x => x + 0.001f))
+    val df = (vecs :+ twin).toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") % 10 === 0)
+    val ivf = Similarity.ivfTopK(queries, df, k = 1, nCentroids = 4, nProbe = 2)
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    // the twin pair is near-identical → same cell; top-1 must find it
+    // (999 is not in `queries`; 0 queries and must hit 999)
+    assert(ivf(0L) == 999L)
+    // probing half the cells should agree with brute force on most queries
+    val bf = Similarity.bruteForceTopK(queries, df, k = 1)
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    val agree = ivf.count { case (q, n) => bf.get(q).contains(n) }
+    assert(agree >= (bf.size * 0.5).toInt, s"IVF agreed on $agree of ${bf.size}")
+  }
+
   test("multimodal decode plumbing: deterministic metadata, frame sampling, resize") {
     import spark.implicits._
     val assets = Seq(
