@@ -117,7 +117,7 @@ object Similarity {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
-    val feat = corpus.select(col("vec_id"),
+    val feat = corpus.select(
       array_to_vector(col("embedding").cast("array<double>")).as("features"))
     // a coarse quantizer needs neither the full corpus nor convergence:
     // train on a bounded sample with few iterations (at 100 TB, training on
@@ -126,27 +126,28 @@ object Similarity {
     val model = new KMeans().setK(nCentroids).setSeed(seed).setFeaturesCol("features")
       .setMaxIter(maxIter)
       .fit(feat.limit(maxTrainRows))
-    val cells = model.transform(feat).select(col("vec_id"), col("prediction").as("cell"))
-    val c = corpus.join(cells, "vec_id")
-      .select(col("cell"), col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
-        norm(col("embedding")).as("cn"))
 
-    // nProbe nearest cells per query: queries × centroid table (nCentroids
-    // rows — broadcast), ranked by L2 distance, never a global window
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val centroids = model.clusterCenters.toSeq.zipWithIndex
-      .map { case (v, i) => (i, v.toArray) }.toDF("cell", "centroid")
-    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-      norm(col("embedding")).as("qn"))
-    val l2 = aggregate(zip_with(col("qv"), col("centroid"),
-        (x, cVal) => pow(x.cast("double") - cVal, 2)), lit(0.0), (acc, x) => acc + x)
-    val probes = q.join(broadcast(centroids))
-      .withColumn("cdist", l2)
-      .withColumn("crank", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("cdist").asc, col("cell").asc)))
-      .filter(col("crank") <= nProbe)
-      .select("query_id", "qv", "qn", "cell")
+    // Cell assignment is a pure expression over the centroid LITERALS (a few
+    // KB shipped inside the plan): per-row argmin of L2 distances — a narrow
+    // map with NO join against a model output and NO shuffle of the corpus.
+    // array_sort on (dist, cell) structs breaks ties on the lower cell id.
+    val centroidsLit = typedLit(model.clusterCenters.toSeq.map(_.toArray.toSeq))
+    def cellDists(v: Column): Column = transform(centroidsLit, cvec =>
+      aggregate(zip_with(v, cvec, (x, cVal) => {
+        val d = x.cast("double") - cVal; d * d
+      }), lit(0.0), (acc, x) => acc + x))
+    def nearestCells(v: Column, n: Int): Column =
+      slice(transform(array_sort(zip_with(cellDists(v),
+        sequence(lit(0), lit(nCentroids - 1)),
+        (d, i) => struct(d.as("d"), i.as("cell")))), s => s("cell")), 1, n)
+
+    val c = corpus.select(element_at(nearestCells(col("embedding"), 1), 1).as("cell"),
+      col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+      norm(col("embedding")).as("cn"))
+
+    val probes = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        norm(col("embedding")).as("qn"),
+        explode(nearestCells(col("embedding"), nProbe)).as("cell"))
 
     val scored = probes.join(c, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan invariants for every SparkEntry query — the "would this
+  * survive a 100× scale-up" checks, enforced as tests so a regression fails
+  * CI instead of surfacing as a cluster incident:
+  *
+  *   - no CartesianProduct anywhere;
+  *   - no SortMergeJoin (at engine shapes every join is either broadcast
+  *     [dims, sketches, probes] or a shuffled hash join on a blocking key);
+  *   - SinglePartition exchanges only where output is provably bounded
+  *     (global single-row aggregates);
+  *   - selective scans keep their pushed filters (q02's predicate must reach
+  *     the parquet reader).
+  */
+class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  // global single-row aggregates: the final partial→total exchange is bounded
+  private val singlePartitionOk = Set("q19_cost_rollup", "q22_pipeline_cost_summary")
+
+  test("no query plan contains a CartesianProduct") {
+    for ((name, fn) <- SparkEntry.queries) {
+      val plan = fn(spark, dir).queryExecution.explainString(FormattedMode)
+      assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product")
+    }
+  }
+
+  test("no query plan contains a SortMergeJoin") {
+    for ((name, fn) <- SparkEntry.queries) {
+      val plan = fn(spark, dir).queryExecution.explainString(FormattedMode)
+      assert(!plan.contains("SortMergeJoin"), s"$name sort-merge-joins")
+    }
+  }
+
+  test("SinglePartition exchanges only in bounded-output queries") {
+    for ((name, fn) <- SparkEntry.queries if !singlePartitionOk(name)) {
+      val plan = fn(spark, dir).queryExecution.explainString(FormattedMode)
+      assert(!plan.contains("SinglePartition"),
+        s"$name moves unbounded data to one partition")
+    }
+  }
+
+  test("selective scan predicates reach the parquet reader (q02)") {
+    val plan = SparkEntry.queries("q02_filter_project")(spark, dir)
+      .queryExecution.explainString(FormattedMode)
+    assert(plan.contains("PushedFilters: [IsNotNull"), plan)
+  }
+
+  test("star-join dims broadcast (q03)") {
+    val plan = SparkEntry.queries("q03_join_revenue_by_nation")(spark, dir)
+      .queryExecution.explainString(FormattedMode)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+}
