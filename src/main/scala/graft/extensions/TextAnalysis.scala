@@ -13,7 +13,9 @@ object TextAnalysis {
 
   /** Lowercased whitespace tokens, empties dropped. */
   def tokens(text: Column): Column =
-    filter(split(lower(text), "\\s+"), t => t =!= "")
+    // array_remove ≡ filter(_ =!= "") here, but it's a codegen'd builtin —
+    // the filter() HOF runs interpreted on the tokenize hot path
+    array_remove(split(lower(text), "\\s+"), "")
 
   /** Whitespace token count. */
   def tokenCountWs(text: Column): Column = size(tokens(text))
