@@ -101,6 +101,33 @@ object ExtensionQueries {
   }
 
   // ---------------------------------------------------------------------------
+  // X14 — backward as-of join (ops/AsOfJoin union+carry formulation) vs
+  // DuckDB's native ASOF JOIN: odd events look up the latest earlier even
+  // event of the same type. (event_type, ts) is unique on the right side and
+  // all ts are µs-aligned, so both engines see identical tie conditions.
+  // ---------------------------------------------------------------------------
+  private def x14(s: SparkSession, dir: String): DataFrame = {
+    val ev = ParityQueries.events(s, dir)
+    val l = ev.filter(col("event_id") % 2 === 1).select("event_id", "event_type", "ts")
+    val r = ev.filter(col("event_id") % 2 === 0)
+      .select(col("event_type"), col("ts"), col("event_id").as("r_event_id"),
+        col("value").as("r_value"))
+    graft.ops.AsOfJoin.backward(l, r, "event_type", "ts", "ts",
+        rightPayload = Seq("r_event_id", "r_value"), rightOrd = "r_event_id")
+      .select(col("event_id"), col("event_type"),
+        graft.ops.Scalars.formatTs(col("ts")).as("ts_s"),
+        col("r_event_id"), col("r_value"))
+  }
+
+  private val x14Sql =
+    """WITH l AS (SELECT event_id, event_type, ts FROM events WHERE event_id % 2 = 1),
+            r AS (SELECT event_type, ts, event_id AS r_event_id, "value" AS r_value
+                  FROM events WHERE event_id % 2 = 0)
+       SELECT l.event_id, l.event_type, strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+              r.r_event_id, r.r_value
+       FROM l ASOF LEFT JOIN r ON l.event_type = r.event_type AND r.ts <= l.ts"""
+
+  // ---------------------------------------------------------------------------
   // X7 — language ID by stopword-profile argmax.
   // ---------------------------------------------------------------------------
   private def x7(s: SparkSession, dir: String): DataFrame =
@@ -241,7 +268,8 @@ object ExtensionQueries {
     "x10_doc_fingerprint" -> x10 _,
     "x11_embed_neardup_pairs" -> x11 _,
     "x12_multimodal_decode" -> x12 _,
-    "x13_embed_ivf" -> x13 _
+    "x13_embed_ivf" -> x13 _,
+    "x14_asof_join" -> x14 _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -253,6 +281,7 @@ object ExtensionQueries {
     "x09_token_stats" -> x9Sql,
     "x10_doc_fingerprint" -> x10Sql,
     "x11_embed_neardup_pairs" -> x11Sql,
-    "x12_multimodal_decode" -> x12Sql
+    "x12_multimodal_decode" -> x12Sql,
+    "x14_asof_join" -> x14Sql
   )
 }

@@ -1,0 +1,55 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+class AsOfJoinSpec extends AnyFunSuite with SparkTestSession {
+
+  import spark.implicits._
+
+  private def t(min: Int) = new Timestamp(min * 60000L)
+
+  test("backward as-of: latest earlier right row, <= ties, per-key isolation") {
+    val left = Seq(
+      (1L, "a", t(15)),  // between right rows at t10 and t20 → r10
+      (2L, "a", t(10)),  // exactly at r10 → <= semantics picks r10
+      (3L, "a", t(0)),   // before any right row → null
+      (4L, "b", t(50)),  // key isolation: only b's rows eligible
+      (5L, "c", t(50))   // key with no right rows at all → null
+    ).toDF("event_id", "k", "ts")
+    val right = Seq(
+      (10L, "a", t(10), 1.5),
+      (20L, "a", t(20), 2.5),
+      (30L, "b", t(10), 9.0),
+      (31L, "b", t(10), 9.5)  // (key, ts) tie → greater rightOrd (31) wins
+    ).toDF("r_id", "k", "ts", "v")
+
+    val out = AsOfJoin.backward(left, right, "k", "ts", "ts",
+        rightPayload = Seq("r_id", "v"), rightOrd = "r_id")
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        (Option(r.getAs[java.lang.Long]("r_id")).map(_.toLong), Option(r.getAs[Any]("v"))))
+      .toMap
+
+    assert(out(1L)._1.contains(10L))
+    assert(out(2L)._1.contains(10L)) // <= not <
+    assert(out(3L)._1.isEmpty)
+    assert(out(4L) == (Some(31L), Some(9.5)))
+    assert(out(5L)._1.isEmpty)
+    assert(out.size == 5)
+  }
+
+  test("as-of plan shuffles once on the key — no join node, no cartesian") {
+    val left = spark.range(10).select(col("id").as("event_id"),
+      lit("k").as("k"), col("id").cast("timestamp").as("ts"))
+    val right = spark.range(10).select(col("id").as("r_id"),
+      lit("k").as("k"), col("id").cast("timestamp").as("ts"), lit(1.0).as("v"))
+    val plan = AsOfJoin.backward(left, right, "k", "ts", "ts", Seq("r_id", "v"), "r_id")
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("Union"), plan)
+  }
+}
