@@ -123,9 +123,15 @@ object Similarity {
     // train on a bounded sample with few iterations (at 100 TB, training on
     // everything would be a full extra pass for centroid digits that don't
     // change the recall/probe trade-off)
-    val model = new KMeans().setK(nCentroids).setSeed(seed).setFeaturesCol("features")
-      .setMaxIter(maxIter)
-      .fit(feat.limit(maxTrainRows))
+    // persist the training sample: k-means is iterative and would otherwise
+    // re-scan (and re-convert) the input once per iteration
+    val train = feat.limit(maxTrainRows)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val model = try {
+      new KMeans().setK(nCentroids).setSeed(seed).setFeaturesCol("features")
+        .setMaxIter(maxIter)
+        .fit(train)
+    } finally train.unpersist(false)
 
     // Cell assignment is a pure expression over the centroid LITERALS (a few
     // KB shipped inside the plan): per-row argmin of L2 distances — a narrow

@@ -128,6 +128,86 @@ object ExtensionQueries {
        FROM l ASOF LEFT JOIN r ON l.event_type = r.event_type AND r.ts <= l.ts"""
 
   // ---------------------------------------------------------------------------
+  // X15 — corpus vocabulary stats: explode(tokens) → exact distributed
+  // distinct per language (the Generator + two-level-agg shape).
+  // ---------------------------------------------------------------------------
+  private def x15(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy("lang")
+      .agg(countDistinct(col("tok")).as("vocab"),
+        count(lit(1)).as("total_tokens"),
+        round(avg(length(col("tok"))), 6).as("avg_tok_len"))
+
+  private val x15Sql =
+    """WITH t AS (SELECT lang,
+             unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS tok
+           FROM documents)
+       SELECT lang, count(DISTINCT tok) AS vocab, count(*) AS total_tokens,
+              round(avg(length(tok)), 6) AS avg_tok_len
+       FROM t GROUP BY lang"""
+
+  // ---------------------------------------------------------------------------
+  // X16 — sessionization: Spark's session_window (30-min inactivity gap) vs
+  // the classic gaps-and-islands SQL (lag + cumulative flag sum) in DuckDB.
+  // Window bounds go out as formatted strings (ns-vs-µs physics).
+  // ---------------------------------------------------------------------------
+  private def x16(s: SparkSession, dir: String): DataFrame =
+    ParityQueries.events(s, dir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+      .select(
+        graft.ops.Scalars.formatTs(col("session_window.start")).as("session_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  private val x16Sql =
+    """WITH o AS (SELECT event_type, ts, "value",
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY event_type ORDER BY ts)
+                       <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
+           FROM events),
+         sess AS (SELECT event_type, ts, "value",
+             sum(new_session) OVER (PARTITION BY event_type ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           FROM o)
+       SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+              event_type, count(*) AS n_events, round(sum("value"), 4) AS sum_value
+       FROM sess GROUP BY event_type, session_id"""
+
+  // ---------------------------------------------------------------------------
+  // X17 — binned range join (ops/RangeJoin): odd events (points) against
+  // 30-minute windows opened by even events (intervals), per event_type —
+  // vs DuckDB's raw inequality join. Count-aggregated per point: a point in
+  // k overlapping windows contributes k.
+  // ---------------------------------------------------------------------------
+  private def x17(s: SparkSession, dir: String): DataFrame = {
+    val ev = ParityQueries.events(s, dir)
+    val points = ev.filter(col("event_id") % 2 === 1)
+      .select(col("event_id").as("p_id"), col("event_type"), col("ts"))
+    val intervals = ev.filter(col("event_id") % 2 === 0)
+      .select(col("event_id").as("i_id"), col("event_type"),
+        col("ts").as("w_start"),
+        (col("ts") + expr("INTERVAL 30 MINUTES")).as("w_end"))
+    graft.ops.RangeJoin.pointInInterval(points, intervals, "event_type",
+        "ts", "w_start", "w_end", binWidthMicros = 30L * 60 * 1000 * 1000)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_matches"),
+        countDistinct(col("p_id")).as("n_points_matched"),
+        sum(col("i_id")).as("sum_interval_ids"))
+  }
+
+  private val x17Sql =
+    """WITH p AS (SELECT event_id AS p_id, event_type, ts FROM events WHERE event_id % 2 = 1),
+            i AS (SELECT event_id AS i_id, event_type, ts AS w_start,
+                         ts + INTERVAL 30 MINUTE AS w_end
+                  FROM events WHERE event_id % 2 = 0)
+       SELECT p.event_type, count(*) AS n_matches,
+              count(DISTINCT p.p_id) AS n_points_matched,
+              CAST(sum(i.i_id) AS BIGINT) AS sum_interval_ids
+       FROM p JOIN i ON p.event_type = i.event_type
+                    AND p.ts >= i.w_start AND p.ts < i.w_end
+       GROUP BY p.event_type"""
+
+  // ---------------------------------------------------------------------------
   // X7 — language ID by stopword-profile argmax.
   // ---------------------------------------------------------------------------
   private def x7(s: SparkSession, dir: String): DataFrame =
@@ -269,7 +349,10 @@ object ExtensionQueries {
     "x11_embed_neardup_pairs" -> x11 _,
     "x12_multimodal_decode" -> x12 _,
     "x13_embed_ivf" -> x13 _,
-    "x14_asof_join" -> x14 _
+    "x14_asof_join" -> x14 _,
+    "x15_vocab_stats" -> x15 _,
+    "x16_sessionize" -> x16 _,
+    "x17_range_join" -> x17 _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -282,6 +365,9 @@ object ExtensionQueries {
     "x10_doc_fingerprint" -> x10Sql,
     "x11_embed_neardup_pairs" -> x11Sql,
     "x12_multimodal_decode" -> x12Sql,
-    "x14_asof_join" -> x14Sql
+    "x14_asof_join" -> x14Sql,
+    "x15_vocab_stats" -> x15Sql,
+    "x16_sessionize" -> x16Sql,
+    "x17_range_join" -> x17Sql
   )
 }
