@@ -42,6 +42,31 @@ class AsOfJoinSpec extends AnyFunSuite with SparkTestSession {
     assert(out.size == 5)
   }
 
+  test("randomized: union+carry equals the naive range-join formulation") {
+    val rng = new scala.util.Random(17)
+    val left = (1 to 400).map(i => (i.toLong, s"k${i % 5}", t(rng.nextInt(300))))
+      .toDF("event_id", "k", "ts")
+    val right = (1 to 150).map(i =>
+      (1000L + i, s"k${i % 5}", t(rng.nextInt(300)), rng.nextInt(100).toDouble))
+      .toDF("r_id", "k", "ts", "v")
+
+    val fast = AsOfJoin.backward(left, right, "k", "ts", "ts", Seq("r_id", "v"), "r_id")
+      .select("event_id", "r_id", "v")
+    // naive oracle: range join, keep the latest right (ties: max r_id) per left
+    val naive = left.join(right.withColumnRenamed("ts", "r_ts"), Seq("k"), "left")
+      .filter(col("r_ts").isNull || col("r_ts") <= col("ts"))
+      .groupBy("event_id")
+      .agg(max_by(struct(col("r_id"), col("v")), struct(col("r_ts"), col("r_id")))
+        .as("best"))
+      .select(col("event_id"), col("best.r_id").as("r_id"), col("best.v").as("v"))
+    // rows whose every candidate was filtered out vanish from the naive join —
+    // re-add them as null matches
+    val naiveAll = left.select("event_id").join(naive, Seq("event_id"), "left")
+
+    assert(fast.count() == 400 && naiveAll.count() == 400)
+    assert(fast.exceptAll(naiveAll).isEmpty && naiveAll.exceptAll(fast).isEmpty)
+  }
+
   test("as-of plan shuffles once on the key — no join node, no cartesian") {
     val left = spark.range(10).select(col("id").as("event_id"),
       lit("k").as("k"), col("id").cast("timestamp").as("ts"))
