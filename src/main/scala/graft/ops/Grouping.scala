@@ -21,8 +21,16 @@ object Grouping {
     * file_type, file_size, kind, payload). Returns
     * `(seq, group_id, is_folder, n_files, n_supported, files ARRAY<STRUCT>)`
     * with `seq` a dense global order over sorted group_id (SURVEY §7.4.3).
+    *
+    * `nSalts > 1` switches the list-agg to the two-phase salted form (see
+    * [[Skew.saltedOrderedListAgg]]): per-(group, salt) sorted sublists, then
+    * flatten + re-sort — same result (rel_path is a total order within a
+    * group), but a folder with millions of files builds its array across
+    * nSalts tasks instead of materializing wholly in one. Default stays
+    * single-phase: one fewer shuffle, right for group sizes that fit a task.
     */
-  def buildGroups(files: DataFrame, groupBySubfolder: Boolean): DataFrame = {
+  def buildGroups(files: DataFrame, groupBySubfolder: Boolean,
+      nSalts: Int = 1): DataFrame = {
     val depth = size(split(col("rel_path"), "/"))
     val top = element_at(split(col("rel_path"), "/"), 1)
 
@@ -37,14 +45,31 @@ object Grouping {
           .withColumn("group_id", col("rel_path"))
           .withColumn("is_folder", lit(false))
 
-    val grouped = keyed
-      .groupBy(col("group_id"), col("is_folder"))
-      .agg(
-        count(lit(1)).as("n_files"),
-        count(col("kind")).as("n_supported"),
-        sort_array(collect_list(struct(
-          col("rel_path"), col("file_name"), col("file_type"),
-          col("file_size"), col("kind"), col("payload")))).as("files"))
+    val fileStruct = struct(
+      col("rel_path"), col("file_name"), col("file_type"),
+      col("file_size"), col("kind"), col("payload"))
+
+    val grouped =
+      if (nSalts <= 1)
+        keyed
+          .groupBy(col("group_id"), col("is_folder"))
+          .agg(
+            count(lit(1)).as("n_files"),
+            count(col("kind")).as("n_supported"),
+            sort_array(collect_list(fileStruct)).as("files"))
+      else
+        keyed
+          .withColumn("__salt", pmod(xxhash64(col("rel_path")), lit(nSalts)).cast("int"))
+          .groupBy(col("group_id"), col("is_folder"), col("__salt"))
+          .agg(
+            count(lit(1)).as("__n"),
+            count(col("kind")).as("__ns"),
+            sort_array(collect_list(fileStruct)).as("__sub"))
+          .groupBy(col("group_id"), col("is_folder"))
+          .agg(
+            sum(col("__n")).as("n_files"),
+            sum(col("__ns")).as("n_supported"),
+            sort_array(flatten(collect_list(col("__sub")))).as("files"))
 
     SeqNumber.withGlobalSeq(grouped, "seq", col("group_id"))
   }

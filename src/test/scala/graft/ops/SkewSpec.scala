@@ -39,6 +39,19 @@ class SkewSpec extends AnyFunSuite with SparkTestSession {
     assert(salted.count() == single.count())
   }
 
+  test("salted buildGroups equals the single-phase core op") {
+    val files = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(300)
+      .select(
+        concat(col("source"), lit("/doc_"), col("doc_id"), lit(".txt")).as("rel_path"),
+        concat(lit("doc_"), col("doc_id"), lit(".txt")).as("file_name"),
+        lit(".txt").as("file_type"), col("n_chars").cast("long").as("file_size"),
+        lit("text").as("kind"), col("text").as("payload"))
+    val single = Grouping.buildGroups(files, groupBySubfolder = true)
+    val salted = Grouping.buildGroups(files, groupBySubfolder = true, nSalts = 8)
+    assert(single.exceptAll(salted).isEmpty && salted.exceptAll(single).isEmpty)
+  }
+
   test("salt derivation is deterministic (no rand): same input, same salt") {
     val a = Skew.saltedJoin(skewed, Seq(("HOT", 1)).toDF("k", "x"), "k", col("id"), 8)
     val b = Skew.saltedJoin(skewed, Seq(("HOT", 1)).toDF("k", "x"), "k", col("id"), 8)
