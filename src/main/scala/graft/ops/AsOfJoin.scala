@@ -27,9 +27,28 @@ import org.apache.spark.sql.types.{StructField, StructType}
   */
 object AsOfJoin {
 
+  /** Forward as-of: for each left row, the EARLIEST right row with
+    * `rightTime >= leftTime` on the same key — the mirror carry run in
+    * descending time order. Among right ties on (key, time) the SMALLEST
+    * `rightOrd` wins (the "first upcoming" convention, matching DuckDB's
+    * ASOF on `r.ts >= l.ts`).
+    */
+  def forward(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String,
+      rightPayload: Seq[String], rightOrd: String): DataFrame =
+    run(left, right, key, leftTime, rightTime, rightPayload, rightOrd,
+      descending = true)
+
   def backward(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String,
-      rightPayload: Seq[String], rightOrd: String): DataFrame = {
+      rightPayload: Seq[String], rightOrd: String): DataFrame =
+    run(left, right, key, leftTime, rightTime, rightPayload, rightOrd,
+      descending = false)
+
+  private def run(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String,
+      rightPayload: Seq[String], rightOrd: String,
+      descending: Boolean): DataFrame = {
 
     val payloadCols = (rightPayload :+ rightOrd).distinct
     val payloadType = StructType(payloadCols.map(c =>
@@ -46,10 +65,14 @@ object AsOfJoin {
       struct(left.columns.toSeq.map(col): _*).as("__left"))
 
     // right-before-left at equal __t (__is_right desc); among right ties on
-    // (key, t), greater rightOrd sorts later in the carry and therefore wins
+    // (key, t) the row sorting LAST in carry order wins: backward = greater
+    // rightOrd; forward (descending time) = smaller rightOrd, i.e. the first
+    // upcoming right row
+    val tOrder = if (descending) col("__t").desc else col("__t").asc
+    val ordOrder = if (descending) col("__payload").getField(rightOrd).desc_nulls_first
+      else col("__payload").getField(rightOrd).asc_nulls_first
     val w = Window.partitionBy(col("__key"))
-      .orderBy(col("__t").asc, col("__is_right").desc,
-        col("__payload").getField(rightOrd).asc_nulls_first)
+      .orderBy(tOrder, col("__is_right").desc, ordOrder)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     taggedRight.unionByName(taggedLeft)

@@ -128,6 +128,31 @@ object ExtensionQueries {
        FROM l ASOF LEFT JOIN r ON l.event_type = r.event_type AND r.ts <= l.ts"""
 
   // ---------------------------------------------------------------------------
+  // X18 — forward as-of join (mirror of x14): odd events look up the EARLIEST
+  // later-or-equal even event of the same type.
+  // ---------------------------------------------------------------------------
+  private def x18(s: SparkSession, dir: String): DataFrame = {
+    val ev = ParityQueries.events(s, dir)
+    val l = ev.filter(col("event_id") % 2 === 1).select("event_id", "event_type", "ts")
+    val r = ev.filter(col("event_id") % 2 === 0)
+      .select(col("event_type"), col("ts"), col("event_id").as("r_event_id"),
+        col("value").as("r_value"))
+    graft.ops.AsOfJoin.forward(l, r, "event_type", "ts", "ts",
+        rightPayload = Seq("r_event_id", "r_value"), rightOrd = "r_event_id")
+      .select(col("event_id"), col("event_type"),
+        graft.ops.Scalars.formatTs(col("ts")).as("ts_s"),
+        col("r_event_id"), col("r_value"))
+  }
+
+  private val x18Sql =
+    """WITH l AS (SELECT event_id, event_type, ts FROM events WHERE event_id % 2 = 1),
+            r AS (SELECT event_type, ts, event_id AS r_event_id, "value" AS r_value
+                  FROM events WHERE event_id % 2 = 0)
+       SELECT l.event_id, l.event_type, strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+              r.r_event_id, r.r_value
+       FROM l ASOF LEFT JOIN r ON l.event_type = r.event_type AND r.ts >= l.ts"""
+
+  // ---------------------------------------------------------------------------
   // X15 — corpus vocabulary stats: explode(tokens) → exact distributed
   // distinct per language (the Generator + two-level-agg shape).
   // ---------------------------------------------------------------------------
@@ -352,7 +377,8 @@ object ExtensionQueries {
     "x14_asof_join" -> x14 _,
     "x15_vocab_stats" -> x15 _,
     "x16_sessionize" -> x16 _,
-    "x17_range_join" -> x17 _
+    "x17_range_join" -> x17 _,
+    "x18_asof_forward" -> x18 _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -368,6 +394,7 @@ object ExtensionQueries {
     "x14_asof_join" -> x14Sql,
     "x15_vocab_stats" -> x15Sql,
     "x16_sessionize" -> x16Sql,
-    "x17_range_join" -> x17Sql
+    "x17_range_join" -> x17Sql,
+    "x18_asof_forward" -> x18Sql
   )
 }

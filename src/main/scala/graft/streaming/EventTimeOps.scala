@@ -50,6 +50,26 @@ object EventTimeOps {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
 
+  /** Stream-stream interval join: pair each left event with right events of
+    * the same key whose time falls in `[left.ts, left.ts + within]`. Both
+    * sides carry watermarks and the join condition is time-bounded, so Spark
+    * can expire buffered state — the two requirements for an unbounded
+    * stream-stream join to run with bounded memory.
+    *
+    * Inputs need distinct column names (e.g. `l_key, l_ts` vs `r_key, r_ts`);
+    * this keeps the op schema-agnostic and the condition explicit.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String, leftTs: String, rightTs: String,
+      within: String, watermark: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r,
+      col(leftKey) === col(rightKey) &&
+        col(rightTs) >= col(leftTs) &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $within"))
+  }
+
   // ------------------------------------------------------- progress tracking --
 
   /** One enrichment completion event (the streaming form of the reference's

@@ -75,6 +75,35 @@ class EventTimeSpec extends AnyFunSuite with SparkTestSession {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs events within the window, bounded state") {
+    val lSrc = MemoryStream[Ev]
+    val rSrc = MemoryStream[Ev]
+    val joined = EventTimeOps.intervalJoin(
+      lSrc.toDF().selectExpr("event_id AS l_id", "event_type AS l_key", "ts AS l_ts"),
+      rSrc.toDF().selectExpr("event_id AS r_id", "event_type AS r_key", "ts AS r_ts"),
+      "l_key", "r_key", "l_ts", "r_ts", within = "5 minutes", watermark = "2 minutes")
+    // enqueue BOTH sides before starting: separate addData calls can land in
+    // separate micro-batches, and a left row whose window the watermark has
+    // passed is (correctly) evicted before a late-batched right side arrives.
+    // Times sit 1h past the epoch — a row AT the initial watermark (epoch 0)
+    // is filtered as late by the join's strict state predicate.
+    def h(min: Int) = t(60 + min)
+    lSrc.addData(Ev(1, h(0), "click", 1.0), Ev(2, h(20), "view", 1.0))
+    rSrc.addData(
+      Ev(10, h(3), "click", 1.0),   // within [0, 5] of l1 → pair
+      Ev(11, h(9), "click", 1.0),   // outside → no pair
+      Ev(12, h(21), "view", 1.0))   // within [20, 25] of l2 → pair
+    val q = joined.selectExpr("l_id", "r_id")
+      .writeStream.format("memory").queryName("interval_join")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val pairs = spark.table("interval_join")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((1L, 10L), (2L, 12L)))
+    } finally q.stop()
+  }
+
   test("trackProgress accumulates per-job state across micro-batches") {
     val src = MemoryStream[EventTimeOps.GroupDone]
     val q = EventTimeOps.trackProgress(src.toDS(), Map("job1" -> 3L))
