@@ -552,7 +552,55 @@ object ParityQueries {
               event_type, count(*) AS n_events, round(sum("value"), 4) AS sum_value
        FROM t GROUP BY 1, 2, 3"""
 
+  // ---------------------------------------------------------------------------
+  // Q25 — pivot: event_type × day-of-week matrix (groupBy().pivot() with an
+  // explicit value list → deterministic columns; oracle = conditional aggs).
+  // ---------------------------------------------------------------------------
+  private def q25Pivot(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .withColumn("dow", date_format(col("ts"), "E"))
+      .groupBy(col("event_type"))
+      .pivot("dow", Seq("Mon", "Tue", "Wed", "Thu", "Fri", "Sat", "Sun"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+
+  private val q25Sql =
+    """SELECT event_type,
+       count(CASE WHEN dayname(ts) = 'Monday' THEN 1 END) AS "Mon",
+       count(CASE WHEN dayname(ts) = 'Tuesday' THEN 1 END) AS "Tue",
+       count(CASE WHEN dayname(ts) = 'Wednesday' THEN 1 END) AS "Wed",
+       count(CASE WHEN dayname(ts) = 'Thursday' THEN 1 END) AS "Thu",
+       count(CASE WHEN dayname(ts) = 'Friday' THEN 1 END) AS "Fri",
+       count(CASE WHEN dayname(ts) = 'Saturday' THEN 1 END) AS "Sat",
+       count(CASE WHEN dayname(ts) = 'Sunday' THEN 1 END) AS "Sun"
+       FROM events GROUP BY event_type"""
+
+  // ---------------------------------------------------------------------------
+  // Q26 — rollup: multi-level aggregation (orderstatus → priority hierarchy)
+  // with grouping-level indicators; NULL group keys replaced by a sentinel so
+  // the driver's order-insensitive hash treats subtotal rows consistently.
+  // ---------------------------------------------------------------------------
+  private def q26Rollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(cents(col("o_totalprice"))).as("totalprice_cents"),
+        grouping_id().as("gid"))
+      .select(coalesce(col("o_orderstatus"), lit("(all)")).as("o_orderstatus"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("o_orderpriority"),
+        col("n_orders"), col("totalprice_cents"), col("gid").cast("long").as("gid"))
+
+  private val q26Sql =
+    """SELECT coalesce(o_orderstatus, '(all)') AS o_orderstatus,
+              coalesce(o_orderpriority, '(all)') AS o_orderpriority,
+              count(*) AS n_orders,
+              CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS totalprice_cents,
+              CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid
+       FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q25_pivot" -> q25Pivot _,
+    "q26_rollup" -> q26Rollup _,
     "q24_event_windows" -> q24EventWindows _,
     "q23_set_ops" -> q23SetOps _,
     "q01_pricing_summary" -> q1Agg _,
@@ -578,6 +626,8 @@ object ParityQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q25_pivot" -> q25Sql,
+    "q26_rollup" -> q26Sql,
     "q24_event_windows" -> q24Sql,
     "q23_set_ops" -> q23Sql,
     "q01_pricing_summary" -> q1Sql,
