@@ -1,0 +1,56 @@
+package graft.extensions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-reproducible sampling/splitting for training-data
+  * pipelines.
+  *
+  * `df.sample()`/`randomSplit()` depend on partitioning and the JVM RNG — two
+  * runs (or two engines) disagree, which is fatal for train/val/test splits
+  * that must be stable across reprocessing runs of a 100 TB corpus. Here the
+  * split is a pure function of the row's KEY: bucket = first 8 hex chars of
+  * sha256(key ⊕ salt) mod 10000. Same key ⇒ same split, forever, on any
+  * engine (the DuckDB oracle re-derives it), independent of partitioning,
+  * row order, or cluster size. Salting gives independent re-draws (change the
+  * salt ⇒ a fresh uncorrelated assignment).
+  *
+  * sha256 over a short key is scan-speed; the alternative (xxhash64) is
+  * 4-5× cheaper but engine-specific — splits should be portable, so the
+  * portable hash wins here (same trade as TextAnalysis.docFingerprint).
+  */
+object Sampling {
+
+  private val Buckets = 10000L
+
+  /** Uniform bucket in [0, 10000) derived from the key — the split primitive. */
+  def hashBucket(key: Column, salt: String = ""): Column =
+    conv(substring(sha2(concat(key.cast("string"), lit(salt)), 256), 1, 8), 16, 10)
+      .cast("long") % Buckets
+
+  /** Deterministic sample: keep ~`fraction` of rows, stable under reruns. */
+  def deterministicSample(df: DataFrame, key: Column, fraction: Double,
+      salt: String = ""): DataFrame = {
+    require(fraction >= 0 && fraction <= 1)
+    df.filter(hashBucket(key, salt) < (fraction * Buckets).toLong)
+  }
+
+  /** Disjoint named splits, e.g. `Seq("train" -> 0.9, "val" -> 0.05,
+    * "test" -> 0.05)` → adds a `split` column. Fractions must sum to ≤ 1;
+    * any remainder gets NULL (excluded rows).
+    */
+  def deterministicSplit(df: DataFrame, key: Column,
+      splits: Seq[(String, Double)], salt: String = ""): DataFrame = {
+    require(splits.map(_._2).sum <= 1.0 + 1e-9, "split fractions must sum to <= 1")
+    val bucket = hashBucket(key, salt)
+    val bounds = splits.scanLeft(0L) { case (acc, (_, f)) =>
+      acc + (f * Buckets).toLong
+    }.tail
+    val col0: Column = lit(null).cast("string")
+    val assigned = splits.zip(bounds).foldRight(col0) {
+      case (((name, _), upper), elseCol) =>
+        when(bucket < upper, name).otherwise(elseCol)
+    }
+    df.withColumn("split", assigned)
+  }
+}

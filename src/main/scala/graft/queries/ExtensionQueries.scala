@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.extensions.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.extensions.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** North-star extension queries (dedup / similarity / text analysis /
   * multimodal — the LLM-training-data operators), each oracle-verified where
@@ -151,6 +151,32 @@ object ExtensionQueries {
        SELECT l.event_id, l.event_type, strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
               r.r_event_id, r.r_value
        FROM l ASOF LEFT JOIN r ON l.event_type = r.event_type AND r.ts >= l.ts"""
+
+  // ---------------------------------------------------------------------------
+  // X19 — deterministic train/val/test split (extensions/Sampling): the split
+  // is a pure function of sha256(doc_id ⊕ salt), so DuckDB re-derives the
+  // exact assignment — reproducible splits are the point of the operator.
+  // ---------------------------------------------------------------------------
+  private def x19(s: SparkSession, dir: String): DataFrame =
+    Sampling.deterministicSplit(docs(s, dir), col("doc_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "r1")
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+
+  private val x19Sql =
+    """WITH b AS (SELECT lang, doc_id,
+             CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || 'r1'), 1, 8) AS BIGINT)
+               % 10000 AS bucket
+           FROM documents)
+       SELECT lang,
+              CASE WHEN bucket < 8000 THEN 'train'
+                   WHEN bucket < 9000 THEN 'val'
+                   WHEN bucket < 10000 THEN 'test' END AS split,
+              count(*) AS n_docs,
+              CAST(min(doc_id) AS BIGINT) AS min_id,
+              CAST(max(doc_id) AS BIGINT) AS max_id
+       FROM b GROUP BY 1, 2"""
 
   // ---------------------------------------------------------------------------
   // X15 — corpus vocabulary stats: explode(tokens) → exact distributed
@@ -378,7 +404,8 @@ object ExtensionQueries {
     "x15_vocab_stats" -> x15 _,
     "x16_sessionize" -> x16 _,
     "x17_range_join" -> x17 _,
-    "x18_asof_forward" -> x18 _
+    "x18_asof_forward" -> x18 _,
+    "x19_det_split" -> x19 _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -395,6 +422,7 @@ object ExtensionQueries {
     "x15_vocab_stats" -> x15Sql,
     "x16_sessionize" -> x16Sql,
     "x17_range_join" -> x17Sql,
-    "x18_asof_forward" -> x18Sql
+    "x18_asof_forward" -> x18Sql,
+    "x19_det_split" -> x19Sql
   )
 }

@@ -1,0 +1,45 @@
+package graft.extensions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+class SamplingSpec extends AnyFunSuite with SparkTestSession {
+
+  private lazy val ids = spark.range(10000).toDF("id")
+
+  test("split is total, disjoint, and within tolerance of the fractions") {
+    val out = Sampling.deterministicSplit(ids, col("id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = out.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "val", "test")) // no null split (sums to 1)
+    assert(counts.values.sum == 10000)
+    assert(math.abs(counts("train") - 8000) < 300, counts.toString)
+    assert(math.abs(counts("val") - 1000) < 150, counts.toString)
+  }
+
+  test("assignment is stable across runs and independent of partitioning") {
+    val a = Sampling.deterministicSplit(ids, col("id"), Seq("x" -> 0.5))
+    val b = Sampling.deterministicSplit(ids.repartition(13), col("id"), Seq("x" -> 0.5))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("different salts draw independent assignments") {
+    val a = Sampling.deterministicSample(ids, col("id"), 0.5, salt = "s1")
+      .collect().map(_.getLong(0)).toSet
+    val b = Sampling.deterministicSample(ids, col("id"), 0.5, salt = "s2")
+      .collect().map(_.getLong(0)).toSet
+    val overlap = (a & b).size.toDouble
+    // independent ~50% draws overlap on ~25% of the universe, not ~50%
+    assert(overlap > 1500 && overlap < 3500, s"overlap $overlap")
+    assert(a != b)
+  }
+
+  test("remainder fraction gets a null split (excluded rows)") {
+    val out = Sampling.deterministicSplit(ids, col("id"), Seq("keep" -> 0.3))
+    val n = out.filter(col("split").isNull).count()
+    assert(math.abs(n - 7000) < 300, n.toString)
+  }
+}
