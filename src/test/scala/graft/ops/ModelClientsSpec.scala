@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Enrich.{ContentPart, ModelRequest}
+import graft.ops.ModelClients.{HttpModelClient, RateLimitedClient}
+
+class ModelClientsSpec extends AnyFunSuite {
+
+  private def req(parts: ContentPart*) = ModelRequest(1L, "g/", "m-1",
+    "sys \"prompt\"\nline2", "off", parts)
+
+  test("rate limiter enforces a lower bound on elapsed time") {
+    val mock = new Enrich.MockModelClient()
+    val limited = new RateLimitedClient(mock, permitsPerSecond = 100.0)
+    val t0 = System.nanoTime()
+    (1 to 10).foreach(_ => limited.complete(req(ContentPart("text", "x"))))
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    // 10 requests at 100/s with burst 1 → at least ~90ms of pacing
+    assert(elapsedMs >= 80, s"elapsed ${elapsedMs}ms")
+    // and it delegates faithfully
+    assert(limited.complete(req(ContentPart("text", "x"))).content ==
+      mock.complete(req(ContentPart("text", "x"))).content)
+  }
+
+  test("payload matches the reference request shape (worker.py:313-321)") {
+    val p = HttpModelClient.buildPayload(req(
+      ContentPart("text", "File: a.txt\nhello"),
+      ContentPart("image_url", "data:image/png;base64,AAAA")))
+    assert(p.startsWith("""{"model":"m-1","messages":[{"role":"system","content":"sys \"prompt\"\nline2"},"""))
+    assert(p.contains("""{"type":"text","text":"File: a.txt\nhello"}"""))
+    assert(p.contains("""{"type":"image_url","image_url":{"url":"data:image/png;base64,AAAA"}}"""))
+    assert(!p.contains("reasoning")) // mode "off" omits the key (app.py:693-695)
+    val withReasoning = HttpModelClient.buildPayload(
+      ModelRequest(1L, "g", "m", "s", "true", Seq(ContentPart("text", "x"))))
+    assert(withReasoning.contains(""""reasoning":{"enabled":true}"""))
+    // valid JSON end to end
+    org.json4s.jackson.JsonMethods.parse(p)
+  }
+
+  test("response extraction: content + usage, error shapes throw") {
+    val good = """{"choices":[{"message":{"content":"the reply"}}],
+      "usage":{"prompt_tokens":7,"completion_tokens":3}}"""
+    val r = HttpModelClient.extractResponse(good)
+    assert(r.content == "the reply")
+    assert(r.usageJson.contains("\"prompt_tokens\":7"))
+    intercept[RuntimeException] { HttpModelClient.extractResponse("""{"choices":[]}""") }
+    intercept[RuntimeException] {
+      HttpModelClient.extractResponse("""{"choices":[{"message":{}}]}""")
+    }
+    // missing usage → empty object, not a failure (worker.py tolerates it)
+    val noUsage = HttpModelClient.extractResponse(
+      """{"choices":[{"message":{"content":"ok"}}]}""")
+    assert(noUsage.usageJson == "{}")
+  }
+}
