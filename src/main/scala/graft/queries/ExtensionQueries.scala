@@ -179,6 +179,41 @@ object ExtensionQueries {
        FROM b GROUP BY 1, 2"""
 
   // ---------------------------------------------------------------------------
+  // X20 — top-k tokens per language: explode → count → per-key rank window
+  // (the frequency-profile op; deterministic tie-break on the token itself).
+  // ---------------------------------------------------------------------------
+  private def x20(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counted = docs(s, dir)
+      .select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy("lang", "tok")
+      .agg(count(lit(1)).as("n"))
+    // two-phase top-k: `lang` is low-cardinality, so a direct per-lang rank
+    // window would sort each language's ENTIRE vocabulary in one task. Phase 1
+    // takes the top-5 within (lang, token-hash salt) — any global top-5 token
+    // is necessarily a per-salt top-5 (counts are already global) — so the
+    // final per-lang window ranks ≤ 5×32 candidate rows, not the vocabulary.
+    val salted = counted.withColumn("__salt",
+      pmod(xxhash64(col("tok")), lit(32)).cast("int"))
+    val wPartial = Window.partitionBy(col("lang"), col("__salt"))
+      .orderBy(col("n").desc, col("tok").asc)
+    val candidates = salted.withColumn("__r", row_number().over(wPartial))
+      .filter(col("__r") <= 5).drop("__r", "__salt")
+    val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("tok").asc)
+    candidates.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+  }
+
+  private val x20Sql =
+    """WITH t AS (SELECT lang,
+             unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS tok
+           FROM documents),
+         c AS (SELECT lang, tok, count(*) AS n FROM t GROUP BY 1, 2)
+       SELECT lang, tok, n,
+              row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok ASC) AS rank
+       FROM c QUALIFY rank <= 5"""
+
+  // ---------------------------------------------------------------------------
   // X15 — corpus vocabulary stats: explode(tokens) → exact distributed
   // distinct per language (the Generator + two-level-agg shape).
   // ---------------------------------------------------------------------------
@@ -405,7 +440,8 @@ object ExtensionQueries {
     "x16_sessionize" -> x16 _,
     "x17_range_join" -> x17 _,
     "x18_asof_forward" -> x18 _,
-    "x19_det_split" -> x19 _
+    "x19_det_split" -> x19 _,
+    "x20_top_tokens" -> x20 _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -423,6 +459,7 @@ object ExtensionQueries {
     "x16_sessionize" -> x16Sql,
     "x17_range_join" -> x17Sql,
     "x18_asof_forward" -> x18Sql,
-    "x19_det_split" -> x19Sql
+    "x19_det_split" -> x19Sql,
+    "x20_top_tokens" -> x20Sql
   )
 }
