@@ -15,10 +15,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ in double (left fold, deterministic order). */
+  /** Σ aᵢ·bᵢ in double (left fold, deterministic order) — native
+    * [[graft.functions.DotProduct]]: the aggregate/zip_with HOF tree runs
+    * interpreted once per CANDIDATE PAIR on every similarity path
+    * (equivalence pinned in NativeExprEquivalenceSpec).
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.DotProduct.dotProduct(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

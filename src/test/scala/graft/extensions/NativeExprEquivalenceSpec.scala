@@ -49,6 +49,22 @@ class NativeExprEquivalenceSpec extends AnyFunSuite with SparkTestSession {
     assert(out(0).getSeq[String](0) == Seq(""))
   }
 
+  test("DotProduct matches the aggregate/zip_with formulation on real embeddings") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val hofDot = aggregate(
+      zip_with(col("embedding"), col("e2"), (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val pairs = e.select(col("vec_id"), col("embedding"))
+      .crossJoin(e.limit(1).select(col("embedding").as("e2")))
+    val mismatches = pairs
+      .select(graft.extensions.Similarity.dot(col("embedding"), col("e2")).as("native"),
+        hofDot.as("hof"))
+      // bit-identical is the claim — exact equality, no tolerance
+      .filter(col("native") =!= col("hof"))
+      .count()
+    assert(mismatches == 0)
+  }
+
   test("MinHashSig matches the aggregate/zip_with formulation (k=32) on corpus text") {
     val mismatches = docs
       .select(Dedup.minhashSignature(Dedup.shingles(col("text")), 32).as("native"),
