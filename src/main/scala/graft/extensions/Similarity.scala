@@ -66,19 +66,14 @@ object Similarity {
 
   /** Sign-LSH bucket key: `nBits` hyperplanes hᵢ with components in {-1,+1}
     * derived from xxhash64(seed=i, dim=j) — deterministic, shared by every
-    * executor with zero driver state, and re-derivable by any engine. Bucket =
-    * the sign-bit string of the projections.
+    * executor with zero driver state. Bucket = the sign-bit string of the
+    * projections. Native [[graft.functions.SignLshBucket]]: the hyperplane
+    * signs depend only on (plane, dim), so they're memoized per executor and
+    * each row costs dim×nBits multiply-adds, not dim×nBits interpreted hash
+    * expressions (equivalence pinned in NativeExprEquivalenceSpec).
     */
-  def lshBucket(v: Column, nBits: Int = 12): Column = {
-    val bits = (0 until nBits).map { plane =>
-      val proj = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1),
-          (x, j) => x.cast("double") * when(xxhash64(lit(plane), j) > 0, 1.0).otherwise(-1.0)),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, lit("1")).otherwise(lit("0"))
-    }
-    concat(bits: _*)
-  }
+  def lshBucket(v: Column, nBits: Int = 12): Column =
+    graft.functions.SignLshBucket.signLshBucket(v, nBits)
 
   /** Approximate NN: candidates share an LSH bucket; exact cosine re-ranks
     * within the bucket. Recall is tuned by `nBits` (fewer bits → bigger
@@ -139,12 +134,15 @@ object Similarity {
     // Cell assignment is a pure expression over the centroid LITERALS (a few
     // KB shipped inside the plan): per-row argmin of L2 distances — a narrow
     // map with NO join against a model output and NO shuffle of the corpus.
+    // Ranking uses ‖c‖² − 2·v·c (≡ L2 order: the ‖v‖² term is constant per
+    // row); the dot is the native DotProduct, so the per-row cost is
+    // nCentroids fused dot products, not an interpreted (x−c)² tree.
     // array_sort on (dist, cell) structs breaks ties on the lower cell id.
     val centroidsLit = typedLit(model.clusterCenters.toSeq.map(_.toArray.toSeq))
-    def cellDists(v: Column): Column = transform(centroidsLit, cvec =>
-      aggregate(zip_with(v, cvec, (x, cVal) => {
-        val d = x.cast("double") - cVal; d * d
-      }), lit(0.0), (acc, x) => acc + x))
+    val normsLit = typedLit(model.clusterCenters.toSeq.map(c =>
+      c.toArray.map(x => x * x).sum))
+    def cellDists(v: Column): Column = zip_with(centroidsLit, normsLit,
+      (cvec, n2) => n2 - lit(2.0) * graft.functions.DotProduct.dotProduct(v, cvec))
     def nearestCells(v: Column, n: Int): Column =
       slice(transform(array_sort(zip_with(cellDists(v),
         sequence(lit(0), lit(nCentroids - 1)),

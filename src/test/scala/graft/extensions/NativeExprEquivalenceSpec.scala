@@ -65,6 +65,26 @@ class NativeExprEquivalenceSpec extends AnyFunSuite with SparkTestSession {
     assert(mismatches == 0)
   }
 
+  test("SignLshBucket matches the HOF formulation on real embeddings") {
+    def hofBucket(v: org.apache.spark.sql.Column, nBits: Int) = {
+      val bits = (0 until nBits).map { plane =>
+        val proj = aggregate(
+          zip_with(v, sequence(lit(0), size(v) - 1),
+            (x, j) => x.cast("double") * when(xxhash64(lit(plane), j) > 0, 1.0).otherwise(-1.0)),
+          lit(0.0), (acc, x) => acc + x)
+        when(proj >= 0, lit("1")).otherwise(lit("0"))
+      }
+      concat(bits: _*)
+    }
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val mismatches = e
+      .select(graft.extensions.Similarity.lshBucket(col("embedding"), 12).as("native"),
+        hofBucket(col("embedding"), 12).as("hof"))
+      .filter(col("native") =!= col("hof"))
+      .count()
+    assert(mismatches == 0)
+  }
+
   test("MinHashSig matches the aggregate/zip_with formulation (k=32) on corpus text") {
     val mismatches = docs
       .select(Dedup.minhashSignature(Dedup.shingles(col("text")), 32).as("native"),
