@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{MinHashSig, NGrams, SimHash64}
+import graft.functions.{DotProduct, MinHashSig, NGrams, SignLshBucket, SimHash64}
 
 /** Registers graft's native Catalyst expressions as SQL functions, so
   * `spark.sql("SELECT simhash64(ngrams(tokens, 2)) ...")` works the same as
@@ -40,7 +40,13 @@ object GraftExtensions {
       (args: Seq[Expression]) => NGrams(args(0), litInt(args(1), "ngrams"))),
     (FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
-      (args: Seq[Expression]) => MinHashSig(args(0), litInt(args(1), "minhash_sig"))))
+      (args: Seq[Expression]) => MinHashSig(args(0), litInt(args(1), "minhash_sig"))),
+    (FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))),
+    (FunctionIdentifier("sign_lsh_bucket"),
+      new ExpressionInfo(classOf[SignLshBucket].getName, "sign_lsh_bucket"),
+      (args: Seq[Expression]) => SignLshBucket(args(0), litInt(args(1), "sign_lsh_bucket"))))
 
   /** Imperative registration on an existing session (same builders as the
     * config-driven path). */

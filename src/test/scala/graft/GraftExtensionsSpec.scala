@@ -21,6 +21,13 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestSession {
       .head().getLong(0)
     assert(row.getLong(1) == viaColumns)
     assert(row.getSeq[Long](2).length == 4)
+
+    val simRow = spark.sql(
+      """SELECT dot_product(array(CAST(1.0 AS DOUBLE), CAST(2.0 AS DOUBLE)),
+                            array(CAST(3.0 AS DOUBLE), CAST(4.0 AS DOUBLE))) AS d,
+                length(sign_lsh_bucket(array(CAST(0.5 AS DOUBLE), CAST(-1.5 AS DOUBLE)), 8)) AS b""").head()
+    assert(simRow.getDouble(0) == 11.0)
+    assert(simRow.getInt(1) == 8)
   }
 
   test("builder.withExtensions(new GraftExtensions) injects the same functions") {
