@@ -55,7 +55,11 @@ object AsOfJoin {
       StructField(c, right.schema(c).dataType, nullable = true)))
     val leftType = StructType(left.schema.fields.map(_.copy(nullable = true)))
 
-    val taggedRight = right.select(
+    // SQL comparison semantics: a null right time satisfies neither <= nor >=,
+    // so such rows can never match — drop them before they poison the carry
+    // (a null __t would sort to an end of the partition and be carried into
+    // every left row on that side)
+    val taggedRight = right.filter(col(rightTime).isNotNull).select(
       col(key).as("__key"), col(rightTime).as("__t"), lit(1).as("__is_right"),
       struct(payloadCols.map(col): _*).as("__payload"),
       lit(null).cast(leftType).as("__left"))
@@ -75,8 +79,10 @@ object AsOfJoin {
       .orderBy(tOrder, col("__is_right").desc, ordOrder)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
+    // a left row with null time likewise matches nothing: null out its carry
     taggedRight.unionByName(taggedLeft)
-      .withColumn("__carried", last(col("__payload"), ignoreNulls = true).over(w))
+      .withColumn("__carried", when(col("__t").isNull, lit(null).cast(payloadType))
+        .otherwise(last(col("__payload"), ignoreNulls = true).over(w)))
       .filter(col("__is_right") === 0)
       .select(col("__left.*") +:
         rightPayload.map(p => col("__carried").getField(p).as(p)): _*)

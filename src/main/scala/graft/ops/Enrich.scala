@@ -149,8 +149,11 @@ object Enrich {
               ResultOut(g.seq, g.group_id, g.is_folder, resp.content, None, Some(resp.usageJson))
             } catch {
               case e: Exception =>
-                ResultOut(g.seq, g.group_id, g.is_folder, s"ERROR: ${e.getMessage}",
-                  Some(e.getMessage), None)
+                // getMessage can be null (bare NPE): a Some(null) error column
+                // serializes as NULL and escapes the failed_requests counter
+                val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+                ResultOut(g.seq, g.group_id, g.is_folder, s"ERROR: $msg",
+                  Some(msg), None)
             }
           }
         }

@@ -23,7 +23,10 @@ object Scalars {
     * (reference worker.py:58,63: `os.path.splitext(...)[1].lower() or "unknown"`).
     */
   def fileExtension(name: Column): Column = {
-    val ext = lower(regexp_extract(name, "(\\.[^./\\\\]+)$", 1))
+    // splitext semantics: the extension starts at the LAST dot, and exists
+    // only if some NON-dot char precedes it within the basename — dotfiles
+    // (".bashrc") and all-dot names ("..md") have no extension; "foo." → "."
+    val ext = lower(regexp_extract(name, "[^./\\\\][^/\\\\]*(\\.[^./\\\\]*)$", 1))
     when(ext === "", lit("unknown")).otherwise(ext)
   }
 
@@ -48,8 +51,13 @@ object Scalars {
     * "000000001" in row i becomes zfill(i, 9) (reference worker.py:224-232).
     * `idx` is 1-based (the reference enumerates from 1, worker.py:227).
     */
-  def renumberToken(out: Column, idx: Column, token: String = "000000001"): Column =
-    replace(out, lit(token), lpad(idx.cast("string"), token.length, "0"))
+  def renumberToken(out: Column, idx: Column, token: String = "000000001"): Column = {
+    val s = idx.cast("string")
+    // zfill pads to AT LEAST the width; Spark's lpad TRUNCATES longer inputs,
+    // which would silently collide indices past 10^9
+    val padded = when(length(s) >= token.length, s).otherwise(lpad(s, token.length, "0"))
+    replace(out, lit(token), padded)
+  }
 
   /** F6 — the reference's canonical timestamp format "%Y-%m-%d %H:%M:%S"
     * (app.py:236,510,741,1012; worker.py:253,404).

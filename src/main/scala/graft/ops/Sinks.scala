@@ -90,10 +90,13 @@ object Sinks {
 
   private def promoteSingleFile(tmpDir: String, target: String, ext: String): Unit = {
     val dir = Paths.get(tmpDir)
-    val part = Files.list(dir).iterator()
-    val found = scala.jdk.CollectionConverters.IteratorHasAsScala(part).asScala
-      .find(p => p.getFileName.toString.startsWith("part-") && p.getFileName.toString.endsWith(ext))
-      .getOrElse(throw new IllegalStateException(s"no part file in $tmpDir"))
+    val listing = Files.list(dir) // must be closed — each leaks an fd otherwise
+    val found =
+      try {
+        scala.jdk.CollectionConverters.IteratorHasAsScala(listing.iterator()).asScala
+          .find(p => p.getFileName.toString.startsWith("part-") && p.getFileName.toString.endsWith(ext))
+          .getOrElse(throw new IllegalStateException(s"no part file in $tmpDir"))
+      } finally listing.close()
     Files.createDirectories(Paths.get(target).toAbsolutePath.getParent)
     Files.move(found, Paths.get(target), java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     ZipUtil.deleteRecursively(dir)

@@ -24,6 +24,13 @@ class ScalarsSpec extends AnyFunSuite with SparkTestSession {
     assert(eval1(Scalars.fileExtension(lit("A.TXT"))) == ".txt")
     assert(eval1(Scalars.fileExtension(lit("noext"))) == "unknown")
     assert(eval1(Scalars.fileExtension(lit("a.tar.GZ"))) == ".gz")
+    // splitext edge semantics (ground truth: python3 os.path.splitext)
+    assert(eval1(Scalars.fileExtension(lit(".bashrc"))) == "unknown") // dotfile
+    assert(eval1(Scalars.fileExtension(lit(".md"))) == "unknown")
+    assert(eval1(Scalars.fileExtension(lit("..md"))) == "unknown")
+    assert(eval1(Scalars.fileExtension(lit("a..md"))) == ".md")
+    assert(eval1(Scalars.fileExtension(lit("foo."))) == ".")
+    assert(eval1(Scalars.fileExtension(lit("x.y.z"))) == ".z")
   }
 
   test("F3 baseName / stemName") {
