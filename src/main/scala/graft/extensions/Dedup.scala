@@ -22,6 +22,10 @@ object Dedup {
   /** Exact dedup: first row (by `keep` order) per sha256 of `key` survives.
     * groupBy-hash + min_by instead of a window: one shuffle, no sort, and the
     * combiner collapses duplicates map-side before they travel.
+    *
+    * `keep` must totally order rows WITHIN a duplicate set (a row id, a
+    * timestamp+id struct): min_by ties are aggregation-order-dependent, so a
+    * non-unique keep would pick a partitioning-dependent survivor.
     */
   def exact(df: DataFrame, key: Column, keep: Column): DataFrame = {
     val h = sha2(key, 256)
@@ -78,6 +82,9 @@ object Dedup {
   def minhashPairs(df: DataFrame, id: Column, text: Column,
       k: Int = 32, bands: Int = 8, threshold: Double = 0.5,
       maxBucketSize: Int = 1000): DataFrame = {
+    require(k % bands == 0,
+      s"bands ($bands) must divide k ($k): integer rows-per-band would " +
+        "silently leave trailing signature positions out of every band")
     val rows = k / bands
     // The signature table is sketch-sized (k longs per doc) and referenced by
     // several join branches; persisting it is the cluster idiom — without it
@@ -122,17 +129,29 @@ object Dedup {
   def simhashDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
-  /** Near-dup pairs with Hamming distance ≤ `maxDist` (≤ 3 by default) via the
-    * pigeonhole blocking: split 64 bits into 4 chunks of 16; distance ≤ 3 ⇒ at
-    * least one chunk matches exactly, so the self-join runs per-chunk-bucket.
+  /** Near-dup pairs with Hamming distance ≤ `maxDist` via pigeonhole
+    * blocking: 64 bits split into `nChunks` equal chunks; candidates share at
+    * least one exact chunk.
+    *
+    * Completeness guarantee: a pair at distance d is ALWAYS generated iff
+    * d < nChunks (pigeonhole — d flipped bits can't touch all chunks). For
+    * maxDist ≥ nChunks the op is a recall-limited candidate generator (pairs
+    * whose differing bits hit every chunk are missed); raising nChunks
+    * restores completeness at the price of smaller, more collision-prone
+    * chunks (quadratic buckets when chunks get too narrow — 4 chunks of 16
+    * bits is the standard operating point for near-dup distances ≤ 3).
     */
   def simhashPairs(df: DataFrame, id: Column, text: Column, maxDist: Int = 3,
-      maxBucketSize: Int = 2000): DataFrame = {
+      maxBucketSize: Int = 2000, nChunks: Int = 4): DataFrame = {
+    require(Set(2, 4, 8, 16, 32).contains(nChunks), s"nChunks must divide 64 evenly, got $nChunks")
+    require(maxDist >= 0 && maxDist <= 63)
     val sk = df.select(id.as("id"), simhash(text).as("sk"))
       .persist(StorageLevel.MEMORY_AND_DISK) // sketch table: see minhashPairs
-    val chunk = (c: Column, i: Int) => shiftright(c, i * 16).bitwiseAND(lit(0xffff))
+    val bits = 64 / nChunks
+    val mask = if (bits == 64) -1L else (1L << bits) - 1L
+    val chunk = (c: Column, i: Int) => shiftright(c, i * bits).bitwiseAND(lit(mask))
     val chunked = sk.select(col("id"),
-      posexplode(array((0 until 4).map(i => chunk(col("sk"), i)): _*)))
+      posexplode(array((0 until nChunks).map(i => chunk(col("sk"), i)): _*)))
       .withColumnRenamed("pos", "chunk_idx").withColumnRenamed("col", "chunk_val")
     val okBuckets = chunked.groupBy(col("chunk_idx"), col("chunk_val"))
       .agg(count(lit(1)).as("__n")).filter(col("__n") <= maxBucketSize)

@@ -32,7 +32,9 @@ object Sampling {
   def deterministicSample(df: DataFrame, key: Column, fraction: Double,
       salt: String = ""): DataFrame = {
     require(fraction >= 0 && fraction <= 1)
-    df.filter(hashBucket(key, salt) < (fraction * Buckets).toLong)
+    // round, don't truncate: 0.3*10000 is 2999.999… in double — toLong would
+    // quietly under-sample and leave gap buckets in "sums to 1" splits
+    df.filter(hashBucket(key, salt) < math.round(fraction * Buckets))
   }
 
   /** Disjoint named splits, e.g. `Seq("train" -> 0.9, "val" -> 0.05,
@@ -44,7 +46,7 @@ object Sampling {
     require(splits.map(_._2).sum <= 1.0 + 1e-9, "split fractions must sum to <= 1")
     val bucket = hashBucket(key, salt)
     val bounds = splits.scanLeft(0L) { case (acc, (_, f)) =>
-      acc + (f * Buckets).toLong
+      acc + math.round(f * Buckets) // see deterministicSample: round, not toLong
     }.tail
     val col0: Column = lit(null).cast("string")
     val assigned = splits.zip(bounds).foldRight(col0) {

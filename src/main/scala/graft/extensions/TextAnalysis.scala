@@ -70,11 +70,19 @@ object TextAnalysis {
     * of sha256 — chosen over xxhash/murmur because it is reproducible in any
     * engine (the DuckDB oracle re-derives it), collision-adequate for
     * fingerprinting, and cheap at scan speed.
+    *
+    * Bounded work per row: window positions are strided so at most
+    * `maxSamples` shingles hash regardless of document length (an unbounded
+    * per-position array would cost one sha256 per CHARACTER and a doc-sized
+    * transient allocation — an OOM risk on megabyte documents). Docs shorter
+    * than `maxSamples` use stride 1, i.e. every window, so small-corpus
+    * results are unchanged.
     */
-  def docFingerprint(text: Column, shingleLen: Int = 8): Column = {
+  def docFingerprint(text: Column, shingleLen: Int = 8, maxSamples: Int = 512): Column = {
     val n = greatest(length(text) - (shingleLen - 1), lit(1))
-    val hashes = transform(sequence(lit(1), n),
-      i => conv(substring(sha2(text.substr(i, lit(shingleLen)), 256), 1, 12), 16, 10).cast("long"))
+    val stride = ((n + lit(maxSamples - 1)) / lit(maxSamples)).cast("long") // ceil
+    val hashes = transform(sequence(lit(1), n, stride),
+      i => conv(substring(sha2(text.substr(i.cast("int"), lit(shingleLen)), 256), 1, 12), 16, 10).cast("long"))
     array_min(hashes)
   }
 }

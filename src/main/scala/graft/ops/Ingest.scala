@@ -21,11 +21,17 @@ object Ingest {
     * `(rel_path, file_name, file_type, file_size, content, modified_ts, kind)`.
     * `kind` ∈ text|image|null implements the P1 extension classifier.
     */
-  def scanDirectory(spark: SparkSession, dir: String): DataFrame = {
+  def scanDirectory(spark: SparkSession, dir: String): DataFrame =
+    fromBinaryRelation(
+      spark.read.format("binaryFile").option("recursiveFileLookup", "true").load(dir),
+      dir)
+
+  /** Raw binaryFile relation (`path, length, content, modificationTime`) →
+    * the engine's file relation. Shared by the batch scan and the streaming
+    * file source so path normalization has exactly one implementation.
+    */
+  def fromBinaryRelation(raw: DataFrame, dir: String): DataFrame = {
     val base = new java.io.File(dir).toURI.toString // "file:/abs/dir/"
-    val raw = spark.read.format("binaryFile")
-      .option("recursiveFileLookup", "true")
-      .load(dir)
     withFileColumns(raw
       .withColumn("rel_path", Scalars.normalizeRelPath(
         regexp_replace(col("path"), java.util.regex.Pattern.quote(base), "")))

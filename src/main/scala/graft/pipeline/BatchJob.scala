@@ -18,13 +18,22 @@ object BatchJob {
       groupBySubfolder: Boolean = true,
       clientFactory: () => Enrich.ModelClient = () => new Enrich.MockModelClient()): Sunk = {
     val files = Ingest.withPayload(Ingest.scanDirectory(spark, inputDir))
-    // empty top-level dirs are invisible to the file scan; reference emits
-    // "Empty folder" rows for them (worker.py:299-304)
-    val emptyDirs = Option(new java.io.File(inputDir).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && Option(f.list()).forall(_.isEmpty))
-      .map(_.getName).toSeq
+    // File-less top-level dirs are invisible to the file scan; in subfolder
+    // mode the reference emits an "Empty folder" row for each — including
+    // dirs whose only contents are (recursively) empty subdirs, since its
+    // recursive file listing comes back [] (worker.py:23-39,299-304). Flat
+    // mode ignores directories entirely (worker.py:40-48): no empty rows.
+    val emptyDirs =
+      if (!groupBySubfolder) Nil
+      else Option(new java.io.File(inputDir).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && !hasAnyFile(f))
+        .map(_.getName).toSeq
     run(files, cfg, groupBySubfolder, emptyDirs, clientFactory)
   }
+
+  private def hasAnyFile(dir: java.io.File): Boolean =
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .exists(c => c.isFile || (c.isDirectory && hasAnyFile(c)))
 
   /** Run the pipeline over any file relation (rel_path, file_size, content …). */
   def run(files: DataFrame, cfg: Enrich.JobConfig, groupBySubfolder: Boolean,

@@ -46,7 +46,7 @@ object JobRunner {
     val noExt = if (base.toLowerCase.endsWith(".zip")) base.dropRight(4) else base
     val sanitized = noExt.replaceAll("[^A-Za-z0-9_.-]+", "_")
       .replaceAll("^[._-]+", "").replaceAll("[._-]+$", "")
-    val stem = (if (sanitized.isEmpty) "archive" else sanitized).take(80)
+    val stem = (if (sanitized.isEmpty) "input" else sanitized).take(80) // app.py:209
     val candidate = s"${stem}_${contentSha256.take(12)}"
     val name = Iterator.from(1)
       .map(i => if (i == 1) s"$candidate.zip" else s"${candidate}_$i.zip")
@@ -94,12 +94,20 @@ object JobRunner {
       r.getAs[String]("created_at"), r.getAs[String]("source")))
 
     val zipShaOfSource = if (isZip) ZipUtil.fileSha256(source) else ""
-    existing.find(e => e.content_sha256 == contentSha ||
-      (zipShaOfSource.nonEmpty && e.zip_sha256 == zipShaOfSource)) match {
+    // self-heal like the reference (app.py:196-198): a registry hit only
+    // counts if its stored artifact still exists — otherwise re-store
+    existing.find(e => (e.content_sha256 == contentSha ||
+        (zipShaOfSource.nonEmpty && e.zip_sha256 == zipShaOfSource)) &&
+        Files.exists(Paths.get(storeDir, e.zip_name))) match {
       case Some(hit) => hit // dedup: nothing stored (app.py:279-298)
       case None =>
+        // collision set = registry names ∪ on-disk names (app.py:215-225):
+        // an orphan file from a crash between copy and registry write must
+        // not make the next run's Files.copy throw
+        val taken = existing.map(_.zip_name).toSet ++
+          Option(new java.io.File(storeDir).list()).getOrElse(Array.empty[String])
         val name = storageZipName(
-          Paths.get(source).getFileName.toString, contentSha, existing.map(_.zip_name).toSet)
+          Paths.get(source).getFileName.toString, contentSha, taken)
         val stored = Paths.get(storeDir, name).toString
         if (isZip) Files.copy(Paths.get(source), Paths.get(stored))
         else ZipUtil.writeDeterministicZip(source, stored)

@@ -380,9 +380,9 @@ object ExtensionQueries {
 
   private val x10Sql =
     """SELECT doc_id,
-       list_min(list_transform(range(1, greatest(length(text) - 7, 1) + 1),
+       list_min(list_transform(range(1, n + 1, CAST((n + 511) // 512 AS BIGINT)),
          i -> CAST('0x' || substr(sha256(substr(text, CAST(i AS INT), 8)), 1, 12) AS BIGINT))) AS fingerprint
-       FROM documents"""
+       FROM (SELECT doc_id, text, greatest(length(text) - 7, 1) AS n FROM documents)"""
 
   // ---------------------------------------------------------------------------
   // X11 — embedding near-dup pairs within label blocks.

@@ -115,10 +115,17 @@ object EventTimeOps {
               processed += 1
               if (e.isError) failed += 1
             }
-            state.update(ProgressState(processed, failed))
-            idleTimeout.foreach(state.setTimeoutDuration)
-            Iterator.single(
-              JobProgress(jobId, processed, failed, totals.getOrElse(jobId, 0L)))
+            val total = totals.getOrElse(jobId, 0L)
+            // a finished job's state is removed immediately — state size
+            // tracks IN-FLIGHT jobs, not job history (the boundedness
+            // invariant in the header); unknown totals fall back to the
+            // idle timeout (when configured)
+            if (total > 0 && processed >= total) state.remove()
+            else {
+              state.update(ProgressState(processed, failed))
+              idleTimeout.foreach(state.setTimeoutDuration)
+            }
+            Iterator.single(JobProgress(jobId, processed, failed, total))
           }
       }
   }

@@ -34,12 +34,7 @@ object StreamingIngest {
         org.apache.spark.sql.types.StructField("length", org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.BinaryType))))
       .load(dir)
-    val base = new java.io.File(dir).toURI.toString
-    Ingest.withPayload(Ingest.withFileColumns(raw
-      .withColumn("rel_path", graft.ops.Scalars.normalizeRelPath(
-        regexp_replace(col("path"), java.util.regex.Pattern.quote(base), "")))
-      .select(col("rel_path"), col("length").as("file_size"),
-        col("content"), col("modificationTime").as("modified_ts"))))
+    Ingest.withPayload(Ingest.fromBinaryRelation(raw, dir))
   }
 
   /** Runs the batch pipeline per micro-batch and appends results to
