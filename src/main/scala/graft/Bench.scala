@@ -14,25 +14,36 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Warm-up (untimed): session/codegen/scan initialization costs ~4s and
     // would land entirely on whichever query happens to run first, making
-    // per-query numbers non-comparable across runs. Steady-state is what the
-    // bench measures; queries then run in deterministic name order.
+    // per-query numbers non-comparable. Steady-state is what the bench
+    // measures; queries then run in deterministic name order.
     try {
       spark.range(1000000).selectExpr("sum(id)").collect()
-      Seq("lineitem", "orders", "documents", "embeddings", "events")
+      Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings")
         .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
       // warm the pipeline (grouping/enrich mapPartitions) codegen on the
       // smallest SF — different data than the benched one
       graft.pipeline.BatchJob.flagship(spark, "/root/testdata/sf0.001").count()
     } catch { case _: Throwable => () }
+    val failed = scala.collection.mutable.ListBuffer[String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // noop sink, not count(): count() lets Catalyst prune deterministic
+      // projections, so a projection-only query would benchmark an empty scan
+      // — the noop write materializes every output column.
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        failed += name
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    if (failed.nonEmpty) System.err.println(s"[bench] ${failed.size} queries FAILED: ${failed.mkString(", ")}")
     spark.stop()
   }
 }

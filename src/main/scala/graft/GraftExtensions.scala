@@ -13,7 +13,8 @@ import graft.functions.{DotProduct, MinHashSig, NGrams, SignLshBucket, SimHash64
   * (`spark.sql.extensions=graft.GraftExtensions` on any cluster, zero code).
   *
   * Functions: `ngrams(ARRAY<STRING>, n)`, `minhash_sig(ARRAY<STRING>, k)`,
-  * `simhash64(ARRAY<STRING>)`.
+  * `simhash64(ARRAY<STRING>)`, `dot_product(ARRAY<FLOAT|DOUBLE>,
+  * ARRAY<FLOAT|DOUBLE>)`, `sign_lsh_bucket(ARRAY<FLOAT|DOUBLE>, nBits)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -30,23 +31,36 @@ object GraftExtensions {
       s"$fn requires a literal INT, got ${other.sql}")
   }
 
+  /** Explicit arity check: extra args must not be silently ignored (a
+    * three-arg dot_product computing the two-arg answer is wrong-looking-
+    * right), missing args must not surface as IndexOutOfBounds. */
+  private def arity(fn: String, n: Int, args: Seq[Expression]): Seq[Expression] = {
+    if (args.length != n) throw new IllegalArgumentException(
+      s"$fn expects $n argument(s), got ${args.length}")
+    args
+  }
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-      (args: Seq[Expression]) => SimHash64(args.head)),
+      (args: Seq[Expression]) => SimHash64(arity("simhash64", 1, args).head)),
     (FunctionIdentifier("ngrams"),
       new ExpressionInfo(classOf[NGrams].getName, "ngrams"),
-      (args: Seq[Expression]) => NGrams(args(0), litInt(args(1), "ngrams"))),
+      (args: Seq[Expression]) => { arity("ngrams", 2, args)
+        NGrams(args(0), litInt(args(1), "ngrams")) }),
     (FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
-      (args: Seq[Expression]) => MinHashSig(args(0), litInt(args(1), "minhash_sig"))),
+      (args: Seq[Expression]) => { arity("minhash_sig", 2, args)
+        MinHashSig(args(0), litInt(args(1), "minhash_sig")) }),
     (FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      (args: Seq[Expression]) => DotProduct(args(0), args(1))),
+      (args: Seq[Expression]) => { arity("dot_product", 2, args)
+        DotProduct(args(0), args(1)) }),
     (FunctionIdentifier("sign_lsh_bucket"),
       new ExpressionInfo(classOf[SignLshBucket].getName, "sign_lsh_bucket"),
-      (args: Seq[Expression]) => SignLshBucket(args(0), litInt(args(1), "sign_lsh_bucket"))))
+      (args: Seq[Expression]) => { arity("sign_lsh_bucket", 2, args)
+        SignLshBucket(args(0), litInt(args(1), "sign_lsh_bucket")) }))
 
   /** Imperative registration on an existing session (same builders as the
     * config-driven path). */

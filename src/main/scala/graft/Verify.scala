@@ -19,8 +19,12 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      // drop any previous run's output FIRST: if this query now fails, a
+      // stale parquet dir must not let the oracle gate pass on old results
+      val target = Paths.get(outDir, name)
+      if (Files.exists(target)) graft.ops.ZipUtil.deleteRecursively(target)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+        .parquet(target.toString)
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

@@ -78,11 +78,10 @@ object TextAnalysis {
     * than `maxSamples` use stride 1, i.e. every window, so small-corpus
     * results are unchanged.
     */
-  def docFingerprint(text: Column, shingleLen: Int = 8, maxSamples: Int = 512): Column = {
-    val n = greatest(length(text) - (shingleLen - 1), lit(1))
-    val stride = ((n + lit(maxSamples - 1)) / lit(maxSamples)).cast("long") // ceil
-    val hashes = transform(sequence(lit(1), n, stride),
-      i => conv(substring(sha2(text.substr(i.cast("int"), lit(shingleLen)), 256), 1, 12), 16, 10).cast("long"))
-    array_min(hashes)
-  }
+  def docFingerprint(text: Column, shingleLen: Int = 8, maxSamples: Int = 512): Column =
+    // native loop (graft.functions.DocFingerprint64): the equivalent
+    // array_min(transform(sequence…, sha2+conv)) tree runs interpreted with a
+    // position array + hex round-trip per window — value-identity pinned in
+    // NativeExprEquivalenceSpec
+    graft.functions.DocFingerprint64.docFingerprint64(text, shingleLen, maxSamples)
 }

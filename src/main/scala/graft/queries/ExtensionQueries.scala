@@ -36,7 +36,12 @@ object ExtensionQueries {
   // X2 — n-gram Jaccard near-dup pairs, blocked by lang × length band.
   // ---------------------------------------------------------------------------
   private def x2(s: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairs(docs(s, dir), col("doc_id"), col("text"),
+    // token-less docs excluded on BOTH sides: the engine's shingle set for an
+    // empty doc is [""] (one all-tokens window) while SQL's token list is []
+    // — two empty docs would be jaccard=1 here and NULL-dropped in the oracle
+    Dedup.ngramJaccardPairs(
+      docs(s, dir).filter(size(TextAnalysis.tokens(col("text"))) > 0),
+      col("doc_id"), col("text"),
       concat(col("lang"), lit("|"), (col("n_chars") / 25).cast("long")),
       n = 1, threshold = 0.7)
 
@@ -44,7 +49,8 @@ object ExtensionQueries {
     """WITH t AS (
          SELECT doc_id, lang || '|' || CAST(n_chars // 25 AS VARCHAR) AS block,
                 list_distinct(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS toks
-         FROM documents)
+         FROM documents
+         WHERE len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) > 0)
        SELECT * FROM (
          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                 len(list_intersect(a.toks, b.toks)) AS inter,
@@ -106,51 +112,42 @@ object ExtensionQueries {
   // event of the same type. (event_type, ts) is unique on the right side and
   // all ts are µs-aligned, so both engines see identical tie conditions.
   // ---------------------------------------------------------------------------
-  private def x14(s: SparkSession, dir: String): DataFrame = {
+  /** Shared x14/x18 shape: odd events as-of-join the even events of the same
+    * type; only the direction differs. */
+  private def asofQuery(s: SparkSession, dir: String, forward: Boolean): DataFrame = {
     val ev = ParityQueries.events(s, dir)
     val l = ev.filter(col("event_id") % 2 === 1).select("event_id", "event_type", "ts")
     val r = ev.filter(col("event_id") % 2 === 0)
       .select(col("event_type"), col("ts"), col("event_id").as("r_event_id"),
         col("value").as("r_value"))
-    graft.ops.AsOfJoin.backward(l, r, "event_type", "ts", "ts",
-        rightPayload = Seq("r_event_id", "r_value"), rightOrd = "r_event_id")
+    val join = if (forward) graft.ops.AsOfJoin.forward _ else graft.ops.AsOfJoin.backward _
+    join(l, r, "event_type", "ts", "ts", Seq("r_event_id", "r_value"), "r_event_id")
       .select(col("event_id"), col("event_type"),
         graft.ops.Scalars.formatTs(col("ts")).as("ts_s"),
         col("r_event_id"), col("r_value"))
   }
 
-  private val x14Sql =
-    """WITH l AS (SELECT event_id, event_type, ts FROM events WHERE event_id % 2 = 1),
+  private def asofSql(op: String): String =
+    s"""WITH l AS (SELECT event_id, event_type, ts FROM events WHERE event_id % 2 = 1),
             r AS (SELECT event_type, ts, event_id AS r_event_id, "value" AS r_value
                   FROM events WHERE event_id % 2 = 0)
        SELECT l.event_id, l.event_type, strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
               r.r_event_id, r.r_value
-       FROM l ASOF LEFT JOIN r ON l.event_type = r.event_type AND r.ts <= l.ts"""
+       FROM l ASOF LEFT JOIN r ON l.event_type = r.event_type AND r.ts $op l.ts"""
+
+  private def x14(s: SparkSession, dir: String): DataFrame =
+    asofQuery(s, dir, forward = false)
+
+  private val x14Sql = asofSql("<=")
 
   // ---------------------------------------------------------------------------
   // X18 — forward as-of join (mirror of x14): odd events look up the EARLIEST
   // later-or-equal even event of the same type.
   // ---------------------------------------------------------------------------
-  private def x18(s: SparkSession, dir: String): DataFrame = {
-    val ev = ParityQueries.events(s, dir)
-    val l = ev.filter(col("event_id") % 2 === 1).select("event_id", "event_type", "ts")
-    val r = ev.filter(col("event_id") % 2 === 0)
-      .select(col("event_type"), col("ts"), col("event_id").as("r_event_id"),
-        col("value").as("r_value"))
-    graft.ops.AsOfJoin.forward(l, r, "event_type", "ts", "ts",
-        rightPayload = Seq("r_event_id", "r_value"), rightOrd = "r_event_id")
-      .select(col("event_id"), col("event_type"),
-        graft.ops.Scalars.formatTs(col("ts")).as("ts_s"),
-        col("r_event_id"), col("r_value"))
-  }
+  private def x18(s: SparkSession, dir: String): DataFrame =
+    asofQuery(s, dir, forward = true)
 
-  private val x18Sql =
-    """WITH l AS (SELECT event_id, event_type, ts FROM events WHERE event_id % 2 = 1),
-            r AS (SELECT event_type, ts, event_id AS r_event_id, "value" AS r_value
-                  FROM events WHERE event_id % 2 = 0)
-       SELECT l.event_id, l.event_type, strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
-              r.r_event_id, r.r_value
-       FROM l ASOF LEFT JOIN r ON l.event_type = r.event_type AND r.ts >= l.ts"""
+  private val x18Sql = asofSql(">=")
 
   // ---------------------------------------------------------------------------
   // X19 — deterministic train/val/test split (extensions/Sampling): the split

@@ -85,6 +85,24 @@ class NativeExprEquivalenceSpec extends AnyFunSuite with SparkTestSession {
     assert(mismatches == 0)
   }
 
+  test("DocFingerprint64 matches the HOF formulation on corpus text + edges") {
+    def hofFingerprint(text: org.apache.spark.sql.Column, shingleLen: Int, maxSamples: Int) = {
+      val n = greatest(length(text) - (shingleLen - 1), lit(1))
+      val stride = ((n + lit(maxSamples - 1)) / lit(maxSamples)).cast("long")
+      array_min(transform(sequence(lit(1), n, stride),
+        i => conv(substring(sha2(text.substr(i.cast("int"), lit(shingleLen)), 256), 1, 12), 16, 10).cast("long")))
+    }
+    val corpus = docs.select(col("text"))
+      .unionAll(spark.createDataFrame(Seq(Tuple1(""), Tuple1("short"), Tuple1("exactly8"),
+        Tuple1("a" * 2000))).toDF("text"))
+    val mismatches = corpus
+      .select(TextAnalysis.docFingerprint(col("text")).as("native"),
+        hofFingerprint(col("text"), 8, 512).as("hof"))
+      .filter(col("native") =!= col("hof"))
+      .count()
+    assert(mismatches == 0)
+  }
+
   test("MinHashSig matches the aggregate/zip_with formulation (k=32) on corpus text") {
     val mismatches = docs
       .select(Dedup.minhashSignature(Dedup.shingles(col("text")), 32).as("native"),
