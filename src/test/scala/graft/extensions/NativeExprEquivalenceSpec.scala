@@ -103,6 +103,36 @@ class NativeExprEquivalenceSpec extends AnyFunSuite with SparkTestSession {
     assert(mismatches == 0)
   }
 
+  test("native expressions match HOF forms on random multibyte unicode text") {
+    // corpus text is ASCII-ish; CJK/emoji/combining chars exercise the
+    // char-vs-byte paths (substringSQL, UTF8String hashing) differently
+    val rng = new scala.util.Random(23)
+    val alphabet = "abc 語言模型 émü 🙂🚀 \t\nΩß文字θ "
+    val rows = (1 to 200).map { _ =>
+      Tuple1((1 to rng.nextInt(60)).map(_ => alphabet(rng.nextInt(alphabet.length))).mkString)
+    }
+    val df = spark.createDataFrame(rows).toDF("text")
+
+    val fpHof = {
+      val n = greatest(length(col("text")) - 7, lit(1))
+      val stride = ((n + lit(511)) / lit(512)).cast("long")
+      array_min(transform(sequence(lit(1), n, stride),
+        i => conv(substring(sha2(col("text").substr(i.cast("int"), lit(8)), 256), 1, 12), 16, 10).cast("long")))
+    }
+    val shHof = {
+      val toks = TextAnalysis.tokens(col("text"))
+      val count = greatest(size(toks) - 1, lit(1))
+      array_distinct(transform(sequence(lit(1), count),
+        i => concat_ws(" ", slice(toks, i, lit(2)))))
+    }
+    val out = df.select(
+      (TextAnalysis.docFingerprint(col("text")) =!= fpHof).as("fp_diff"),
+      (Dedup.shingles(col("text"), 2) =!= shHof).as("sh_diff"),
+      (Dedup.minhashSignature(Dedup.shingles(col("text"), 2), 16) =!=
+        hofMinhash(shHof, 16)).as("mh_diff"))
+    assert(out.filter(col("fp_diff") || col("sh_diff") || col("mh_diff")).count() == 0)
+  }
+
   test("MinHashSig matches the aggregate/zip_with formulation (k=32) on corpus text") {
     val mismatches = docs
       .select(Dedup.minhashSignature(Dedup.shingles(col("text")), 32).as("native"),
