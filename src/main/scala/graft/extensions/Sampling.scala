@@ -37,6 +37,22 @@ object Sampling {
     df.filter(hashBucket(key, salt) < math.round(fraction * Buckets))
   }
 
+  /** Stratified deterministic sample: a per-stratum keep fraction (e.g.
+    * down-sample over-represented languages, keep rare ones whole — the
+    * corpus-balancing op). Same hash-bucket determinism as
+    * [[deterministicSample]]; strata not in `fractions` use `default`.
+    */
+  def stratifiedSample(df: DataFrame, key: Column, strata: Column,
+      fractions: Map[String, Double], default: Double = 0.0,
+      salt: String = ""): DataFrame = {
+    require((fractions.values ++ Seq(default)).forall(f => f >= 0 && f <= 1))
+    val bound = fractions.foldRight(lit(math.round(default * Buckets)): Column) {
+      case ((stratum, f), elseCol) =>
+        when(strata === stratum, lit(math.round(f * Buckets))).otherwise(elseCol)
+    }
+    df.filter(hashBucket(key, salt) < bound)
+  }
+
   /** Disjoint named splits, e.g. `Seq("train" -> 0.9, "val" -> 0.05,
     * "test" -> 0.05)` → adds a `split` column. Fractions must sum to ≤ 1;
     * any remainder gets NULL (excluded rows).

@@ -211,6 +211,30 @@ object ExtensionQueries {
        FROM c QUALIFY rank <= 5"""
 
   // ---------------------------------------------------------------------------
+  // X21 — stratified deterministic sampling: per-language keep fractions
+  // (down-sample dominant strata, keep rare ones whole); DuckDB re-derives
+  // the exact sha-bucket + per-stratum bound.
+  // ---------------------------------------------------------------------------
+  private def x21(s: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedSample(docs(s, dir), col("doc_id"), col("lang"),
+        Map("en" -> 0.5, "es" -> 0.25), default = 1.0, salt = "s1")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+
+  private val x21Sql =
+    """WITH b AS (SELECT lang, doc_id,
+             CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || 's1'), 1, 8) AS BIGINT)
+               % 10000 AS bucket
+           FROM documents)
+       SELECT lang, count(*) AS n_kept,
+              CAST(min(doc_id) AS BIGINT) AS min_id,
+              CAST(max(doc_id) AS BIGINT) AS max_id
+       FROM b
+       WHERE bucket < CASE lang WHEN 'en' THEN 5000 WHEN 'es' THEN 2500 ELSE 10000 END
+       GROUP BY lang"""
+
+  // ---------------------------------------------------------------------------
   // X15 — corpus vocabulary stats: explode(tokens) → exact distributed
   // distinct per language (the Generator + two-level-agg shape).
   // ---------------------------------------------------------------------------
@@ -438,7 +462,8 @@ object ExtensionQueries {
     "x17_range_join" -> x17 _,
     "x18_asof_forward" -> x18 _,
     "x19_det_split" -> x19 _,
-    "x20_top_tokens" -> x20 _
+    "x20_top_tokens" -> x20 _,
+    "x21_stratified_sample" -> x21 _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -457,6 +482,7 @@ object ExtensionQueries {
     "x17_range_join" -> x17Sql,
     "x18_asof_forward" -> x18Sql,
     "x19_det_split" -> x19Sql,
-    "x20_top_tokens" -> x20Sql
+    "x20_top_tokens" -> x20Sql,
+    "x21_stratified_sample" -> x21Sql
   )
 }

@@ -37,6 +37,20 @@ class SamplingSpec extends AnyFunSuite with SparkTestSession {
     assert(a != b)
   }
 
+  test("stratified sample applies per-stratum rates; unknown strata use default") {
+    import org.apache.spark.sql.functions.{concat, lit}
+    val df = spark.range(9000).toDF("id")
+      .withColumn("stratum", concat(lit("s"), (org.apache.spark.sql.functions.col("id") % 3)))
+    val out = Sampling.stratifiedSample(df, org.apache.spark.sql.functions.col("id"),
+      org.apache.spark.sql.functions.col("stratum"),
+      Map("s0" -> 1.0, "s1" -> 0.2), default = 0.0)
+    val counts = out.groupBy("stratum").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("s0") == 3000) // fraction 1.0 keeps everything
+    assert(math.abs(counts("s1") - 600) < 150, counts.toString)
+    assert(!counts.contains("s2")) // default 0.0 drops the stratum entirely
+  }
+
   test("remainder fraction gets a null split (excluded rows)") {
     val out = Sampling.deterministicSplit(ids, col("id"), Seq("keep" -> 0.3))
     val n = out.filter(col("split").isNull).count()
