@@ -65,6 +65,34 @@ object TextAnalysis {
     round(lenScore * 0.4 + stopRatio * 0.4 + punctSanity * 0.2, 6)
   }
 
+  /** Sketch-based corpus profile per group: approximate distinct tokens (HLL)
+    * and approximate length quantiles (t-digest-style percentile_approx) —
+    * the one-pass, bounded-memory way to profile a 100 TB corpus where exact
+    * countDistinct would shuffle every token and exact percentiles would sort
+    * every group. `relativeSD`/`accuracy` trade sketch size for error; the
+    * sketches merge associatively, so the profile is a single map-side-
+    * combined aggregation. Accuracy-vs-exact is tolerance-tested in
+    * ExtensionsSpec (approximate results are engine-specific — no DuckDB
+    * oracle, by design).
+    */
+  def corpusProfile(docs: org.apache.spark.sql.DataFrame, group: Column,
+      text: Column, relativeSD: Double = 0.02,
+      accuracy: Int = 1000): org.apache.spark.sql.DataFrame = {
+    val base = docs.select(group.as("group"), text.as("__text"),
+      length(text).as("__len"))
+    val docStats = base.groupBy(col("group")).agg(
+      count(lit(1)).as("n_docs"),
+      percentile_approx(col("__len"), array(lit(0.5), lit(0.9), lit(0.99)),
+        lit(accuracy)).as("len_quantiles"),
+      round(avg(col("__len")), 2).as("avg_len"))
+    val tokStats = base
+      .select(col("group"), explode(tokens(col("__text"))).as("__tok"))
+      .groupBy(col("group")).agg(
+        approx_count_distinct(col("__tok"), relativeSD).as("approx_vocab"),
+        count(lit(1)).as("total_tokens"))
+    docStats.join(tokStats, Seq("group"), "left")
+  }
+
   /** Document fingerprint: min-sampled 8-char-shingle hash (winnowing-style
     * selection with w = whole document). The shingle hash is the first 48 bits
     * of sha256 — chosen over xxhash/murmur because it is reproducible in any

@@ -235,6 +235,19 @@ object ExtensionQueries {
        GROUP BY lang"""
 
   // ---------------------------------------------------------------------------
+  // X22 — sketch-based corpus profile (rows-only: HLL/percentile_approx are
+  // engine-specific approximations; accuracy-vs-exact is tolerance-tested in
+  // ExtensionsSpec, and the exact counterparts are oracle-checked by x15).
+  // ---------------------------------------------------------------------------
+  private def x22(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.corpusProfile(docs(s, dir), col("lang"), col("text"))
+      .select(col("group"), col("n_docs"), col("avg_len"),
+        col("total_tokens"), col("approx_vocab"),
+        col("len_quantiles")(0).as("p50_len"),
+        col("len_quantiles")(1).as("p90_len"),
+        col("len_quantiles")(2).as("p99_len"))
+
+  // ---------------------------------------------------------------------------
   // X15 — corpus vocabulary stats: explode(tokens) → exact distributed
   // distinct per language (the Generator + two-level-agg shape).
   // ---------------------------------------------------------------------------
@@ -463,7 +476,8 @@ object ExtensionQueries {
     "x18_asof_forward" -> x18 _,
     "x19_det_split" -> x19 _,
     "x20_top_tokens" -> x20 _,
-    "x21_stratified_sample" -> x21 _
+    "x21_stratified_sample" -> x21 _,
+    "x22_corpus_profile" -> x22 _
   )
 
   val oracleSql: Map[String, String] = Map(

@@ -117,6 +117,27 @@ class ExtensionsSpec extends AnyFunSuite with SparkTestSession {
     assert(agree >= (bf.size * 0.5).toInt, s"IVF agreed on $agree of ${bf.size}")
   }
 
+  test("corpus profile: sketch estimates within tolerance of exact values") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val profile = TextAnalysis.corpusProfile(docs, col("lang"), col("text"))
+      .collect().map(r => r.getAs[String]("group") -> r).toMap
+    val exact = docs
+      .select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy("lang").agg(countDistinct(col("tok")).as("vocab"), count(lit(1)).as("total"))
+      .collect().map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("vocab"), r.getAs[Long]("total"))).toMap
+    for ((lang, (vocab, total)) <- exact) {
+      val p = profile(lang)
+      assert(p.getAs[Long]("total_tokens") == total) // counts are exact
+      val approx = p.getAs[Long]("approx_vocab").toDouble
+      assert(math.abs(approx - vocab) / vocab < 0.1,
+        s"$lang: approx $approx vs exact $vocab") // HLL within 10% at rsd=2%
+      val q = p.getSeq[Int](p.fieldIndex("len_quantiles"))
+      assert(q.length == 3 && q(0) <= q(1) && q(1) <= q(2)) // monotone p50<=p90<=p99
+    }
+  }
+
   test("multimodal decode plumbing: deterministic metadata, frame sampling, resize") {
     import spark.implicits._
     val assets = Seq(
