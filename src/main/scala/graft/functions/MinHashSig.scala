@@ -46,24 +46,29 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
 
 object MinHashSig {
 
-  /** Shared by interpreted eval and generated code. Skips null shingles
-    * (`least(m, null)` keeps `m` in the Column form). */
+  /** Shared by interpreted eval and generated code. Null shingles fold the
+    * same value the Column form does: Spark's `xxhash64` is non-nullable — a
+    * null string child leaves the running hash at the seed (42), then the int
+    * seed is mixed in, so `xxhash64(null, seed) = hashInt(seed, 42)` and
+    * `least(m, ...)` folds that constant into each minimum. (Unreachable via
+    * `Dedup.shingles` — NGrams output has containsNull=false — but
+    * user-supplied ARRAY<STRING> with nulls now matches exactly.) */
   def compute(arr: ArrayData, k: Int): ArrayData = {
     val sig = new Array[Long](k)
     java.util.Arrays.fill(sig, Long.MaxValue)
     val n = arr.numElements()
     var i = 0
     while (i < n) {
-      if (!arr.isNullAt(i)) {
-        val base = XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
-        var seed = 0
-        while (seed < k) {
-          // the Column form's seeds come from sequence() as INTs, so Spark's
-          // xxhash64 chain mixes them with hashInt (not hashLong)
-          val h = XXH64.hashInt(seed, base)
-          if (h < sig(seed)) sig(seed) = h
-          seed += 1
-        }
+      val base =
+        if (arr.isNullAt(i)) 42L
+        else XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
+      var seed = 0
+      while (seed < k) {
+        // the Column form's seeds come from sequence() as INTs, so Spark's
+        // xxhash64 chain mixes them with hashInt (not hashLong)
+        val h = XXH64.hashInt(seed, base)
+        if (h < sig(seed)) sig(seed) = h
+        seed += 1
       }
       i += 1
     }

@@ -100,13 +100,16 @@ object ModelClients {
     }
 
     /** The reference's request shape (worker.py:313-321): system message, user
-      * content parts, optional `reasoning` (omitted when mode is "off").
+      * content parts, optional `reasoning`. The reference normalizes the mode
+      * via strip().lower() and whitelists only {"true","false"}
+      * (worker.py:321-322) — anything else (including "off", "on", "True ")
+      * omits the key entirely, so a stray value can never corrupt the JSON.
       */
     def buildPayload(req: ModelRequest): String = {
       val parts = req.parts.map(partJson).mkString("[", ",", "]")
-      val reasoning = req.reasoningMode match {
-        case "off" => ""
-        case m => s""","reasoning":{"enabled":$m}"""
+      val reasoning = Option(req.reasoningMode).map(_.trim.toLowerCase) match {
+        case Some(m @ ("true" | "false")) => s""","reasoning":{"enabled":$m}"""
+        case _ => ""
       }
       s"""{"model":${jstr(req.model)},"messages":[""" +
         s"""{"role":"system","content":${jstr(req.systemPrompt)}},""" +

@@ -271,6 +271,8 @@ object ExtensionQueries {
   // X16 — sessionization: Spark's session_window (30-min inactivity gap) vs
   // the classic gaps-and-islands SQL (lag + cumulative flag sum) in DuckDB.
   // Window bounds go out as formatted strings (ns-vs-µs physics).
+  // Boundary is OPEN (`< 30 min` in the oracle): session_window's end is
+  // exclusive, so a gap of exactly 30:00 starts a new session in Spark.
   // ---------------------------------------------------------------------------
   private def x16(s: SparkSession, dir: String): DataFrame =
     ParityQueries.events(s, dir)
@@ -283,7 +285,7 @@ object ExtensionQueries {
   private val x16Sql =
     """WITH o AS (SELECT event_type, ts, "value",
              CASE WHEN ts - lag(ts) OVER (PARTITION BY event_type ORDER BY ts)
-                       <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
+                       < INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
            FROM events),
          sess AS (SELECT event_type, ts, "value",
              sum(new_session) OVER (PARTITION BY event_type ORDER BY ts

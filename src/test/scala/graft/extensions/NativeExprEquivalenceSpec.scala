@@ -133,6 +133,24 @@ class NativeExprEquivalenceSpec extends AnyFunSuite with SparkTestSession {
     assert(out.filter(col("fp_diff") || col("sh_diff") || col("mh_diff")).count() == 0)
   }
 
+  test("MinHashSig matches the Column form on ARRAY<STRING> containing nulls") {
+    // xxhash64 is non-nullable: a null string child leaves the running hash at
+    // the seed 42, so the Column form folds hashInt(seed, 42) per null element
+    // — the native expression must fold the same constant, not skip.
+    val nullStr = lit(null).cast("string")
+    val arrays = Seq(
+      array(lit("a"), nullStr, lit("b")),
+      array(nullStr),
+      array(nullStr, nullStr),
+      array().cast("array<string>"))
+    val df = spark.range(1)
+    arrays.zipWithIndex.foreach { case (arr, i) =>
+      val row = df.select(Dedup.minhashSignature(arr, 16).as("native"),
+        hofMinhash(arr, 16).as("hof")).collect()(0)
+      assert(row.getSeq[Long](0) == row.getSeq[Long](1), s"case $i")
+    }
+  }
+
   test("MinHashSig matches the aggregate/zip_with formulation (k=32) on corpus text") {
     val mismatches = docs
       .select(Dedup.minhashSignature(Dedup.shingles(col("text")), 32).as("native"),

@@ -38,6 +38,20 @@ class ModelClientsSpec extends AnyFunSuite {
     org.json4s.jackson.JsonMethods.parse(p)
   }
 
+  test("reasoning mode is normalized and whitelisted (worker.py:321-322)") {
+    def payload(mode: String) = HttpModelClient.buildPayload(
+      ModelRequest(1L, "g", "m", "s", mode, Seq(ContentPart("text", "x"))))
+    // strip().lower() normalization, {true,false} whitelist
+    assert(payload(" True ").contains(""""reasoning":{"enabled":true}"""))
+    assert(payload("FALSE").contains(""""reasoning":{"enabled":false}"""))
+    // anything else omits the key instead of emitting invalid JSON
+    for (m <- Seq("off", "on", "1", "enabled", "", null))
+      assert(!payload(m).contains("reasoning"), s"mode=$m")
+    // every variant stays parseable
+    for (m <- Seq(" True ", "FALSE", "on", "", null))
+      org.json4s.jackson.JsonMethods.parse(payload(m))
+  }
+
   test("response extraction: content + usage, error shapes throw") {
     val good = """{"choices":[{"message":{"content":"the reply"}}],
       "usage":{"prompt_tokens":7,"completion_tokens":3}}"""

@@ -69,6 +69,23 @@ class StoreSpec extends AnyFunSuite with SparkTestSession {
     assert(hashOf(base) != hashOf(Seq(("renamed.txt", "alpha".getBytes("UTF-8")), base(1))))
   }
 
+  test("A2 guard: digests of a known tree pinned to constants (NUL-separator integrity)") {
+    // Independently derived (python hashlib) from the documented frame layouts.
+    // If tooling ever mangles the NUL separators in Hashing.scala or
+    // ZipUtil, these constants catch it before every content hash shifts.
+    val dir = mkTree()
+    assert(ZipUtil.contentSha256OfDirectory(dir) ==
+      "92de56d69ce1e2c5d211b3bb3fef0d9aea091a0fb7b45dfcae8ff274144689e2")
+    import spark.implicits._
+    val files = Seq(
+      ("a.txt", "alpha".getBytes("UTF-8")),
+      ("sub/b.txt", "beta".getBytes("UTF-8"))
+    ).toDF("rel_path", "content").withColumn("g", lit(1))
+    val scalable = Hashing.contentSha256Scalable(files, Seq(col("g")))
+      .collect()(0).getAs[String]("content_sha256")
+    assert(scalable == "ed513b3973f65c4872ba95b709f8eb32a10a3f78b7b722b3b6b70435f3da5d7b")
+  }
+
   test("J1 registry: OR-key match, insert-if-absent idempotence (app.py:191-298)") {
     import spark.implicits._
     val registry = Seq(
