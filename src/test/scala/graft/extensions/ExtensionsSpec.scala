@@ -144,13 +144,14 @@ class ExtensionsSpec extends AnyFunSuite with SparkTestSession {
       (1L, "image/png", "HELLOBYTES".getBytes("UTF-8"), "s"),
       (2L, "video/mp4", "MOVIEBYTES".getBytes("UTF-8"), "s")
     ).toDF("asset_id", "mime", "content", "source")
-    val meta = Multimodal.decodeAssets(assets).toDF()
+    val fake = () => new Multimodal.FakeDecoder
+    val meta = Multimodal.decodeAssets(assets, fake).toDF()
     val rows = meta.collect().map(r => r.getAs[Long]("asset_id") -> r).toMap
     assert(rows(1L).getAs[Boolean]("decode_ok"))
     assert(rows(1L).getAs[Long]("duration_ms") == 0L && rows(1L).getAs[Int]("n_frames") == 1)
     assert(rows(2L).getAs[Long]("duration_ms") > 0L && rows(2L).getAs[Int]("n_frames") > 1)
     // decode is deterministic (sha-derived)
-    val again = Multimodal.decodeAssets(assets).toDF().collect()
+    val again = Multimodal.decodeAssets(assets, fake).toDF().collect()
       .map(r => r.getAs[Long]("asset_id") -> r.getAs[Int]("width")).toMap
     assert(again(1L) == rows(1L).getAs[Int]("width"))
 
@@ -161,6 +162,49 @@ class ExtensionsSpec extends AnyFunSuite with SparkTestSession {
     val resized = Multimodal.resizePlan(meta, 128).collect()
       .map(r => (r.getAs[Int]("target_width"), r.getAs[Int]("target_height")))
     assert(resized.forall { case (w, h) => w <= 128 && h <= 128 && w > 0 && h > 0 })
+  }
+
+  test("ImageIoDecoder reads true dimensions from real png/jpeg/tiff/bmp/gif bytes") {
+    def png(w: Int, h: Int, fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(w / 2, h / 2, 0x336699)
+      val baos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, baos), s"no writer for $fmt")
+      baos.toByteArray
+    }
+    val dec = new Multimodal.ImageIoDecoder
+    for (fmt <- Seq("png", "jpg", "tif", "bmp", "gif")) {
+      assert(dec.decode(s"image/$fmt", png(37, 23, fmt)) == ((37, 23, 0L)), fmt)
+      assert(dec.decode(s"image/$fmt", png(1, 1, fmt)) == ((1, 1, 0L)), fmt)
+    }
+    // wav: 4000 frames of 8-bit mono at 8 kHz = exactly 500 ms
+    val fmtA = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(new Array[Byte](4000)), fmtA, 4000)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    assert(dec.decode("audio/wav", baos.toByteArray) == ((0, 0, 500L)))
+    // corrupt / unsupported bytes surface as exceptions (decode_ok=false rows upstream)
+    intercept[Exception] { dec.decode("image/png", "notanimage".getBytes) }
+    intercept[Exception] { dec.decode("video/mp4", new Array[Byte](16)) }
+  }
+
+  test("x23 pipeline: synthetic real media decodes to doc_id-derived metadata (sf0.001)") {
+    val meta = Multimodal.decodeAssets(
+      Multimodal.syntheticMediaAssets(spark, "/root/testdata/sf0.001")).toDF()
+    val rows = meta.collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[Boolean]("decode_ok")))
+    rows.foreach { r =>
+      val id = r.getAs[Long]("asset_id")
+      if (id % 4 == 3) {
+        assert(r.getAs[Int]("width") == 0 && r.getAs[Long]("duration_ms") == (800 + (id % 400) * 8) / 8, id)
+      } else {
+        assert(r.getAs[Int]("width") == 16 + (id % 97).toInt, id)
+        assert(r.getAs[Int]("height") == 16 + (id % 61).toInt, id)
+        assert(r.getAs[Long]("duration_ms") == 0L, id)
+      }
+    }
   }
 
   test("text analysis: language profiles score their own stopwords highest") {
