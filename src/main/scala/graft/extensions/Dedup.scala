@@ -201,4 +201,97 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "inter", "jaccard")
   }
+
+  // ----------------------------------------------------- cluster resolution --
+
+  /** Connected components over candidate pairs: `(id_a, id_b)` edges →
+    * `(id, component)` where `component` is the minimum id in the component.
+    * This is the step every production near-dup pipeline needs after pair
+    * generation — near-dup is transitive in intent (A≈B, B≈C ⇒ one cluster)
+    * even though the estimator isn't.
+    *
+    * Algorithm: min-label propagation + pointer jumping. Each round
+    *  1. label(v) ← min(label(v), min of neighbors' labels)   (edge join + agg)
+    *  2. label(v) ← label(label(v))                           (pointer jump)
+    * Step 2 doubles the distance a minimum travels per round, so convergence
+    * is O(log n) rounds even on the path-graph worst case where plain
+    * neighbor-min needs O(diameter). Each round is a constant number of
+    * key-partitioned shuffles over `(id, label)` pairs — 16 bytes of state per
+    * vertex, nothing all-pairs, no driver-side data except the 1-row
+    * convergence aggregate.
+    *
+    * `localCheckpoint` truncates the growing lineage each round (iterative
+    * DataFrame loops otherwise replan from scratch every iteration); on a
+    * long-lived production cluster prefer `spark.sparkContext.setCheckpointDir`
+    * + reliable `checkpoint()` so executor loss can't orphan the loop.
+    *
+    * Convergence detection: labels are non-increasing per vertex, so the
+    * label sum (decimal — no overflow) is strictly decreasing until fixpoint;
+    * equal sums ⇒ done. Labels at fixpoint are constant within a component
+    * (every edge forces label equality) and the component min labels itself.
+    */
+  def connectedComponents(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxIter: Int = 64): DataFrame = {
+    val edges = pairs.select(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val sym = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint()
+    var prevSum: java.math.BigDecimal = null
+    var iter = 0
+    var done = labels.isEmpty
+    while (iter < maxIter && !done) {
+      val nbrMin = sym
+        .join(labels.select(col("id").as("dst"), col("label").as("nbr_label")), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(min("nbr_label").as("nbr_label"))
+      val merged = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+      // pointer jump: label(v) ← label(label(v)); labels are vertex ids, so
+      // the lookup is a self-join on the same 16-byte relation
+      val jumped = merged
+        .join(merged.select(col("id").as("label"), col("label").as("label2")),
+          Seq("label"), "left")
+        .select(col("id"), coalesce(col("label2"), col("label")).as("label"))
+      val next = jumped.localCheckpoint()
+      val s = next.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+      done = s == prevSum
+      prevSum = s
+      labels = next
+      iter += 1
+    }
+    sym.unpersist()
+    labels.select(col("id"), col("label").as("component"))
+  }
+
+  /** Full cluster resolution: rows + candidate pairs → every row tagged with
+    * `component`, `cluster_size`, and `is_survivor` (exactly one survivor per
+    * cluster, minimum `keep` with id tie-break — same keep contract as
+    * [[exact]]). Rows in no pair are singleton clusters of themselves.
+    * Cost beyond [[connectedComponents]]: two key-partitioned joins and one
+    * component-keyed aggregate — no new scale hazards.
+    */
+  def resolveClusters(df: DataFrame, id: Column, keep: Column, pairs: DataFrame): DataFrame = {
+    val comps = connectedComponents(pairs)
+    val tagged = df
+      .withColumn("__id", id.cast("long"))
+      .withColumn("__keep", keep)
+      .join(comps.select(col("id").as("__id"), col("component")), Seq("__id"), "left")
+      .withColumn("component", coalesce(col("component"), col("__id")))
+    val stats = tagged.groupBy("component").agg(
+      min_by(col("__id"), struct(col("__keep"), col("__id"))).as("__survivor_id"),
+      count(lit(1)).as("cluster_size"))
+    tagged.join(stats, Seq("component"))
+      .withColumn("is_survivor", col("__id") === col("__survivor_id"))
+      .drop("__id", "__keep", "__survivor_id")
+  }
+
+  /** One row per cluster — the dataset a training run actually consumes. */
+  def clusterSurvivors(df: DataFrame, id: Column, keep: Column, pairs: DataFrame): DataFrame =
+    resolveClusters(df, id, keep, pairs)
+      .filter(col("is_survivor"))
+      .drop("is_survivor")
 }

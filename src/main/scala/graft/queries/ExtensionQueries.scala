@@ -483,6 +483,55 @@ object ExtensionQueries {
               TRUE AS decode_ok
        FROM documents"""
 
+  // ---------------------------------------------------------------------------
+  // X24 — dedup cluster resolution: the x02 Jaccard pairs → connected
+  // components (min-label + pointer-jump propagation) → one survivor per
+  // cluster (max n_chars, tie-break min doc_id). The DuckDB oracle re-derives
+  // components with a recursive-CTE transitive closure — feasible at oracle
+  // scale, which is exactly why the engine side uses the O(log n)-round
+  // propagation instead.
+  // ---------------------------------------------------------------------------
+  private def x24(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val pairs = Dedup.ngramJaccardPairs(
+      d.filter(size(TextAnalysis.tokens(col("text"))) > 0),
+      col("doc_id"), col("text"),
+      concat(col("lang"), lit("|"), (col("n_chars") / 25).cast("long")),
+      n = 1, threshold = 0.7)
+    Dedup.resolveClusters(d, col("doc_id"), -col("n_chars"), pairs)
+      .select(col("doc_id"), col("component"), col("cluster_size"), col("is_survivor"))
+  }
+
+  private val x24Sql =
+    """WITH RECURSIVE t AS (
+         SELECT doc_id, lang || '|' || CAST(n_chars // 25 AS VARCHAR) AS block,
+                list_distinct(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS toks
+         FROM documents
+         WHERE len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) > 0),
+       p AS (
+         SELECT * FROM (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  round(len(list_intersect(a.toks, b.toks)) * 1.0 /
+                        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 6) AS jaccard
+           FROM t a JOIN t b ON a.block = b.block AND a.doc_id < b.doc_id)
+         WHERE jaccard >= 0.7),
+       edges AS (SELECT id_a AS src, id_b AS dst FROM p
+                 UNION SELECT id_b AS src, id_a AS dst FROM p),
+       reach(src, dst) AS (
+         SELECT src, dst FROM edges
+         UNION
+         SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       comp AS (SELECT src AS doc_id, least(src, min(dst)) AS component
+                FROM reach GROUP BY src),
+       full_docs AS (
+         SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component, d.n_chars
+         FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+       SELECT doc_id, component,
+              count(*) OVER (PARTITION BY component) AS cluster_size,
+              row_number() OVER (PARTITION BY component
+                ORDER BY n_chars DESC, doc_id) = 1 AS is_survivor
+       FROM full_docs"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_dedup_exact" -> x1 _,
     "x02_dedup_ngram_jaccard" -> x2 _,
@@ -506,7 +555,8 @@ object ExtensionQueries {
     "x20_top_tokens" -> x20 _,
     "x21_stratified_sample" -> x21 _,
     "x22_corpus_profile" -> x22 _,
-    "x23_multimodal_imageio" -> x23 _
+    "x23_multimodal_imageio" -> x23 _,
+    "x24_dedup_clusters" -> x24 _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -527,6 +577,7 @@ object ExtensionQueries {
     "x19_det_split" -> x19Sql,
     "x20_top_tokens" -> x20Sql,
     "x21_stratified_sample" -> x21Sql,
-    "x23_multimodal_imageio" -> x23Sql
+    "x23_multimodal_imageio" -> x23Sql,
+    "x24_dedup_clusters" -> x24Sql
   )
 }

@@ -44,6 +44,54 @@ class ExtensionsSpec extends AnyFunSuite with SparkTestSession {
     assert(!pairs.keys.exists { case (a, b) => b >= 200L && a < 200L })
   }
 
+  test("connected components: path / star / clique / disjoint topologies") {
+    import spark.implicits._
+    def comps(edges: Seq[(Long, Long)]): Map[Long, Long] =
+      Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // 200-node path: diameter 199 >> maxIter 64 — only the pointer-jumping
+    // O(log n) convergence can label it; plain neighbor-min would time out
+    val path = (1L until 200L).map(i => (i, i + 1))
+    assert(comps(path) == (1L to 200L).map(_ -> 1L).toMap)
+
+    // star: all leaves collapse to the center's min
+    val star = (2L to 60L).map(i => (30L, i)) // center 30, leaf ids around it
+    assert(comps(star).values.toSet == Set(2L))
+
+    // clique on 0..9 plus a disjoint pair — two components
+    val clique = for (a <- 0L to 9L; b <- (a + 1) to 9L) yield (a, b)
+    val got = comps(clique ++ Seq((100L, 101L)))
+    assert((0L to 9L).forall(got(_) == 0L) && got(100L) == 100L && got(101L) == 100L)
+
+    // self-loops and empty input are safe
+    assert(comps(Seq((5L, 5L))).isEmpty)
+    assert(comps(Seq.empty).isEmpty)
+  }
+
+  test("resolveClusters: survivor per cluster by keep order, singletons kept") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, 10, "a"), (2L, 30, "b"), (3L, 30, "c"), // cluster {1,2,3}
+      (4L, 99, "d"), // singleton
+      (5L, 7, "e"), (6L, 9, "f") // cluster {5,6}
+    ).toDF("id", "quality", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    // keep = -quality → survivor is max quality, tie-break min id
+    val out = Dedup.resolveClusters(rows, col("id"), -col("quality"), pairs)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("component"), r.getAs[Long]("cluster_size"), r.getAs[Boolean]("is_survivor")))).toMap
+    assert(out(1L) == ((1L, 3L, false)))
+    assert(out(2L) == ((1L, 3L, true))) // quality 30 tie with 3, lower id wins
+    assert(out(3L) == ((1L, 3L, false)))
+    assert(out(4L) == ((4L, 1L, true)))
+    assert(out(5L) == ((5L, 2L, false)))
+    assert(out(6L) == ((5L, 2L, true)))
+    val survivors = Dedup.clusterSurvivors(rows, col("id"), -col("quality"), pairs)
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(survivors == Set(2L, 4L, 6L))
+  }
+
   test("simhash: identical docs at distance 0, unrelated docs far") {
     val sk = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sk"))
     val d = sk.as("a").join(sk.as("b"), col("a.doc_id") < col("b.doc_id"))
