@@ -1,7 +1,8 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.extensions.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
@@ -532,6 +533,169 @@ object ExtensionQueries {
                 ORDER BY n_chars DESC, doc_id) = 1 AS is_survivor
        FROM full_docs"""
 
+  // ---------------------------------------------------------------------------
+  // X25/X26/X27 — oracle-checked INVARIANTS for the rows-only queries
+  // (x03/x04, x06/x13, x22). The LSH/sketch outputs themselves are
+  // engine-specific, but verdicts about them are not: each query emits rows
+  // keyed by DuckDB-knowable keys with boolean invariant columns the oracle
+  // asserts as literal TRUE — a violated invariant flips a boolean and the
+  // hash gate goes red. Thresholds are pinned at ≥2× the margin measured by
+  // tools/ProbeInvariants at sf0.01 AND sf0.1.
+  // ---------------------------------------------------------------------------
+
+  /** Per-doc boolean from a set of violating doc ids. */
+  private def okFlag(base: DataFrame, viol: DataFrame, name: String): DataFrame =
+    base.join(viol.select(col("doc_id"), lit(true).as("__bad")).distinct(),
+        Seq("doc_id"), "left")
+      .withColumn(name, col("__bad").isNull).drop("__bad")
+
+  /** X25 — near-dup pair invariants, one row per document:
+    *  - mh_sound: every x03 candidate pair touching this doc has exact 3-gram
+    *    Jaccard ≥ 0.4 (probe floor 0.8; the estimator threshold is 0.5, so
+    *    0.4 = threshold − σ with 2× empirical slack)
+    *  - mh_complete / sh_complete: docs with IDENTICAL shingle sets must pair
+    *    (identical sets → identical MinHash signature / SimHash sketch →
+    *    distance 0, est 1.0 — candidates by construction in every band/chunk)
+    * The exact-Jaccard re-derivation deliberately uses the HOF token path,
+    * not the native NGrams expression, so it is independent of the machinery
+    * it audits.
+    */
+  private def x25(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+
+    def hofShingles(n: Int): Column = {
+      val toks = array_remove(split(lower(col("text")), "\\s+"), "")
+      val cnt = greatest(size(toks) - (n - 1), lit(1))
+      array_distinct(transform(sequence(lit(1), cnt),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+    }
+    def shingleTable(n: Int): DataFrame =
+      d.select(col("doc_id"), hofShingles(n).as("sh"),
+        sha2(array_join(array_sort(hofShingles(n)), "\u0001"), 256).as("sh_key"))
+
+    def identicalSetPairs(t: DataFrame): DataFrame =
+      t.select(col("sh_key"), col("doc_id").as("id_a"))
+        .join(t.select(col("sh_key"), col("doc_id").as("id_b")), Seq("sh_key"))
+        .filter(col("id_a") < col("id_b")).select("id_a", "id_b")
+
+    def pairDocs(p: DataFrame): DataFrame =
+      p.select(col("id_a").as("doc_id")).union(p.select(col("id_b").as("doc_id")))
+
+    val t3 = shingleTable(3).persist(StorageLevel.MEMORY_AND_DISK)
+    val t2 = shingleTable(2)
+
+    val mhPairs = Dedup.minhashPairs(d, col("doc_id"), col("text"),
+      k = 32, bands = 8, threshold = 0.5).select("id_a", "id_b")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val shPairs = Dedup.simhashPairs(d, col("doc_id"), col("text"), maxDist = 26)
+      .select("id_a", "id_b")
+
+    val mhUnsound = mhPairs
+      .join(t3.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(t3.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .filter(col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")) < 0.4)
+    val mhMissed = identicalSetPairs(t3).join(mhPairs, Seq("id_a", "id_b"), "left_anti")
+    val shMissed = identicalSetPairs(t2).join(shPairs, Seq("id_a", "id_b"), "left_anti")
+
+    val base = d.select(col("doc_id"))
+    val out = okFlag(okFlag(okFlag(base,
+      pairDocs(mhUnsound), "mh_sound"),
+      pairDocs(mhMissed), "mh_complete"),
+      pairDocs(shMissed), "sh_complete")
+    out
+  }
+
+  private val x25Sql =
+    """SELECT doc_id, TRUE AS mh_sound, TRUE AS mh_complete, TRUE AS sh_complete
+       FROM documents"""
+
+  /** X26 — ANN invariants, one row per sampled query (vec_id % 50 = 0):
+    *  - lsh_dominated / ivf_dominated: the ANN's rank-r similarity never
+    *    exceeds the brute-force rank-r similarity (ANN candidates ⊆ corpus,
+    *    so order statistics dominate — mathematically guaranteed; catches
+    *    any divergence between the ANN and exact scoring paths)
+    *  - ivf_in_top100: every IVF hit lies in the brute-force global top-100
+    *    (probe max rank: 7 at sf0.01, 20 at sf0.1 — 5× slack). The same
+    *    containment is deliberately NOT asserted for sign-LSH: its buckets
+    *    partition the corpus, and the probe shows bucket-local top-5 can sit
+    *    beyond global rank 200 — that op trades recall for bucket locality.
+    */
+  private def x26(s: SparkSession, dir: String): DataFrame = {
+    val e = embeds(s, dir)
+    val queries = e.filter(col("vec_id") % 50 === 0)
+    val brute = Similarity.bruteForceTopK(queries, e, k = 100)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    def domViol(ann: DataFrame): DataFrame =
+      ann.join(brute.select(col("query_id"), col("rank"), col("sim").as("brute_sim")),
+          Seq("query_id", "rank"))
+        .filter(col("sim") > col("brute_sim"))
+        .select(col("query_id"))
+
+    val lsh = Similarity.annTopK(e, k = 5, nBits = 8)
+      .filter(col("query_id") % 50 === 0)
+    val ivf = Similarity.ivfTopK(queries, e, k = 5, nCentroids = 16, nProbe = 4)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ivfOutside = ivf
+      .join(brute.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_anti")
+      .select(col("query_id"))
+
+    val base = queries.select(col("vec_id").as("query_id"))
+    def qFlag(b: DataFrame, viol: DataFrame, name: String): DataFrame =
+      b.join(viol.select(col("query_id"), lit(true).as("__bad")).distinct(),
+          Seq("query_id"), "left")
+        .withColumn(name, col("__bad").isNull).drop("__bad")
+    qFlag(qFlag(qFlag(base, domViol(lsh), "lsh_dominated"),
+      domViol(ivf), "ivf_dominated"),
+      ivfOutside, "ivf_in_top100")
+  }
+
+  private val x26Sql =
+    """SELECT vec_id AS query_id, TRUE AS lsh_dominated, TRUE AS ivf_dominated,
+              TRUE AS ivf_in_top100
+       FROM embeddings WHERE vec_id % 50 = 0"""
+
+  /** X27 — corpus-profile invariants, one row per language: the exact fields
+    * (n_docs, total_tokens, total_len) are re-derived by DuckDB directly;
+    * the sketch fields are asserted as tolerances — HLL vocabulary within
+    * 10 % of the exact distinct count (probe error: 0.0 at both scales,
+    * rsd = 2 %), and the approximate length quantiles monotone within the
+    * exact [min, max] envelope.
+    */
+  private def x27(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val prof = TextAnalysis.corpusProfile(d, col("lang"), col("text"))
+    val exactVocab = d
+      .select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("t"))
+      .groupBy("lang").agg(countDistinct("t").as("exact_vocab"))
+    val lenEnv = d.groupBy("lang").agg(
+      min(length(col("text"))).as("min_len"), max(length(col("text"))).as("max_len"),
+      sum(length(col("text"))).as("total_len"))
+    prof.withColumnRenamed("group", "lang")
+      .join(exactVocab, Seq("lang")).join(lenEnv, Seq("lang"))
+      .select(col("lang"), col("n_docs"), col("total_tokens"), col("total_len"),
+        (abs(col("approx_vocab") - col("exact_vocab")) <=
+          col("exact_vocab") * 0.1).as("vocab_ok"),
+        (col("len_quantiles")(0) <= col("len_quantiles")(1) &&
+          col("len_quantiles")(1) <= col("len_quantiles")(2) &&
+          col("len_quantiles")(0) >= col("min_len") &&
+          col("len_quantiles")(2) <= col("max_len")).as("quantiles_ok"))
+  }
+
+  private val x27Sql =
+    """WITH t AS (SELECT lang,
+             unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS tok
+           FROM documents),
+         toks AS (SELECT lang, count(*) AS total_tokens FROM t GROUP BY lang)
+       SELECT d.lang, count(*) AS n_docs, any_value(toks.total_tokens) AS total_tokens,
+              CAST(sum(length(d.text)) AS BIGINT) AS total_len,
+              TRUE AS vocab_ok, TRUE AS quantiles_ok
+       FROM documents d JOIN toks ON d.lang = toks.lang
+       GROUP BY d.lang"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_dedup_exact" -> x1 _,
     "x02_dedup_ngram_jaccard" -> x2 _,
@@ -556,7 +720,10 @@ object ExtensionQueries {
     "x21_stratified_sample" -> x21 _,
     "x22_corpus_profile" -> x22 _,
     "x23_multimodal_imageio" -> x23 _,
-    "x24_dedup_clusters" -> x24 _
+    "x24_dedup_clusters" -> x24 _,
+    "x25_neardup_invariants" -> x25 _,
+    "x26_ann_invariants" -> x26 _,
+    "x27_profile_invariants" -> x27 _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -578,6 +745,9 @@ object ExtensionQueries {
     "x20_top_tokens" -> x20Sql,
     "x21_stratified_sample" -> x21Sql,
     "x23_multimodal_imageio" -> x23Sql,
-    "x24_dedup_clusters" -> x24Sql
+    "x24_dedup_clusters" -> x24Sql,
+    "x25_neardup_invariants" -> x25Sql,
+    "x26_ann_invariants" -> x26Sql,
+    "x27_profile_invariants" -> x27Sql
   )
 }
