@@ -76,6 +76,35 @@ object Sinks {
     renumbered.collect().map(_.getString(0)).mkString("\n")
   }
 
+  /** K4 sink form: same renumbered concatenation, streamed straight to `path`
+    * (atomic temp-file + rename). Bounded driver memory: `toLocalIterator`
+    * holds at most ONE partition of lines at a time, so a pathological
+    * million-group job degrades to sequential partition fetches instead of
+    * materializing the whole artifact driver-side the way the String form
+    * must.
+    */
+  def writeConcatenatedResults(results: DataFrame, path: String): Unit = {
+    val renumbered = results
+      .withColumn("__line", Scalars.renumberToken(col("output"), col("seq")))
+      .orderBy("seq")
+      .select("__line")
+    val target = Paths.get(path)
+    if (target.getParent != null) Files.createDirectories(target.getParent)
+    val tmp = Files.createTempFile(
+      Option(target.getParent).getOrElse(Paths.get(".")), ".tmp-", null)
+    val w = Files.newBufferedWriter(tmp)
+    try {
+      var first = true
+      renumbered.toLocalIterator().forEachRemaining { r =>
+        if (!first) w.write("\n")
+        w.write(r.getString(0))
+        first = false
+      }
+    } finally w.close()
+    Files.move(tmp, target, java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
   /** K7 — meta document sink with redaction (app.py:444-452): the api_key never
     * reaches disk; only its last 8 chars do.
     */

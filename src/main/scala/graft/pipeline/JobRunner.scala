@@ -139,8 +139,8 @@ object JobRunner {
     if (spec.outputFormats.contains("text"))
       Sinks.writePerGroupText(results, resultsDir.toString)
     if (spec.saveConcatResults)
-      ZipUtil.atomicWrite(resultsDir.resolve("results_concat.txt").toString,
-        Sinks.concatenatedResults(results))
+      Sinks.writeConcatenatedResults(results,
+        resultsDir.resolve("results_concat.txt").toString)
     if (spec.includeMetadata)
       Sinks.writeCsvSingle(sunk.catalog, resultsDir.resolve("input.csv").toString, Seq("full_path"))
 

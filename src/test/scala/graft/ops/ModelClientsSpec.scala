@@ -52,6 +52,58 @@ class ModelClientsSpec extends AnyFunSuite {
       org.json4s.jackson.JsonMethods.parse(payload(m))
   }
 
+  test("HTTP round-trip against an in-process stub: auth, extract, non-2xx, timeout") {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    import java.net.InetSocketAddress
+    import java.nio.charset.StandardCharsets
+
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    @volatile var lastAuth: String = null
+    @volatile var lastContentType: String = null
+    @volatile var lastBody: String = null
+    def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+      val bytes = body.getBytes(StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(code, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    }
+    server.createContext("/ok", (ex: HttpExchange) => {
+      lastAuth = ex.getRequestHeaders.getFirst("Authorization")
+      lastContentType = ex.getRequestHeaders.getFirst("Content-Type")
+      lastBody = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      respond(ex, 200,
+        """{"choices":[{"message":{"content":"live reply"}}],"usage":{"prompt_tokens":11}}""")
+    })
+    server.createContext("/flaky", (ex: HttpExchange) =>
+      respond(ex, 429, """{"error":{"message":"rate limited"}}"""))
+    server.createContext("/slow", (ex: HttpExchange) => {
+      Thread.sleep(5000)
+      respond(ex, 200, "{}")
+    })
+    server.start()
+    val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+    try {
+      // 2xx: payload arrives as sent, bearer auth set, content extracted
+      val client = new HttpModelClient(s"$base/ok", apiKey = "sk-test-123")
+      val r = client.complete(req(ContentPart("text", "ping")))
+      assert(r.content == "live reply")
+      assert(r.usageJson.contains("\"prompt_tokens\":11"))
+      assert(lastAuth == "Bearer sk-test-123")
+      assert(lastContentType == "application/json")
+      assert(lastBody == HttpModelClient.buildPayload(req(ContentPart("text", "ping"))))
+
+      // non-2xx propagates as an exception carrying status + body (the enrich
+      // operator converts it to an ERROR data row, worker.py error-as-data)
+      val limited = new HttpModelClient(s"$base/flaky", apiKey = "k")
+      val e = intercept[RuntimeException] { limited.complete(req(ContentPart("text", "x"))) }
+      assert(e.getMessage.contains("429") && e.getMessage.contains("rate limited"))
+
+      // timeout fires instead of hanging
+      val slow = new HttpModelClient(s"$base/slow", apiKey = "k", timeoutSeconds = 1L)
+      intercept[Exception] { slow.complete(req(ContentPart("text", "x"))) }
+    } finally server.stop(0)
+  }
+
   test("response extraction: content + usage, error shapes throw") {
     val good = """{"choices":[{"message":{"content":"the reply"}}],
       "usage":{"prompt_tokens":7,"completion_tokens":3}}"""

@@ -155,6 +155,14 @@ class StoreSpec extends AnyFunSuite with SparkTestSession {
     ).toDF("seq", "group_id", "is_folder", "output")
     val out = Sinks.concatenatedResults(res)
     assert(out == "rec 000000001 and 000000001\nrec 000000002 end")
+    // streamed sink form writes byte-identical content (bounded driver memory)
+    val path = Files.createTempDirectory("graft-concat").resolve("concat.txt").toString
+    Sinks.writeConcatenatedResults(res, path)
+    assert(Files.readString(Paths.get(path)) == out)
+    // and across many partitions (toLocalIterator fetches them in order)
+    val wide = res.repartition(8)
+    Sinks.writeConcatenatedResults(wide, path)
+    assert(Files.readString(Paths.get(path)) == out)
   }
 
   test("K7 meta redaction: api_key never reaches the sink (app.py:444-452)") {
