@@ -132,21 +132,17 @@ object Similarity {
     } finally train.unpersist(false)
 
     // Cell assignment is a pure expression over the centroid LITERALS (a few
-    // KB shipped inside the plan): per-row argmin of L2 distances — a narrow
-    // map with NO join against a model output and NO shuffle of the corpus.
-    // Ranking uses ‖c‖² − 2·v·c (≡ L2 order: the ‖v‖² term is constant per
-    // row); the dot is the native DotProduct, so the per-row cost is
-    // nCentroids fused dot products, not an interpreted (x−c)² tree.
-    // array_sort on (dist, cell) structs breaks ties on the lower cell id.
-    val centroidsLit = typedLit(model.clusterCenters.toSeq.map(_.toArray.toSeq))
-    val normsLit = typedLit(model.clusterCenters.toSeq.map(c =>
-      c.toArray.map(x => x * x).sum))
-    def cellDists(v: Column): Column = zip_with(centroidsLit, normsLit,
-      (cvec, n2) => n2 - lit(2.0) * graft.functions.DotProduct.dotProduct(v, cvec))
+    // KB shipped inside the plan as a codegen reference object): per-row
+    // argmin of L2 distances — a narrow map with NO join against a model
+    // output and NO shuffle of the corpus. Ranking uses ‖c‖² − 2·v·c (≡ L2
+    // order: the ‖v‖² term is constant per row), ties to the lower cell id.
+    // Native NearestCells expression (equivalence with the HOF
+    // array_sort(zip_with(...)) form pinned in NativeExprEquivalenceSpec):
+    // the HOF tree ran interpreted per corpus row — the last interpreted
+    // hot-path expression in the engine.
+    val centroidSeqs = model.clusterCenters.toSeq.map(_.toArray.toSeq)
     def nearestCells(v: Column, n: Int): Column =
-      slice(transform(array_sort(zip_with(cellDists(v),
-        sequence(lit(0), lit(nCentroids - 1)),
-        (d, i) => struct(d.as("d"), i.as("cell")))), s => s("cell")), 1, n)
+      graft.functions.NearestCells.nearestCells(v, centroidSeqs, n)
 
     val c = corpus.select(element_at(nearestCells(col("embedding"), 1), 1).as("cell"),
       col("vec_id").as("neighbor_id"), col("embedding").as("cv"),

@@ -151,6 +151,40 @@ class NativeExprEquivalenceSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("NearestCells matches the array_sort/zip_with formulation on real embeddings") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // deterministic pseudo-random centroids — the claim is value-identity for
+    // ANY centroid set, not just k-means output
+    val rng = new scala.util.Random(7)
+    val dim = e.select(size(col("embedding"))).head().getInt(0)
+    val cents = Seq.fill(16)(Seq.fill(dim)(rng.nextDouble() * 2 - 1))
+    val centroidsLit = typedLit(cents)
+    val normsLit = typedLit(cents.map(c => c.map(x => x * x).sum))
+    def hofNearest(v: org.apache.spark.sql.Column, n: Int) =
+      slice(transform(array_sort(zip_with(
+        zip_with(centroidsLit, normsLit,
+          (cvec, n2) => n2 - lit(2.0) * graft.functions.DotProduct.dotProduct(v, cvec)),
+        sequence(lit(0), lit(15)),
+        (d, i) => struct(d.as("d"), i.as("cell")))), s => s("cell")), 1, n)
+    for (n <- Seq(1, 4, 16)) {
+      val mismatches = e.select(
+          graft.functions.NearestCells.nearestCells(col("embedding"), cents, n).as("native"),
+          hofNearest(col("embedding"), n).as("hof"))
+        .filter(col("native") =!= col("hof"))
+        .count()
+      assert(mismatches == 0, s"nProbe=$n")
+    }
+    // tie-breaking: duplicated centroids must rank by cell id
+    val dupCents = Seq(cents.head, cents(1), cents.head)
+    val row = e.limit(5).select(
+      graft.functions.NearestCells.nearestCells(col("embedding"), dupCents, 3).as("native"))
+      .collect()
+    row.foreach { r =>
+      val cells = r.getSeq[Int](0)
+      assert(cells.indexOf(0) < cells.indexOf(2), cells.toString) // 0 before its twin 2
+    }
+  }
+
   test("MinHashSig matches the aggregate/zip_with formulation (k=32) on corpus text") {
     val mismatches = docs
       .select(Dedup.minhashSignature(Dedup.shingles(col("text")), 32).as("native"),
