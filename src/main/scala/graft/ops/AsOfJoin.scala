@@ -37,18 +37,50 @@ object AsOfJoin {
       leftTime: String, rightTime: String,
       rightPayload: Seq[String], rightOrd: String): DataFrame =
     run(left, right, key, leftTime, rightTime, rightPayload, rightOrd,
-      descending = true)
+      descending = true, bucketMicros = None)
 
   def backward(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String,
       rightPayload: Seq[String], rightOrd: String): DataFrame =
     run(left, right, key, leftTime, rightTime, rightPayload, rightOrd,
-      descending = false)
+      descending = false, bucketMicros = None)
+
+  /** Skew-hardened variants: the plain carry puts each KEY's whole timeline in
+    * one task — a single pathologically hot key (one symbol carrying 90 % of a
+    * feed) serializes. These partition each key's timeline into fixed
+    * `bucketMicros` time buckets and run the carry as a segmented scan:
+    *
+    *  1. in-bucket carry — the same ordered window, but partitioned by
+    *     (key, bucket), so a hot key fans out over timeline/bucketMicros tasks;
+    *  2. per-(key, bucket) summary — the bucket's final carried right payload,
+    *     one `max_by`/`min_by` aggregate row per bucket (no window);
+    *  3. incoming carry — the last non-null summary from earlier buckets
+    *     (later, for forward), a window over the TINY summary relation;
+    *  4. `coalesce(in-bucket, incoming)` — a left row with no in-bucket match
+    *     takes the boundary carry, which is time-correct because buckets
+    *     partition the time axis.
+    *
+    * Same semantics as [[backward]]/[[forward]] including tie rules (asserted
+    * by equivalence in AsOfJoinSpec); three key-partitioned shuffles instead
+    * of one, so reserve it for skewed feeds. Numeric time columns (epoch
+    * nanos/micros) bucket by value; timestamps by `unix_micros`.
+    */
+  def backwardBucketed(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String,
+      rightPayload: Seq[String], rightOrd: String, bucketMicros: Long): DataFrame =
+    run(left, right, key, leftTime, rightTime, rightPayload, rightOrd,
+      descending = false, bucketMicros = Some(bucketMicros))
+
+  def forwardBucketed(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String,
+      rightPayload: Seq[String], rightOrd: String, bucketMicros: Long): DataFrame =
+    run(left, right, key, leftTime, rightTime, rightPayload, rightOrd,
+      descending = true, bucketMicros = Some(bucketMicros))
 
   private def run(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String,
       rightPayload: Seq[String], rightOrd: String,
-      descending: Boolean): DataFrame = {
+      descending: Boolean, bucketMicros: Option[Long]): DataFrame = {
 
     val payloadCols = (rightPayload :+ rightOrd).distinct
     val payloadType = StructType(payloadCols.map(c =>
@@ -75,14 +107,63 @@ object AsOfJoin {
     val tOrder = if (descending) col("__t").desc else col("__t").asc
     val ordOrder = if (descending) col("__payload").getField(rightOrd).desc_nulls_first
       else col("__payload").getField(rightOrd).asc_nulls_first
-    val w = Window.partitionBy(col("__key"))
-      .orderBy(tOrder, col("__is_right").desc, ordOrder)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    // a left row with null time likewise matches nothing: null out its carry
-    taggedRight.unionByName(taggedLeft)
+    val union = taggedRight.unionByName(taggedLeft)
+
+    val carried = bucketMicros match {
+      case None =>
+        val w = Window.partitionBy(col("__key"))
+          .orderBy(tOrder, col("__is_right").desc, ordOrder)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        union.withColumn("__carried", last(col("__payload"), ignoreNulls = true).over(w))
+
+      case Some(width) =>
+        require(width > 0, s"bucketMicros must be positive, got $width")
+        val tMicros = right.schema(rightTime).dataType match {
+          case org.apache.spark.sql.types.TimestampType => unix_micros(col("__t"))
+          case _ => col("__t").cast("long")
+        }
+        val withBucket = union.withColumn("__b", floor(tMicros / width))
+
+        // 1. segmented carry inside each (key, bucket)
+        val wIn = Window.partitionBy(col("__key"), col("__b"))
+          .orderBy(tOrder, col("__is_right").desc, ordOrder)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val inBucket = withBucket
+          .withColumn("__in", last(col("__payload"), ignoreNulls = true).over(wIn))
+
+        // 2. bucket summary: the payload that would be carried OUT of the
+        // bucket — the right row ranking last in carry order, as one
+        // max_by/min_by aggregate (left rows contribute a null ordering key
+        // and are skipped)
+        val ordKey = when(col("__is_right") === 1,
+          struct(col("__t"), col("__payload").getField(rightOrd)))
+        val summaryAgg =
+          if (descending) min_by(col("__payload"), ordKey)
+          else max_by(col("__payload"), ordKey)
+        val summaries = withBucket.groupBy(col("__key"), col("__b"))
+          .agg(summaryAgg.as("__summary"))
+
+        // 3. incoming carry per bucket: last non-null summary of the buckets
+        // before it in carry direction (a window over keys × buckets rows)
+        val bOrder = if (descending) col("__b").desc else col("__b").asc
+        val wAcross = Window.partitionBy(col("__key")).orderBy(bOrder)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val incoming = summaries.withColumn("__incoming",
+          last(col("__summary"), ignoreNulls = true).over(wAcross))
+          .select(col("__key"), col("__b"), col("__incoming"))
+
+        // 4. boundary fill — buckets partition the time axis, so the incoming
+        // payload is always strictly on the correct side of every row in the
+        // bucket
+        inBucket.join(incoming, Seq("__key", "__b"), "left")
+          .withColumn("__carried", coalesce(col("__in"), col("__incoming")))
+    }
+
+    // a left row with null time matches nothing: null out its carry
+    carried
       .withColumn("__carried", when(col("__t").isNull, lit(null).cast(payloadType))
-        .otherwise(last(col("__payload"), ignoreNulls = true).over(w)))
+        .otherwise(col("__carried")))
       .filter(col("__is_right") === 0)
       .select(col("__left.*") +:
         rightPayload.map(p => col("__carried").getField(p).as(p)): _*)

@@ -67,6 +67,44 @@ class AsOfJoinSpec extends AnyFunSuite with SparkTestSession {
     assert(fast.exceptAll(naiveAll).isEmpty && naiveAll.exceptAll(fast).isEmpty)
   }
 
+  test("bucketed carry == plain carry on a 90%-one-key skewed feed, both directions") {
+    // the skew shape the bucketed variant exists for: key "hot" carries 90%
+    // of both sides; ties and sparse-bucket boundaries included
+    val rng = new scala.util.Random(29)
+    def k(i: Int) = if (i % 10 != 0) "hot" else s"cold${i % 3}"
+    val left = (1 to 500).map(i => (i.toLong, k(i), t(rng.nextInt(600))))
+      .toDF("event_id", "k", "ts")
+    val right = (1 to 200).map(i =>
+      (1000L + i, k(i), t(rng.nextInt(600)), rng.nextInt(50).toDouble))
+      .toDF("r_id", "k", "ts", "v")
+
+    for (widthMinutes <- Seq(1L, 7L, 100L, 100000L)) { // tiny buckets ... one bucket
+      val micros = widthMinutes * 60L * 1000000L
+      val plainB = AsOfJoin.backward(left, right, "k", "ts", "ts", Seq("r_id", "v"), "r_id")
+      val buckB = AsOfJoin.backwardBucketed(left, right, "k", "ts", "ts",
+        Seq("r_id", "v"), "r_id", micros)
+      assert(buckB.exceptAll(plainB).isEmpty && plainB.exceptAll(buckB).isEmpty,
+        s"backward width=${widthMinutes}m")
+
+      val plainF = AsOfJoin.forward(left, right, "k", "ts", "ts", Seq("r_id", "v"), "r_id")
+      val buckF = AsOfJoin.forwardBucketed(left, right, "k", "ts", "ts",
+        Seq("r_id", "v"), "r_id", micros)
+      assert(buckF.exceptAll(plainF).isEmpty && plainF.exceptAll(buckF).isEmpty,
+        s"forward width=${widthMinutes}m")
+    }
+  }
+
+  test("bucketed carry fans a hot key out over (key, bucket) partitions") {
+    val left = (1 to 100).map(i => (i.toLong, "hot", t(i))).toDF("event_id", "k", "ts")
+    val right = (1 to 50).map(i => (1000L + i, "hot", t(2 * i), i.toDouble))
+      .toDF("r_id", "k", "ts", "v")
+    val plan = AsOfJoin.backwardBucketed(left, right, "k", "ts", "ts",
+        Seq("r_id", "v"), "r_id", 10L * 60L * 1000000L)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    // the segmented scan partitions its big window by (key, bucket)
+    assert(plan.contains("__b"), plan)
+  }
+
   test("as-of plan shuffles once on the key — no join node, no cartesian") {
     val left = spark.range(10).select(col("id").as("event_id"),
       lit("k").as("k"), col("id").cast("timestamp").as("ts"))
