@@ -237,8 +237,11 @@ object Dedup {
     val sym = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = sym.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label"))
+    // initialization folds the first neighbor-min round into one aggregate:
+    // label(v) = min(v, min of neighbors) — no join needed while labels = ids
+    var labels = sym.groupBy("src")
+      .agg(least(col("src"), min(col("dst"))).as("label"))
+      .select(col("src").as("id"), col("label"))
       .localCheckpoint()
     var prevSum: java.math.BigDecimal = null
     var iter = 0
@@ -275,7 +278,11 @@ object Dedup {
     * component-keyed aggregate — no new scale hazards.
     */
   def resolveClusters(df: DataFrame, id: Column, keep: Column, pairs: DataFrame): DataFrame = {
-    val comps = connectedComponents(pairs)
+    // components/stats are data-scale (one row per paired doc / per cluster)
+    // — too big to assume broadcastable, so hint the shuffled HASH join: the
+    // checkpointed component relation carries no stats and Spark would fall
+    // back to a sort-merge join (two wasted data-scale sorts) without it
+    val comps = connectedComponents(pairs).hint("shuffle_hash")
     val tagged = df
       .withColumn("__id", id.cast("long"))
       .withColumn("__keep", keep)
@@ -283,7 +290,7 @@ object Dedup {
       .withColumn("component", coalesce(col("component"), col("__id")))
     val stats = tagged.groupBy("component").agg(
       min_by(col("__id"), struct(col("__keep"), col("__id"))).as("__survivor_id"),
-      count(lit(1)).as("cluster_size"))
+      count(lit(1)).as("cluster_size")).hint("shuffle_hash")
     tagged.join(stats, Seq("component"))
       .withColumn("is_survivor", col("__id") === col("__survivor_id"))
       .drop("__id", "__keep", "__survivor_id")

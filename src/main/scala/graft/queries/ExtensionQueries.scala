@@ -543,9 +543,10 @@ object ExtensionQueries {
   // tools/ProbeInvariants at sf0.01 AND sf0.1.
   // ---------------------------------------------------------------------------
 
-  /** Per-doc boolean from a set of violating doc ids. */
+  /** Per-doc boolean from a set of violating doc ids (a tiny — normally
+    * empty — relation: always broadcast, never a sort-merge join). */
   private def okFlag(base: DataFrame, viol: DataFrame, name: String): DataFrame =
-    base.join(viol.select(col("doc_id"), lit(true).as("__bad")).distinct(),
+    base.join(broadcast(viol.select(col("doc_id"), lit(true).as("__bad")).distinct()),
         Seq("doc_id"), "left")
       .withColumn(name, col("__bad").isNull).drop("__bad")
 
@@ -569,14 +570,21 @@ object ExtensionQueries {
       array_distinct(transform(sequence(lit(1), cnt),
         i => concat_ws(" ", slice(toks, i, lit(n)))))
     }
+    // sh materialized once, key derived from the column — the interpreted
+    // HOF shingle tree is the dominant cost here, don't run it twice per row
     def shingleTable(n: Int): DataFrame =
-      d.select(col("doc_id"), hofShingles(n).as("sh"),
-        sha2(array_join(array_sort(hofShingles(n)), "\u0001"), 256).as("sh_key"))
+      d.select(col("doc_id"), hofShingles(n).as("sh"))
+        .withColumn("sh_key", sha2(array_join(array_sort(col("sh")), "\u0001"), 256))
 
+    // join-free: group by set key, expand in-group pairs via double
+    // posexplode (group size = dup-set size, small by construction)
     def identicalSetPairs(t: DataFrame): DataFrame =
-      t.select(col("sh_key"), col("doc_id").as("id_a"))
-        .join(t.select(col("sh_key"), col("doc_id").as("id_b")), Seq("sh_key"))
-        .filter(col("id_a") < col("id_b")).select("id_a", "id_b")
+      t.groupBy("sh_key").agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) > 1)
+        .select(col("ids"), posexplode(col("ids")).as(Seq("pa", "id_a")))
+        .select(col("pa"), col("id_a"), posexplode(col("ids")).as(Seq("pb", "id_b")))
+        .filter(col("pb") > col("pa"))
+        .select("id_a", "id_b")
 
     def pairDocs(p: DataFrame): DataFrame =
       p.select(col("id_a").as("doc_id")).union(p.select(col("id_b").as("doc_id")))
@@ -590,14 +598,19 @@ object ExtensionQueries {
     val shPairs = Dedup.simhashPairs(d, col("doc_id"), col("text"), maxDist = 26)
       .select("id_a", "id_b")
 
-    val mhUnsound = mhPairs
+    // candidate-pair relations are corpus-sparse (≪ doc count) — broadcast
+    // them into the doc-scale joins
+    val withShingles = broadcast(mhPairs)
       .join(t3.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+    val mhUnsound = broadcast(withShingles)
       .join(t3.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .filter(col("inter").cast("double") /
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")) < 0.4)
-    val mhMissed = identicalSetPairs(t3).join(mhPairs, Seq("id_a", "id_b"), "left_anti")
-    val shMissed = identicalSetPairs(t2).join(shPairs, Seq("id_a", "id_b"), "left_anti")
+    val mhMissed = identicalSetPairs(t3)
+      .join(broadcast(mhPairs), Seq("id_a", "id_b"), "left_anti")
+    val shMissed = identicalSetPairs(t2)
+      .join(broadcast(shPairs), Seq("id_a", "id_b"), "left_anti")
 
     val base = d.select(col("doc_id"))
     val out = okFlag(okFlag(okFlag(base,
@@ -629,7 +642,8 @@ object ExtensionQueries {
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     def domViol(ann: DataFrame): DataFrame =
-      ann.join(brute.select(col("query_id"), col("rank"), col("sim").as("brute_sim")),
+      ann.join(broadcast(brute.select(col("query_id"), col("rank"),
+          col("sim").as("brute_sim"))),
           Seq("query_id", "rank"))
         .filter(col("sim") > col("brute_sim"))
         .select(col("query_id"))
@@ -639,13 +653,13 @@ object ExtensionQueries {
     val ivf = Similarity.ivfTopK(queries, e, k = 5, nCentroids = 16, nProbe = 4)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val ivfOutside = ivf
-      .join(brute.select(col("query_id"), col("neighbor_id")),
+      .join(broadcast(brute.select(col("query_id"), col("neighbor_id"))),
         Seq("query_id", "neighbor_id"), "left_anti")
       .select(col("query_id"))
 
     val base = queries.select(col("vec_id").as("query_id"))
     def qFlag(b: DataFrame, viol: DataFrame, name: String): DataFrame =
-      b.join(viol.select(col("query_id"), lit(true).as("__bad")).distinct(),
+      b.join(broadcast(viol.select(col("query_id"), lit(true).as("__bad")).distinct()),
           Seq("query_id"), "left")
         .withColumn(name, col("__bad").isNull).drop("__bad")
     qFlag(qFlag(qFlag(base, domViol(lsh), "lsh_dominated"),

@@ -36,10 +36,29 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  /** A SinglePartition exchange is bounded iff its child emits a bounded row
+    * count. The structural case: a KEYLESS partial aggregate (one row per
+    * input partition — Spark's runtime bloom-filter join pruning plans
+    * exactly this shape, `partial_bloom_filter_agg` → SinglePartition).
+    * Formatted-mode detail blocks are "(N) NodeName"-headed and an Exchange's
+    * child is block N−1, so: flag SinglePartition exchanges whose child block
+    * is not a keyless aggregate.
+    */
+  private def unboundedSinglePartition(plan: String): Boolean = {
+    val byId = plan.split("\n\n").flatMap { b =>
+      val t = b.trim
+      "^\\((\\d+)\\)".r.findFirstMatchIn(t).map(m => m.group(1).toInt -> t)
+    }.toMap
+    byId.exists { case (id, b) =>
+      b.contains("Arguments: SinglePartition") &&
+        !byId.get(id - 1).exists(c => c.contains("Keys: []"))
+    }
+  }
+
   test("SinglePartition exchanges only in bounded-output queries") {
     for ((name, fn) <- SparkEntry.queries if !singlePartitionOk(name)) {
       val plan = fn(spark, dir).queryExecution.explainString(FormattedMode)
-      assert(!plan.contains("SinglePartition"),
+      assert(!unboundedSinglePartition(plan),
         s"$name moves unbounded data to one partition")
     }
   }
