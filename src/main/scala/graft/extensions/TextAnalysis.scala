@@ -93,6 +93,65 @@ object TextAnalysis {
     docStats.join(tokStats, Seq("group"), "left")
   }
 
+  // ------------------------------------------------------------- pii --
+
+  /** PII redaction patterns — deliberately restricted to syntax both Java
+    * regex and RE2 (DuckDB/Go/Rust engines) support identically: character
+    * classes, bounded repetition, ASCII `\b` — no lookaround, no
+    * backreferences. Order matters: emails before phone-shaped digit runs.
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "[EMAIL]",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "[IP]",
+    "\\b\\d{3}-\\d{3}-\\d{4}\\b" -> "[PHONE]",
+    "\\b\\d{3}-\\d{4}\\b" -> "[PHONE]")
+
+  /** C4/CommonCrawl-style PII scrub: emails, IPv4s, phone-shaped digit runs →
+    * typed placeholder tokens. Pure codegen'd `regexp_replace` chain — scan
+    * speed, no shuffle, no UDF.
+    */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (pat, repl)) =>
+      regexp_replace(c, lit(pat), lit(repl))
+    }
+
+  // -------------------------------------------- gopher-style quality --
+
+  /** Mean token length in characters — `length(join(tokens)) / count`, all
+    * codegen'd builtins (no per-token HOF). 0 for token-less docs. */
+  def meanWordLen(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) > 0,
+      round(length(array_join(toks, "")).cast("double") / size(toks), 6))
+      .otherwise(0.0)
+  }
+
+  /** Fraction of characters that are ASCII letters. 0 for empty docs. */
+  def alphaRatio(text: Column): Column =
+    when(length(text) > 0,
+      round(regexp_count(text, lit("[A-Za-z]")).cast("double") / length(text), 6))
+      .otherwise(0.0)
+
+  /** Fraction of non-blank lines that are duplicates of an earlier line —
+    * the boilerplate signal (nav bars, footers) in Gopher's repetition
+    * filters. 1 − distinct/total over newline-split lines.
+    */
+  def dupLineFrac(text: Column): Column = {
+    val lines = array_remove(split(text, "\n"), "")
+    when(size(lines) > 0,
+      round(lit(1.0) - size(array_distinct(lines)).cast("double") / size(lines), 6))
+      .otherwise(0.0)
+  }
+
+  /** Gopher-style keep verdict from the stats above (the published operating
+    * points: mean word length in [3, 10], mostly-alphabetic text, bounded
+    * boilerplate repetition).
+    */
+  def qualityKeep(text: Column): Column = {
+    val mwl = meanWordLen(text)
+    mwl >= 3.0 && mwl <= 10.0 && alphaRatio(text) >= 0.6 && dupLineFrac(text) <= 0.3
+  }
+
   /** Document fingerprint: min-sampled 8-char-shingle hash (winnowing-style
     * selection with w = whole document). The shingle hash is the first 48 bits
     * of sha256 — chosen over xxhash/murmur because it is reproducible in any

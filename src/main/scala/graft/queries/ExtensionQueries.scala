@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-import graft.extensions.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.extensions.{Contamination, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** North-star extension queries (dedup / similarity / text analysis /
   * multimodal — the LLM-training-data operators), each oracle-verified where
@@ -710,6 +710,108 @@ object ExtensionQueries {
        FROM documents d JOIN toks ON d.lang = toks.lang
        GROUP BY d.lang"""
 
+  // ---------------------------------------------------------------------------
+  // X28 — PII redaction (C4-style scrub). The word-soup corpus carries no
+  // organic PII, so the query plants a deterministic email / IPv4 / phone per
+  // doc from doc_id arithmetic — both engines synthesize the same string and
+  // must redact it identically (patterns restricted to the Java∩RE2 subset).
+  // ---------------------------------------------------------------------------
+  private def x28(s: SparkSession, dir: String): DataFrame = {
+    val withPii = docs(s, dir).select(col("doc_id"),
+      concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"), lit("@example.com or 10."),
+        (col("doc_id") % 256).cast("string"), lit(".0."),
+        (col("doc_id") % 100).cast("string"), lit(" call 555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("text"))
+    withPii.select(col("doc_id"),
+      TextAnalysis.redactPii(col("text")).as("redacted"),
+      regexp_count(col("text"),
+        lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")).as("n_emails"),
+      regexp_count(col("text"),
+        lit("\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b")).as("n_ips"))
+  }
+
+  private val x28Sql =
+    """WITH p AS (
+         SELECT doc_id,
+                text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 10.' ||
+                CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR) ||
+                ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+         FROM documents)
+       SELECT doc_id,
+              regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+                '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g'),
+                '\b\d{3}-\d{4}\b', '[PHONE]', 'g') AS redacted,
+              CAST(len(regexp_extract_all(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+              CAST(len(regexp_extract_all(text,
+                '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ips
+       FROM p"""
+
+  // ---------------------------------------------------------------------------
+  // X29 — Gopher-style quality-filter stats + keep verdict, all scan-speed
+  // codegen'd column math; keep is derived from the ROUNDED stats so both
+  // engines evaluate the same boundaries.
+  // ---------------------------------------------------------------------------
+  private def x29(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+        TextAnalysis.meanWordLen(col("text")).as("mean_word_len"),
+        TextAnalysis.alphaRatio(col("text")).as("alpha_ratio"),
+        TextAnalysis.dupLineFrac(col("text")).as("dup_line_frac"))
+      .withColumn("keep",
+        col("mean_word_len").between(3.0, 10.0) &&
+          col("alpha_ratio") >= 0.6 && col("dup_line_frac") <= 0.3)
+
+  private val x29Sql =
+    """WITH t AS (
+         SELECT doc_id, text,
+                list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks,
+                list_filter(regexp_split_to_array(text, '\n'), x -> x <> '') AS lines
+         FROM documents)
+       SELECT doc_id,
+              CASE WHEN len(toks) > 0
+                THEN round(length(array_to_string(toks, '')) * 1.0 / len(toks), 6)
+                ELSE 0 END AS mean_word_len,
+              CASE WHEN length(text) > 0
+                THEN round(len(regexp_extract_all(text, '[A-Za-z]')) * 1.0 / length(text), 6)
+                ELSE 0 END AS alpha_ratio,
+              CASE WHEN len(lines) > 0
+                THEN round(1.0 - len(list_distinct(lines)) * 1.0 / len(lines), 6)
+                ELSE 0 END AS dup_line_frac,
+              (mean_word_len BETWEEN 3.0 AND 10.0 AND alpha_ratio >= 0.6
+                AND dup_line_frac <= 0.3) AS keep
+       FROM t"""
+
+  // ---------------------------------------------------------------------------
+  // X30 — benchmark-contamination: distinct token 3-gram overlap of every doc
+  // against the doc_id % 97 = 0 "benchmark" subset (production n = 13; 3 here
+  // so word-soup text overlaps at all). Benchmark n-gram set broadcasts.
+  // ---------------------------------------------------------------------------
+  private def x30(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Contamination.ngramContamination(d, d.filter(col("doc_id") % 97 === 0),
+      col("doc_id"), col("text"), n = 3)
+  }
+
+  private val x30Sql =
+    """WITH t AS (
+         SELECT doc_id,
+                list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                  i -> array_to_string(toks[i:i+2], ' '))) AS sh
+         FROM (SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+               FROM documents)
+         WHERE len(toks) > 0),
+       bench AS (SELECT DISTINCT unnest(sh) AS s FROM t WHERE doc_id % 97 = 0),
+       ex AS (SELECT doc_id, unnest(sh) AS s FROM t)
+       SELECT ex.doc_id AS id, count(*) AS n_shingles,
+              CAST(sum(CASE WHEN bench.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+              round(sum(CASE WHEN bench.s IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS contamination
+       FROM ex LEFT JOIN bench ON ex.s = bench.s
+       GROUP BY ex.doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_dedup_exact" -> x1 _,
     "x02_dedup_ngram_jaccard" -> x2 _,
@@ -737,7 +839,10 @@ object ExtensionQueries {
     "x24_dedup_clusters" -> x24 _,
     "x25_neardup_invariants" -> x25 _,
     "x26_ann_invariants" -> x26 _,
-    "x27_profile_invariants" -> x27 _
+    "x27_profile_invariants" -> x27 _,
+    "x28_pii_redaction" -> x28 _,
+    "x29_quality_filters" -> x29 _,
+    "x30_contamination" -> x30 _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -762,6 +867,9 @@ object ExtensionQueries {
     "x24_dedup_clusters" -> x24Sql,
     "x25_neardup_invariants" -> x25Sql,
     "x26_ann_invariants" -> x26Sql,
-    "x27_profile_invariants" -> x27Sql
+    "x27_profile_invariants" -> x27Sql,
+    "x28_pii_redaction" -> x28Sql,
+    "x29_quality_filters" -> x29Sql,
+    "x30_contamination" -> x30Sql
   )
 }

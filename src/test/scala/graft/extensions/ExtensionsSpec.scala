@@ -255,6 +255,53 @@ class ExtensionsSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("PII redaction: emails, IPs, phones replaced; clean text untouched") {
+    import spark.implicits._
+    val rows = Seq(
+      "mail me at jane.doe+x@sub.example.org today",
+      "server 192.168.1.254 and phone 415-555-1234 or 555-0199",
+      "no pii here, just words and 12 numbers",
+      "").toDF("text")
+    val got = rows.select(TextAnalysis.redactPii(col("text")).as("r"))
+      .collect().map(_.getString(0))
+    assert(got(0) == "mail me at [EMAIL] today")
+    assert(got(1) == "server [IP] and phone [PHONE] or [PHONE]")
+    assert(got(2) == "no pii here, just words and 12 numbers")
+    assert(got(3) == "")
+  }
+
+  test("quality filters: clean prose keeps, degenerate text drops") {
+    import spark.implicits._
+    val rows = Seq(
+      ("good", "the quick brown fox jumps over the lazy dog near the river bank"),
+      ("symbols", "@@@@ #### $$$$ %%%% ^^^^ &&&& **** (((( )))) ____"),
+      ("longtoks", "abcdefghijklmnopqrstuvwxyz abcdefghijklmnopqrstuvwxyz"),
+      ("boiler", "nav\nnav\nnav\nnav\nnav\nnav\nnav\nnav\ncontent here")
+    ).toDF("name", "text")
+    val got = rows.select(col("name"), TextAnalysis.qualityKeep(col("text")).as("k"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(got("good"))
+    assert(!got("symbols")) // alpha ratio too low
+    assert(!got("longtoks")) // mean word length 26
+    assert(!got("boiler")) // 7 of 9 lines are duplicates
+  }
+
+  test("contamination: benchmark docs score 1.0, disjoint docs 0.0, overlap in between") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon"), // the benchmark doc
+      (2L, "alpha beta gamma delta epsilon"), // identical → fully contaminated
+      (3L, "zeta eta theta iota kappa"), // disjoint → 0
+      (4L, "alpha beta gamma unrelated tokens here") // partial overlap
+    ).toDF("doc_id", "text")
+    val out = Contamination.ngramContamination(d, d.filter(col("doc_id") === 1),
+        col("doc_id"), col("text"), n = 3)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("contamination")).toMap
+    assert(out(1L) == 1.0 && out(2L) == 1.0)
+    assert(out(3L) == 0.0)
+    assert(out(4L) > 0.0 && out(4L) < 1.0) // "alpha beta gamma" hits, rest misses
+  }
+
   test("text analysis: language profiles score their own stopwords highest") {
     import spark.implicits._
     val df = Seq(
