@@ -283,11 +283,14 @@ object Dedup {
     // checkpointed component relation carries no stats and Spark would fall
     // back to a sort-merge join (two wasted data-scale sorts) without it
     val comps = connectedComponents(pairs).hint("shuffle_hash")
+    // tagged feeds both the survivor aggregate and the final join — persist
+    // so the corpus scan + component join run once, not twice
     val tagged = df
       .withColumn("__id", id.cast("long"))
       .withColumn("__keep", keep)
       .join(comps.select(col("id").as("__id"), col("component")), Seq("__id"), "left")
       .withColumn("component", coalesce(col("component"), col("__id")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val stats = tagged.groupBy("component").agg(
       min_by(col("__id"), struct(col("__keep"), col("__id"))).as("__survivor_id"),
       count(lit(1)).as("cluster_size")).hint("shuffle_hash")
