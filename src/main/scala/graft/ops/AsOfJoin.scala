@@ -149,9 +149,13 @@ object AsOfJoin {
         val bOrder = if (descending) col("__b").desc else col("__b").asc
         val wAcross = Window.partitionBy(col("__key")).orderBy(bOrder)
           .rowsBetween(Window.unboundedPreceding, -1)
+        // keys × buckets is far smaller than the data but not provably
+        // broadcastable — shuffled HASH join (aggregate-derived side carries
+        // no stats, so Spark would default to sort-merge)
         val incoming = summaries.withColumn("__incoming",
           last(col("__summary"), ignoreNulls = true).over(wAcross))
           .select(col("__key"), col("__b"), col("__incoming"))
+          .hint("shuffle_hash")
 
         // 4. boundary fill — buckets partition the time axis, so the incoming
         // payload is always strictly on the correct side of every row in the

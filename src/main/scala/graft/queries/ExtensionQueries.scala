@@ -151,6 +151,28 @@ object ExtensionQueries {
   private val x18Sql = asofSql(">=")
 
   // ---------------------------------------------------------------------------
+  // X31 — the SKEW-HARDENED as-of path (time-bucketed segmented carry)
+  // through the same oracle as x14: identical semantics, different physical
+  // plan — the driver gate proves the hot-key variant exact, not just
+  // equivalence-tested. events.ts is epoch NANOS (nanosAsLong), so the
+  // 1-hour bucket width is expressed in nanos.
+  // ---------------------------------------------------------------------------
+  private def x31(s: SparkSession, dir: String): DataFrame = {
+    val ev = ParityQueries.events(s, dir)
+    val l = ev.filter(col("event_id") % 2 === 1).select("event_id", "event_type", "ts")
+    val r = ev.filter(col("event_id") % 2 === 0)
+      .select(col("event_type"), col("ts"), col("event_id").as("r_event_id"),
+        col("value").as("r_value"))
+    graft.ops.AsOfJoin.backwardBucketed(l, r, "event_type", "ts", "ts",
+        Seq("r_event_id", "r_value"), "r_event_id", 3600L * 1000000000L)
+      .select(col("event_id"), col("event_type"),
+        graft.ops.Scalars.formatTs(col("ts")).as("ts_s"),
+        col("r_event_id"), col("r_value"))
+  }
+
+  private val x31Sql = asofSql("<=")
+
+  // ---------------------------------------------------------------------------
   // X19 — deterministic train/val/test split (extensions/Sampling): the split
   // is a pure function of sha256(doc_id ⊕ salt), so DuckDB re-derives the
   // exact assignment — reproducible splits are the point of the operator.
@@ -842,7 +864,8 @@ object ExtensionQueries {
     "x27_profile_invariants" -> x27 _,
     "x28_pii_redaction" -> x28 _,
     "x29_quality_filters" -> x29 _,
-    "x30_contamination" -> x30 _
+    "x30_contamination" -> x30 _,
+    "x31_asof_bucketed" -> x31 _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -870,6 +893,7 @@ object ExtensionQueries {
     "x27_profile_invariants" -> x27Sql,
     "x28_pii_redaction" -> x28Sql,
     "x29_quality_filters" -> x29Sql,
-    "x30_contamination" -> x30Sql
+    "x30_contamination" -> x30Sql,
+    "x31_asof_bucketed" -> x31Sql
   )
 }
