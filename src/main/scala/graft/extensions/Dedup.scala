@@ -304,4 +304,14 @@ object Dedup {
     resolveClusters(df, id, keep, pairs)
       .filter(col("is_survivor"))
       .drop("is_survivor")
+
+  /** The full near-dup dedup pipeline in one call — MinHash-LSH candidate
+    * pairs → connected components → one survivor per cluster. This is the
+    * operator a corpus pipeline actually invokes; the pieces stay public for
+    * pipelines that need the pairs or cluster map themselves.
+    */
+  def nearDupDedup(df: DataFrame, id: Column, text: Column, keep: Column,
+      k: Int = 32, bands: Int = 8, threshold: Double = 0.5): DataFrame =
+    clusterSurvivors(df, id, keep,
+      minhashPairs(df, id, text, k, bands, threshold).select("id_a", "id_b"))
 }

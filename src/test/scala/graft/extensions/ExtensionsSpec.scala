@@ -92,6 +92,17 @@ class ExtensionsSpec extends AnyFunSuite with SparkTestSession {
     assert(survivors == Set(2L, 4L, 6L))
   }
 
+  test("nearDupDedup end-to-end: planted dups collapse to one survivor") {
+    // docs: 100/101 identical, 102 near-dup of 100 → one cluster {100,101,102};
+    // 200 and 201 unrelated → survive as singletons
+    val out = Dedup.nearDupDedup(docs, col("doc_id"), col("text"), col("doc_id"))
+    val survivors = out.collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(survivors == Set(100L, 200L, 201L))
+    val sizes = out.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_size")).toMap
+    assert(sizes(100L) == 3 && sizes(200L) == 1 && sizes(201L) == 1)
+  }
+
   test("simhash: identical docs at distance 0, unrelated docs far") {
     val sk = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sk"))
     val d = sk.as("a").join(sk.as("b"), col("a.doc_id") < col("b.doc_id"))
