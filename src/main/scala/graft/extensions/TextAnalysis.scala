@@ -152,6 +152,37 @@ object TextAnalysis {
     mwl >= 3.0 && mwl <= 10.0 && alphaRatio(text) >= 0.6 && dupLineFrac(text) <= 0.3
   }
 
+  // -------------------------------------------------------- chunking --
+
+  /** Context-window chunking: each document becomes ⌈(n−c)/s⌉+1 overlapping
+    * token windows of `chunkSize` tokens at `stride` steps (overlap =
+    * chunkSize − stride) — the corpus→training-sequence step of an LLM data
+    * pipeline. Token-less docs are dropped (no window to emit).
+    *
+    * Plan shape: the chunk COUNT is computed per row first and a bare
+    * `explode(sequence(...))` generates indices — the window slice is then
+    * codegen'd column math per output row. No HOF, no UDF, and the explode
+    * multiplies rows only by the chunk count (bounded by doc length / stride),
+    * never materializing per-doc chunk arrays.
+    */
+  def chunkTokens(df: org.apache.spark.sql.DataFrame, id: Column, text: Column,
+      chunkSize: Int, stride: Int): org.apache.spark.sql.DataFrame = {
+    require(chunkSize >= 1 && stride >= 1 && stride <= chunkSize,
+      s"need 1 <= stride <= chunkSize, got chunkSize=$chunkSize stride=$stride")
+    val base = df.select(id.as("id"), tokens(text).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .filter(col("__n") > 0)
+    val nChunks = when(col("__n") <= chunkSize, lit(1L))
+      .otherwise(ceil((col("__n") - chunkSize).cast("double") / stride).cast("long") + 1L)
+    base
+      .withColumn("chunk_idx", explode(sequence(lit(0L), nChunks - 1L)))
+      .select(col("id"), col("chunk_idx"),
+        least(lit(chunkSize), col("__n") - col("chunk_idx") * stride).cast("int")
+          .as("n_tokens"),
+        concat_ws(" ", slice(col("__toks"),
+          (col("chunk_idx") * stride + 1).cast("int"), lit(chunkSize))).as("chunk_text"))
+  }
+
   /** Document fingerprint: min-sampled 8-char-shingle hash (winnowing-style
     * selection with w = whole document). The shingle hash is the first 48 bits
     * of sha256 — chosen over xxhash/murmur because it is reproducible in any

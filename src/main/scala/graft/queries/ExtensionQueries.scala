@@ -834,6 +834,34 @@ object ExtensionQueries {
        FROM ex LEFT JOIN bench ON ex.s = bench.s
        GROUP BY ex.doc_id"""
 
+  // ---------------------------------------------------------------------------
+  // X32 — context-window chunking (32-token windows, stride 24): the
+  // corpus → training-sequence step. DuckDB re-derives every window via
+  // range + inclusive list slicing.
+  // ---------------------------------------------------------------------------
+  private def x32(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunkTokens(docs(s, dir), col("doc_id"), col("text"),
+        chunkSize = 32, stride = 24)
+      .select(col("id").as("doc_id"), col("chunk_idx"), col("n_tokens"),
+        col("chunk_text"))
+
+  private val x32Sql =
+    """WITH t AS (
+         SELECT doc_id, toks, len(toks) AS n
+         FROM (SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+               FROM documents)
+         WHERE len(toks) > 0),
+       c AS (
+         SELECT doc_id, toks, n,
+                unnest(range(0, CASE WHEN n <= 32 THEN 1
+                  ELSE CAST(ceil((n - 32) * 1.0 / 24) AS BIGINT) + 1 END)) AS chunk_idx
+         FROM t)
+       SELECT doc_id, chunk_idx,
+              CAST(least(32, n - chunk_idx * 24) AS INT) AS n_tokens,
+              array_to_string(toks[chunk_idx * 24 + 1 : chunk_idx * 24 + 32], ' ') AS chunk_text
+       FROM c"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_dedup_exact" -> x1 _,
     "x02_dedup_ngram_jaccard" -> x2 _,
@@ -865,7 +893,8 @@ object ExtensionQueries {
     "x28_pii_redaction" -> x28 _,
     "x29_quality_filters" -> x29 _,
     "x30_contamination" -> x30 _,
-    "x31_asof_bucketed" -> x31 _
+    "x31_asof_bucketed" -> x31 _,
+    "x32_chunking" -> x32 _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -894,6 +923,7 @@ object ExtensionQueries {
     "x28_pii_redaction" -> x28Sql,
     "x29_quality_filters" -> x29Sql,
     "x30_contamination" -> x30Sql,
-    "x31_asof_bucketed" -> x31Sql
+    "x31_asof_bucketed" -> x31Sql,
+    "x32_chunking" -> x32Sql
   )
 }

@@ -313,6 +313,27 @@ class ExtensionsSpec extends AnyFunSuite with SparkTestSession {
     assert(out(4L) > 0.0 && out(4L) < 1.0) // "alpha beta gamma" hits, rest misses
   }
 
+  test("chunking: window count, overlap, tail length, short and empty docs") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 toks: chunks at 0,4,8? n=10,c=4,s=3 → ceil(6/3)+1 = 3
+      (2L, "a b"), // shorter than chunk → 1 window of 2
+      (3L, "   ") // token-less → dropped
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkTokens(d, col("doc_id"), col("text"), chunkSize = 4, stride = 3)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("chunk_idx")) ->
+        ((r.getAs[Int]("n_tokens"), r.getAs[String]("chunk_text")))).toMap
+    assert(out.keys.count(_._1 == 1L) == 3)
+    assert(out((1L, 0L)) == ((4, "t1 t2 t3 t4")))
+    assert(out((1L, 1L)) == ((4, "t4 t5 t6 t7"))) // overlap of 1 token
+    assert(out((1L, 2L)) == ((4, "t7 t8 t9 t10")))
+    assert(out((2L, 0L)) == ((2, "a b")))
+    assert(!out.keys.exists(_._1 == 3L))
+    // every token of every doc is covered by at least one window
+    val covered = out.collect { case ((1L, _), (_, txt)) => txt.split(" ") }.flatten.toSet
+    assert(covered == (1 to 10).map(i => s"t$i").toSet)
+  }
+
   test("text analysis: language profiles score their own stopwords highest") {
     import spark.implicits._
     val df = Seq(
