@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField}
+
+/** Distributed global prefix sum (the parallel scan primitive).
+  *
+  * A naive `sum().over(Window.orderBy(...))` collapses the table into ONE
+  * partition — the same trap [[SeqNumber]] exists for. Parallel formulation:
+  * range-repartition on the sort keys (distributed sort), one pass for
+  * per-partition totals, `scanLeft` the (tiny, numPartitions-sized) totals on
+  * the driver into per-partition offsets, then one pass emitting
+  * `offset + running`. Two linear passes, no single-partition stage.
+  *
+  * Same instance-consistency argument as SeqNumber: both passes run over the
+  * SAME materialized RDD (`df.rdd` once), so the range partitioner's sampled
+  * boundaries cannot disagree between the totals job and the output job.
+  *
+  * Requires the sort keys to totally order the rows (unique) for a
+  * deterministic result; `value` is read as LONG.
+  */
+object PrefixSum {
+
+  /** Adds `outCol` = inclusive running sum of `value` in `sortCols` order. */
+  def withGlobalCumsum(df: DataFrame, value: Column, outCol: String,
+      sortCols: Column*): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.withColumn("__v", value.cast("long"))
+      .repartitionByRange(sortCols: _*).sortWithinPartitions(sortCols: _*)
+    val rdd = sorted.rdd
+    val vIdx = sorted.schema.fieldIndex("__v")
+    val partTotals = rdd.mapPartitionsWithIndex { (i, it) =>
+      var s = 0L
+      it.foreach(r => s += r.getLong(vIdx))
+      Iterator((i, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = partTotals.scanLeft(0L)(_ + _) // offsets(i) = total of partitions < i
+    val bc = spark.sparkContext.broadcast(offsets)
+    val out = rdd.mapPartitionsWithIndex { (i, it) =>
+      var run = bc.value(i)
+      it.map { r => run += r.getLong(vIdx); Row.fromSeq(r.toSeq :+ run) }
+    }
+    spark.createDataFrame(out,
+        sorted.schema.add(StructField(outCol, LongType, nullable = false)))
+      .drop("__v")
+  }
+
+  /** GPT-style stream packing: rows (chunks) are concatenated into one global
+    * token stream in `sortCols` order and assigned to fixed `budget`-token
+    * packs by their stream START position — the sequence-packing step between
+    * a chunked corpus and training batches. Adds `stream_pos` (0-based start
+    * offset of the row in the stream) and `pack_id` (= stream_pos / budget).
+    */
+  def packStream(chunks: DataFrame, nTokens: Column, budget: Int,
+      sortCols: Column*): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    withGlobalCumsum(chunks.withColumn("__n", nTokens.cast("long")), col("__n"),
+        "__cum", sortCols: _*)
+      .withColumn("stream_pos", col("__cum") - col("__n"))
+      .withColumn("pack_id", (col("stream_pos") / budget).cast("long"))
+      .drop("__n", "__cum")
+  }
+}

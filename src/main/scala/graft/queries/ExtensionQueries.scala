@@ -862,6 +862,46 @@ object ExtensionQueries {
               array_to_string(toks[chunk_idx * 24 + 1 : chunk_idx * 24 + 32], ' ') AS chunk_text
        FROM c"""
 
+  // ---------------------------------------------------------------------------
+  // X33 — sequence packing: the x32 chunks concatenated into one global token
+  // stream (distributed prefix sum — no single-partition window) and cut into
+  // 256-token packs by stream start position. DuckDB re-derives the cumsum
+  // with a plain ordered window (fine at oracle scale — which is why the
+  // engine side must NOT use one).
+  // ---------------------------------------------------------------------------
+  private def x33(s: SparkSession, dir: String): DataFrame = {
+    val chunks = TextAnalysis.chunkTokens(docs(s, dir), col("doc_id"), col("text"),
+      chunkSize = 32, stride = 24)
+    graft.ops.PrefixSum.packStream(chunks, col("n_tokens"), budget = 256,
+        col("id"), col("chunk_idx"))
+      .select(col("id").as("doc_id"), col("chunk_idx"), col("n_tokens"),
+        col("stream_pos"), col("pack_id"))
+  }
+
+  private val x33Sql =
+    """WITH t AS (
+         SELECT doc_id, toks, len(toks) AS n
+         FROM (SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+               FROM documents)
+         WHERE len(toks) > 0),
+       c AS (
+         SELECT doc_id,
+                unnest(range(0, CASE WHEN n <= 32 THEN 1
+                  ELSE CAST(ceil((n - 32) * 1.0 / 24) AS BIGINT) + 1 END)) AS chunk_idx,
+                n
+         FROM t),
+       ch AS (SELECT doc_id, chunk_idx,
+                CAST(least(32, n - chunk_idx * 24) AS INT) AS n_tokens FROM c),
+       cum AS (SELECT doc_id, chunk_idx, n_tokens,
+                sum(n_tokens) OVER (ORDER BY doc_id, chunk_idx
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+               FROM ch)
+       SELECT doc_id, chunk_idx, n_tokens,
+              CAST(cum - n_tokens AS BIGINT) AS stream_pos,
+              CAST((cum - n_tokens) // 256 AS BIGINT) AS pack_id
+       FROM cum"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_dedup_exact" -> x1 _,
     "x02_dedup_ngram_jaccard" -> x2 _,
@@ -894,7 +934,8 @@ object ExtensionQueries {
     "x29_quality_filters" -> x29 _,
     "x30_contamination" -> x30 _,
     "x31_asof_bucketed" -> x31 _,
-    "x32_chunking" -> x32 _
+    "x32_chunking" -> x32 _,
+    "x33_seq_packing" -> x33 _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -924,6 +965,7 @@ object ExtensionQueries {
     "x29_quality_filters" -> x29Sql,
     "x30_contamination" -> x30Sql,
     "x31_asof_bucketed" -> x31Sql,
-    "x32_chunking" -> x32Sql
+    "x32_chunking" -> x32Sql,
+    "x33_seq_packing" -> x33Sql
   )
 }

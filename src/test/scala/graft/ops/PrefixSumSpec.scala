@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+class PrefixSumSpec extends AnyFunSuite with SparkTestSession {
+
+  import spark.implicits._
+
+  test("global cumsum == driver-side scan, across many partitions and orders") {
+    val rng = new scala.util.Random(41)
+    val rows = (1 to 5000).map(i => (i.toLong, rng.nextInt(100).toLong))
+    // shuffled input over 16 partitions — the op must impose the global order
+    val df = spark.createDataFrame(rng.shuffle(rows)).toDF("k", "v").repartition(16)
+    val got = PrefixSum.withGlobalCumsum(df, col("v"), "cum", col("k"))
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[Long]("cum")).toMap
+    var acc = 0L
+    for ((k, v) <- rows) {
+      acc += v
+      assert(got(k) == acc, s"k=$k")
+    }
+    // and the plan is not a single-partition window
+    val plan = PrefixSum.withGlobalCumsum(df, col("v"), "cum", col("k"))
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("packStream: stream positions contiguous, packs cut at the budget") {
+    val chunks = Seq(
+      (1L, 0L, 10), (1L, 1L, 10), (2L, 0L, 7), (3L, 0L, 10), (3L, 1L, 3)
+    ).toDF("id", "chunk_idx", "n_tokens")
+    val out = PrefixSum.packStream(chunks, col("n_tokens"), budget = 16,
+        col("id"), col("chunk_idx"))
+      .orderBy("stream_pos").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("chunk_idx"),
+        r.getAs[Long]("stream_pos"), r.getAs[Long]("pack_id")))
+    assert(out.toSeq == Seq(
+      (1L, 0L, 0L, 0L), // tokens [0,10) → pack 0
+      (1L, 1L, 10L, 0L), // starts at 10 < 16 → pack 0
+      (2L, 0L, 20L, 1L), // starts at 20 → pack 1
+      (3L, 0L, 27L, 1L),
+      (3L, 1L, 37L, 2L)))
+  }
+}
