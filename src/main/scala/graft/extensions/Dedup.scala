@@ -229,14 +229,70 @@ object Dedup {
     * label sum (decimal — no overflow) is strictly decreasing until fixpoint;
     * equal sums ⇒ done. Labels at fixpoint are constant within a component
     * (every edge forces label equality) and the component min labels itself.
+    *
+    * Small-graph fast path: near-dup edge sets are corpus-sparse (orders of
+    * magnitude below document count), so the measured edge count usually sits
+    * far under `localEdgeThreshold` — then the whole solve is ONE single-task
+    * union-find pass (path compression + union-by-min-root, O(E α(E))) instead
+    * of an iterative loop whose per-round job-scheduling overhead dominates at
+    * small edge counts. This is the connected-components analogue of a
+    * broadcast-join threshold: a measured-size cutover between a local and a
+    * distributed strategy, with the distributed propagation kept for graphs
+    * that genuinely exceed one task's memory. At the default 8M-edge cutover
+    * the union-find state is ~400 MB of LongMap — comfortable in an executor.
     */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
-      idB: String = "id_b", maxIter: Int = 64): DataFrame = {
+      idB: String = "id_b", maxIter: Int = 64,
+      localEdgeThreshold: Long = 8L * 1000 * 1000): DataFrame =
+    componentsWithCount(pairs, idA, idB, maxIter, localEdgeThreshold)._1
+
+  /** [[connectedComponents]] plus the measured symmetric-edge count, which
+    * [[resolveClusters]] uses to decide broadcast-vs-shuffle for the
+    * corpus-side component join (checkpointed relations carry no stats, so
+    * Spark can't make that call itself). */
+  private def componentsWithCount(pairs: DataFrame, idA: String, idB: String,
+      maxIter: Int, localEdgeThreshold: Long): (DataFrame, Long) = {
     val edges = pairs.select(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
     val sym = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val edgeCount = sym.count() // materializes the persist; drives the cutover
+    if (edgeCount <= localEdgeThreshold) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      // union-by-min-root keeps the invariant "root of a tree = min id in the
+      // tree" (induction: singletons trivially; a merge roots at min(ra, rb) =
+      // min of the union), so the final find(v) IS the component minimum —
+      // identical labeling to the propagation path, pinned by ExtensionsSpec.
+      val labeled = sym.as[(Long, Long)].coalesce(1).mapPartitions { it =>
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x0: Long): Long = {
+          var r = x0
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var y = x0
+          while (parent.getOrElse(y, y) != y) { val n = parent(y); parent(y) = r; y = n }
+          r
+        }
+        it.foreach { case (a, b) =>
+          // register both endpoints: a never-merged root must still emit a row
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        // freeze the key set first: find() path-compresses (mutates values)
+        // and LongMap iteration is not mutation-safe
+        val keys = parent.keysIterator.toArray
+        val roots = new Array[(Long, Long)](keys.length)
+        var i = 0
+        while (i < keys.length) { roots(i) = (keys(i), find(keys(i))); i += 1 }
+        // nodes seen only as self-loop endpoints never entered parent — but
+        // sym filtered self-loops, so every parent key is a real edge endpoint
+        roots.iterator
+      }.toDF("id", "component").localCheckpoint()
+      sym.unpersist()
+      return (labeled, edgeCount)
+    }
     // initialization folds the first neighbor-min round into one aggregate:
     // label(v) = min(v, min of neighbors) — no join needed while labels = ids
     var labels = sym.groupBy("src")
@@ -267,7 +323,7 @@ object Dedup {
       iter += 1
     }
     sym.unpersist()
-    labels.select(col("id"), col("label").as("component"))
+    (labels.select(col("id"), col("label").as("component")), edgeCount)
   }
 
   /** Full cluster resolution: rows + candidate pairs → every row tagged with
@@ -278,11 +334,17 @@ object Dedup {
     * component-keyed aggregate — no new scale hazards.
     */
   def resolveClusters(df: DataFrame, id: Column, keep: Column, pairs: DataFrame): DataFrame = {
-    // components/stats are data-scale (one row per paired doc / per cluster)
-    // — too big to assume broadcastable, so hint the shuffled HASH join: the
-    // checkpointed component relation carries no stats and Spark would fall
-    // back to a sort-merge join (two wasted data-scale sorts) without it
-    val comps = connectedComponents(pairs).hint("shuffle_hash")
+    // The component relation's size was measured inside the solve, so pick the
+    // join strategy from data, not hope: a sparse edge set (≤ ~1M sym edges →
+    // ≤ 2M component rows, ~50 MB) broadcasts, and the corpus-side tagging
+    // join costs ZERO shuffles of the corpus. Bigger graphs take a shuffled
+    // HASH join — hinted, because the checkpointed component relation carries
+    // no stats and Spark would fall back to a sort-merge join (two wasted
+    // data-scale sorts) without it.
+    val (comps0, edgeCount) = componentsWithCount(pairs, "id_a", "id_b",
+      maxIter = 64, localEdgeThreshold = 8L * 1000 * 1000)
+    val comps = if (edgeCount <= 1000 * 1000) broadcast(comps0)
+                else comps0.hint("shuffle_hash")
     // tagged feeds both the survivor aggregate and the final join — persist
     // so the corpus scan + component join run once, not twice
     val tagged = df

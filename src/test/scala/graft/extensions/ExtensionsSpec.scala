@@ -46,9 +46,18 @@ class ExtensionsSpec extends AnyFunSuite with SparkTestSession {
 
   test("connected components: path / star / clique / disjoint topologies") {
     import spark.implicits._
-    def comps(edges: Seq[(Long, Long)]): Map[Long, Long] =
-      Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+    // every topology through BOTH strategies: the single-task union-find fast
+    // path (default threshold) and the distributed min-label propagation
+    // (forced by localEdgeThreshold = 0) — labelings must be identical
+    def comps(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val df = edges.toDF("id_a", "id_b")
+      val local = Dedup.connectedComponents(df)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val dist = Dedup.connectedComponents(df, localEdgeThreshold = 0)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(dist == local, "distributed propagation disagrees with union-find")
+      local
+    }
 
     // 200-node path: diameter 199 >> maxIter 64 — only the pointer-jumping
     // O(log n) convergence can label it; plain neighbor-min would time out
