@@ -1,0 +1,54 @@
+package graft.extensions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic mixture sampling: down-sample groups (languages, sources,
+  * domains) so the KEPT corpus matches target proportions — the "data mixture
+  * weights" step every pretraining pipeline runs before tokenization (the
+  * mixture tables of GPT-3/LLaMA-style training setups).
+  *
+  * Semantics, all in integer arithmetic so any engine re-derives the exact
+  * same decisions (the DuckDB oracle does):
+  *   - target shares are parts-per-million per group;
+  *   - `T = min over groups of floor(n_g * 1e6 / share_g)` is the largest
+  *     total corpus size whose mixture is achievable without up-sampling any
+  *     group (the binding group is kept whole);
+  *   - per-group keep target `k_g = floor(share_g * T / 1e6)`, applied as a
+  *     [[Sampling.hashBucket]] threshold `floor(k_g * 10000 / n_g)` — the
+  *     same engine-portable sha-bucket primitive as the split operators, so
+  *     membership is a pure function of the row key and survives reruns,
+  *     repartitions, and engine swaps.
+  *
+  * Scale shape: group cardinalities come from one map-side-combined count
+  * aggregate whose result is ENUM-scale (one row per group — languages,
+  * sources), collected to the driver to fold the thresholds into the plan as
+  * literals; the corpus itself is never shuffled — the keep decision is a
+  * narrow per-row filter expression. Unknown groups (no share entry) are
+  * dropped, mirroring mixture tables which enumerate their sources.
+  */
+object Mixture {
+
+  /** Adds `bucket` and `kept` to every row of `df`. `sharesPpm` values should
+    * sum to ≤ 1e6; groups absent from the map get `kept = false`. */
+  def sampleToMixture(df: DataFrame, key: Column, group: Column,
+      sharesPpm: Map[String, Long], salt: String = ""): DataFrame = {
+    require(sharesPpm.values.forall(s => s > 0 && s <= 1000000L),
+      "shares must be in (0, 1e6] ppm")
+    val counts = df.groupBy(group.as("__g")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val present = sharesPpm.filter { case (g, _) => counts.getOrElse(g, 0L) > 0 }
+    // largest achievable mixture total: the binding group is kept whole
+    val t: Long = if (present.isEmpty) 0L
+      else present.map { case (g, ppm) => counts(g) * 1000000L / ppm }.min
+    // fold per-group bucket thresholds into the plan as a literal CASE —
+    // no join, no broadcast, just a codegen'd scalar expression
+    val thresh: Column = present.foldRight(lit(-1L): Column) {
+      case ((g, ppm), elseCol) =>
+        val kg = ppm * t / 1000000L
+        when(group === g, lit(kg * 10000L / counts(g))).otherwise(elseCol)
+    }
+    df.withColumn("bucket", Sampling.hashBucket(key, salt))
+      .withColumn("kept", col("bucket") < thresh)
+  }
+}

@@ -178,4 +178,44 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .select("block", "id_a", "id_b", "sim")
   }
+
+  /** Per-label prototype vector — the cluster-centroid half of SemDeDup-style
+    * (Abbas et al. 2023) prototype filtering: rows far from their cluster's
+    * prototype are outliers/noise, rows too close to an already-kept row are
+    * semantic dups.
+    *
+    * The prototype is the per-dimension SUM vector, not the mean: cosine is
+    * scale-invariant, so sum ≡ mean for every downstream similarity — and the
+    * sum can be computed in DECIMAL, which is exact and order-independent,
+    * where a floating mean depends on aggregation order and can't be
+    * reproduced bit-for-bit by another engine (or even another run). Floats
+    * enter decimal via their shortest string representation, which both Spark
+    * and DuckDB produce identically.
+    *
+    * Scale shape: posexplode is a narrow 64×n expansion that never leaves the
+    * scan stage; the (label, dim) aggregate combines map-side down to
+    * |labels|·dims rows; the final per-label collect is enum-scale. No
+    * driver-side data, no vocabulary-scale shuffle.
+    */
+  def labelPrototypes(df: DataFrame, label: Column, vec: Column): DataFrame =
+    df.select(label.as("label"), posexplode(vec).as(Seq("dim", "v")))
+      .withColumn("vd", col("v").cast("string").cast("decimal(20,10)"))
+      .groupBy("label", "dim").agg(sum("vd").as("s"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("dim"), col("s")))).as("a"))
+      .select(col("label"),
+        transform(col("a"), x => x("s").cast("double")).as("proto"))
+
+  /** Every row's cosine to its own label's prototype (rounded to 6 dp for
+    * engine-stable downstream thresholds). Prototypes broadcast — the corpus
+    * is never shuffled. */
+  def prototypeSimilarity(df: DataFrame, id: Column, label: Column,
+      vec: Column): DataFrame = {
+    val protos = labelPrototypes(df, label, vec)
+    df.select(id.as("id"), label.as("label"),
+        transform(vec, _.cast("double")).as("__v"))
+      .join(broadcast(protos), Seq("label"))
+      .select(col("id"), col("label"),
+        round(cosine(col("__v"), col("proto")), 6).as("sim"))
+  }
 }

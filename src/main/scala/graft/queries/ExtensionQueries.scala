@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-import graft.extensions.{Contamination, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.extensions.{Contamination, Dedup, HeavyHitters, Mixture, Multimodal, Sampling, Similarity, SpanDedup, TextAnalysis}
 
 /** North-star extension queries (dedup / similarity / text analysis /
   * multimodal — the LLM-training-data operators), each oracle-verified where
@@ -902,6 +902,163 @@ object ExtensionQueries {
               CAST((cum - n_tokens) // 256 AS BIGINT) AS pack_id
        FROM cum"""
 
+  // ---------------------------------------------------------------------------
+  // X34 — corpus-wide exact substring (span) dedup: tumbling 10-token tiles,
+  // first occurrence survives, documents rebuilt from surviving tiles (Lee et
+  // al. 2022 exact-substring dedup, relational formulation). The oracle
+  // re-derives the election with a per-tile row_number window.
+  // ---------------------------------------------------------------------------
+  private def x34(s: SparkSession, dir: String): DataFrame =
+    SpanDedup.dedupSpans(docs(s, dir), col("doc_id"), col("text"), w = 10)
+      .select(col("id").as("doc_id"), col("n_tiles"), col("n_tiles_dropped"),
+        col("clean_text"))
+
+  private val x34Sql =
+    """WITH t AS (
+         SELECT doc_id,
+                list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+         FROM documents),
+       n AS (SELECT doc_id, toks, (len(toks) + 9) // 10 AS nt FROM t),
+       tiles AS (
+         SELECT doc_id, idx,
+                array_to_string(toks[idx * 10 + 1 : idx * 10 + 10], ' ') AS tile
+         FROM (SELECT doc_id, toks, unnest(range(0, nt)) AS idx FROM n)),
+       marked AS (
+         SELECT doc_id, idx, tile,
+                row_number() OVER (PARTITION BY tile ORDER BY doc_id, idx) = 1 AS kept
+         FROM tiles),
+       agg AS (
+         SELECT doc_id, count(*) AS n_tiles,
+                count(*) FILTER (WHERE NOT kept) AS n_tiles_dropped,
+                coalesce(string_agg(tile, ' ' ORDER BY idx) FILTER (WHERE kept), '') AS clean_text
+         FROM marked GROUP BY doc_id)
+       SELECT d.doc_id, CAST(coalesce(a.n_tiles, 0) AS BIGINT) AS n_tiles,
+              CAST(coalesce(a.n_tiles_dropped, 0) AS BIGINT) AS n_tiles_dropped,
+              coalesce(a.clean_text, '') AS clean_text
+       FROM documents d LEFT JOIN agg a USING (doc_id)"""
+
+  // ---------------------------------------------------------------------------
+  // X35 — deterministic mixture sampling: down-sample languages to a target
+  // mixture (en 40 %, others 15 % each) with the engine-portable sha-bucket;
+  // all threshold arithmetic is integer so DuckDB re-derives every decision.
+  // ---------------------------------------------------------------------------
+  private val mixtureShares = Map("en" -> 400000L, "de" -> 150000L,
+    "es" -> 150000L, "fr" -> 150000L, "zh" -> 150000L)
+
+  private def x35(s: SparkSession, dir: String): DataFrame =
+    Mixture.sampleToMixture(docs(s, dir), col("doc_id"), col("lang"),
+        mixtureShares, salt = "mix1")
+      .select(col("doc_id"), col("lang"), col("bucket"), col("kept"))
+
+  private val x35Sql =
+    """WITH shares(lang, ppm) AS (VALUES ('en', 400000), ('de', 150000),
+              ('es', 150000), ('fr', 150000), ('zh', 150000)),
+       counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+       tt AS (SELECT min(n * 1000000 // ppm) AS t FROM counts JOIN shares USING (lang)),
+       thr AS (SELECT s.lang, ((s.ppm * tt.t // 1000000) * 10000) // c.n AS thresh
+               FROM shares s JOIN counts c USING (lang), tt)
+       SELECT d.doc_id, d.lang,
+              CAST('0x' || substr(sha256(CAST(d.doc_id AS VARCHAR) || 'mix1'), 1, 8) AS BIGINT)
+                % 10000 AS bucket,
+              coalesce(bucket < t.thresh, FALSE) AS kept
+       FROM documents d LEFT JOIN thr t USING (lang)"""
+
+  // ---------------------------------------------------------------------------
+  // X36 — heavy hitters: exact top-20 tokens audited by a Count-Min sketch
+  // (mergeable, map-side combined). The CMS estimate itself is engine-
+  // specific; what the oracle checks is the exact counts plus the CMS error
+  // bounds pinned TRUE (estimate ≥ exact always; ≤ exact + eps·N w.h.p.).
+  // ---------------------------------------------------------------------------
+  private def x36(s: SparkSession, dir: String): DataFrame =
+    HeavyHitters.auditedTopK(
+        docs(s, dir).select(explode(TextAnalysis.tokens(col("text"))).as("tok")),
+        col("tok"), k = 20)
+      .select(col("item"), col("cnt"), col("cms_lower_ok"), col("cms_upper_ok"))
+
+  private val x36Sql =
+    """WITH toks AS (
+         SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                x -> x <> '')) AS tok
+         FROM documents),
+       c AS (SELECT tok AS item, count(*) AS cnt FROM toks GROUP BY 1)
+       SELECT item, cnt, TRUE AS cms_lower_ok, TRUE AS cms_upper_ok
+       FROM c ORDER BY cnt DESC, item LIMIT 20"""
+
+  // ---------------------------------------------------------------------------
+  // X37 — SemDeDup-style prototype similarity: per-label prototype = DECIMAL-
+  // exact per-dimension sum vector (cosine is scale-invariant, so sum ≡ mean
+  // — but the sum is engine-reproducible where a floating mean is not);
+  // every vector's cosine to its label's prototype, outliers flagged.
+  // ---------------------------------------------------------------------------
+  private def x37(s: SparkSession, dir: String): DataFrame =
+    Similarity.prototypeSimilarity(embeds(s, dir), col("vec_id"), col("label"),
+        col("embedding"))
+      .select(col("id").as("vec_id"), col("label"), col("sim"),
+        (col("sim") >= 0.0).as("is_typical"))
+
+  private val x37Sql =
+    """WITH ex AS (
+         SELECT vec_id, label, dim,
+                CAST(CAST(embedding[dim] AS VARCHAR) AS DECIMAL(20,10)) AS vd
+         FROM (SELECT vec_id, label, embedding,
+                      unnest(range(1, len(embedding) + 1)) AS dim
+               FROM embeddings)),
+       cent AS (SELECT label, dim, sum(vd) AS sv FROM ex GROUP BY 1, 2),
+       cvec AS (SELECT label, array_agg(CAST(sv AS DOUBLE) ORDER BY dim) AS proto
+                FROM cent GROUP BY 1)
+       SELECT e.vec_id, e.label,
+              round(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                               CAST(e.embedding AS DOUBLE[])) = 0
+                          OR list_dot_product(c.proto, c.proto) = 0 THEN 0
+                    ELSE list_dot_product(CAST(e.embedding AS DOUBLE[]), c.proto) /
+                         (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                CAST(e.embedding AS DOUBLE[]))) *
+                          sqrt(list_dot_product(c.proto, c.proto))) END, 6) AS sim,
+              sim >= 0.0 AS is_typical
+       FROM embeddings e JOIN cvec c USING (label)"""
+
+  // ---------------------------------------------------------------------------
+  // X38 — curriculum/quality deciles: global quality rank via the scalable
+  // SeqNumber primitive (range-repartition + zipWithIndex — never a single-
+  // partition window), decile from pure integer arithmetic on (rank, n).
+  // ---------------------------------------------------------------------------
+  private def x38(s: SparkSession, dir: String): DataFrame = {
+    val scored = docs(s, dir).select(col("doc_id"), col("lang"),
+      TextAnalysis.qualityScore(col("text")).as("quality"))
+    val ranked = graft.ops.SeqNumber.withGlobalSeq(scored, "rank",
+      col("quality"), col("doc_id"))
+    ranked.crossJoin(broadcast(scored.agg(count(lit(1)).as("__n"))))
+      .select(col("doc_id"), col("lang"), col("quality"), col("rank"),
+        (expr("(rank - 1) * 10 DIV __n") + 1).as("decile"))
+  }
+
+  private val x38Sql = {
+    val allStops = TextAnalysis.StopwordProfiles.flatMap(_._2)
+      .map(w => s"'$w'").mkString("[", ",", "]")
+    s"""WITH t AS (
+         SELECT doc_id, lang, CAST(length(text) AS DOUBLE) AS nc,
+           CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS DOUBLE) AS nt,
+           CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS punct,
+           CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                t -> list_contains($allStops, t))) AS DOUBLE) AS stops
+         FROM documents),
+       q AS (
+         SELECT doc_id, lang,
+                round(least(nc / 500.0, 1.0) * 0.4 +
+                      (CASE WHEN nt > 0 THEN least(stops / nt * 5.0, 1.0) ELSE 0.0 END) * 0.4 +
+                      (CASE WHEN nc > 0 THEN greatest(0.0, 1.0 - punct / nc * 10.0) ELSE 0.0 END) * 0.2,
+                      6) AS quality
+         FROM t),
+       r AS (
+         SELECT doc_id, lang, quality,
+                row_number() OVER (ORDER BY quality, doc_id) AS rank,
+                count(*) OVER () AS n
+         FROM q)
+       SELECT doc_id, lang, quality, CAST(rank AS BIGINT) AS rank,
+              CAST((rank - 1) * 10 // n + 1 AS BIGINT) AS decile
+       FROM r"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_dedup_exact" -> x1 _,
     "x02_dedup_ngram_jaccard" -> x2 _,
@@ -935,7 +1092,12 @@ object ExtensionQueries {
     "x30_contamination" -> x30 _,
     "x31_asof_bucketed" -> x31 _,
     "x32_chunking" -> x32 _,
-    "x33_seq_packing" -> x33 _
+    "x33_seq_packing" -> x33 _,
+    "x34_span_dedup" -> x34 _,
+    "x35_mixture_sample" -> x35 _,
+    "x36_heavy_hitters" -> x36 _,
+    "x37_embed_prototype" -> x37 _,
+    "x38_quality_deciles" -> x38 _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -966,6 +1128,11 @@ object ExtensionQueries {
     "x30_contamination" -> x30Sql,
     "x31_asof_bucketed" -> x31Sql,
     "x32_chunking" -> x32Sql,
-    "x33_seq_packing" -> x33Sql
+    "x33_seq_packing" -> x33Sql,
+    "x34_span_dedup" -> x34Sql,
+    "x35_mixture_sample" -> x35Sql,
+    "x36_heavy_hitters" -> x36Sql,
+    "x37_embed_prototype" -> x37Sql,
+    "x38_quality_deciles" -> x38Sql
   )
 }
