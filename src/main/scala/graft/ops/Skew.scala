@@ -53,4 +53,29 @@ object Skew {
       .agg(sort_array(flatten(collect_list(col("__sub")))).as(outCol))
       .withColumnRenamed("__key", "key")
   }
+
+  /** Two-phase salted top-k per key, adding a 1-based `rank` column: the
+    * scale path for per-key caps (top-N docs per domain/source, top-k tokens
+    * per language) when keys are LOW-cardinality — a direct per-key rank
+    * window would sort each key's entire population in one task. Phase 1
+    * ranks within (key, salt): any global per-key top-k row is necessarily a
+    * per-salt top-k row, so phase 2's window ranks ≤ k·nSalts candidate rows
+    * per key, never the population. Identical output to a single
+    * `row_number().over(partitionBy(key).orderBy(order)) <= k` filter —
+    * `order` must totally order rows within a key (include a unique
+    * tie-break) or ranks are partitioning-dependent.
+    */
+  def saltedTopKPerKey(df: DataFrame, keys: Seq[Column], order: Seq[Column],
+      saltFrom: Column, k: Int, nSalts: Int = 32): DataFrame = {
+    require(k >= 1 && nSalts >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(saltFrom), lit(nSalts)).cast("int"))
+    val wPartial = Window.partitionBy(keys :+ col("__salt"): _*).orderBy(order: _*)
+    val candidates = salted.withColumn("__r", row_number().over(wPartial))
+      .filter(col("__r") <= k).drop("__r", "__salt")
+    val w = Window.partitionBy(keys: _*).orderBy(order: _*)
+    candidates.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
 }

@@ -4,7 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-import graft.extensions.{Contamination, Dedup, HeavyHitters, Mixture, Multimodal, Sampling, Similarity, SpanDedup, TextAnalysis}
+import graft.extensions.{Contamination, Dedup, HeavyHitters, IncrementalDedup, Mixture, Multimodal, Sampling, Similarity, SpanDedup, TextAnalysis}
+import graft.ops.Skew
 
 /** North-star extension queries (dedup / similarity / text analysis /
   * multimodal — the LLM-training-data operators), each oracle-verified where
@@ -203,25 +204,15 @@ object ExtensionQueries {
   // (the frequency-profile op; deterministic tie-break on the token itself).
   // ---------------------------------------------------------------------------
   private def x20(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val counted = docs(s, dir)
       .select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
       .groupBy("lang", "tok")
       .agg(count(lit(1)).as("n"))
-    // two-phase top-k: `lang` is low-cardinality, so a direct per-lang rank
-    // window would sort each language's ENTIRE vocabulary in one task. Phase 1
-    // takes the top-5 within (lang, token-hash salt) — any global top-5 token
-    // is necessarily a per-salt top-5 (counts are already global) — so the
-    // final per-lang window ranks ≤ 5×32 candidate rows, not the vocabulary.
-    val salted = counted.withColumn("__salt",
-      pmod(xxhash64(col("tok")), lit(32)).cast("int"))
-    val wPartial = Window.partitionBy(col("lang"), col("__salt"))
-      .orderBy(col("n").desc, col("tok").asc)
-    val candidates = salted.withColumn("__r", row_number().over(wPartial))
-      .filter(col("__r") <= 5).drop("__r", "__salt")
-    val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("tok").asc)
-    candidates.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 5)
+    // `lang` is low-cardinality, so a direct per-lang rank window would sort
+    // each language's ENTIRE vocabulary in one task; the salted two-phase
+    // rewrite ranks ≤ 5×32 candidate rows per language in the final window.
+    Skew.saltedTopKPerKey(counted, Seq(col("lang")),
+      Seq(col("n").desc, col("tok").asc), saltFrom = col("tok"), k = 5)
   }
 
   private val x20Sql =
@@ -1059,6 +1050,45 @@ object ExtensionQueries {
        FROM r"""
   }
 
+  // ---------------------------------------------------------------------------
+  // X39 — Bloom-accelerated incremental dedup: a "new batch" (even doc_ids)
+  // filtered against an "already-ingested corpus" (doc_ids % 3 = 0) on the
+  // coarse content key. The bloom probe runs in the scan via a native
+  // codegen'd expression; only its hits reach the exact verify join, so the
+  // result is EXACTLY the anti-join and fully oracle-checkable.
+  // ---------------------------------------------------------------------------
+  private def x39(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val key = substring(col("text"), 1, 60)
+    IncrementalDedup.dropSeen(
+        d.filter(col("doc_id") % 2 === 0), key,
+        d.filter(col("doc_id") % 3 === 0), key)
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
+  private val x39Sql =
+    """SELECT doc_id, lang, source FROM documents
+       WHERE doc_id % 2 = 0
+         AND substr(text, 1, 60) NOT IN
+             (SELECT substr(text, 1, 60) FROM documents WHERE doc_id % 3 = 0)"""
+
+  // ---------------------------------------------------------------------------
+  // X40 — per-source document cap (the "max N pages per domain" step of a
+  // crawl pipeline): keep the 20 longest docs per source. Sources are few, so
+  // the direct rank window would sort each source's whole population in one
+  // task; the salted two-phase top-k bounds the final window at k×nSalts rows.
+  // ---------------------------------------------------------------------------
+  private def x40(s: SparkSession, dir: String): DataFrame =
+    Skew.saltedTopKPerKey(docs(s, dir).select("doc_id", "source", "n_chars"),
+      Seq(col("source")), Seq(col("n_chars").desc, col("doc_id").asc),
+      saltFrom = col("doc_id"), k = 20)
+
+  private val x40Sql =
+    """SELECT doc_id, source, n_chars,
+              row_number() OVER (PARTITION BY source
+                                 ORDER BY n_chars DESC, doc_id ASC) AS rank
+       FROM documents QUALIFY rank <= 20"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_dedup_exact" -> x1 _,
     "x02_dedup_ngram_jaccard" -> x2 _,
@@ -1097,7 +1127,9 @@ object ExtensionQueries {
     "x35_mixture_sample" -> x35 _,
     "x36_heavy_hitters" -> x36 _,
     "x37_embed_prototype" -> x37 _,
-    "x38_quality_deciles" -> x38 _
+    "x38_quality_deciles" -> x38 _,
+    "x39_incremental_dedup" -> x39 _,
+    "x40_source_cap" -> x40 _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1133,6 +1165,8 @@ object ExtensionQueries {
     "x35_mixture_sample" -> x35Sql,
     "x36_heavy_hitters" -> x36Sql,
     "x37_embed_prototype" -> x37Sql,
-    "x38_quality_deciles" -> x38Sql
+    "x38_quality_deciles" -> x38Sql,
+    "x39_incremental_dedup" -> x39Sql,
+    "x40_source_cap" -> x40Sql
   )
 }

@@ -52,6 +52,22 @@ class SkewSpec extends AnyFunSuite with SparkTestSession {
     assert(single.exceptAll(salted).isEmpty && salted.exceptAll(single).isEmpty)
   }
 
+  test("saltedTopKPerKey equals the direct per-key rank window") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("k")).orderBy(col("v").desc, col("id").asc)
+    val direct = skewed.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 7)
+    val salted = Skew.saltedTopKPerKey(skewed.toDF(), Seq(col("k")),
+      Seq(col("v").desc, col("id").asc), saltFrom = col("id"), k = 7, nSalts = 8)
+    assert(salted.exceptAll(direct).isEmpty && direct.exceptAll(salted).isEmpty)
+  }
+
+  test("saltedTopKPerKey with k larger than any group returns everything ranked") {
+    val salted = Skew.saltedTopKPerKey(skewed.toDF(), Seq(col("k")),
+      Seq(col("v").asc, col("id").asc), saltFrom = col("id"), k = 100000)
+    assert(salted.count() == skewed.count())
+  }
+
   test("salt derivation is deterministic (no rand): same input, same salt") {
     val a = Skew.saltedJoin(skewed, Seq(("HOT", 1)).toDF("k", "x"), "k", col("id"), 8)
     val b = Skew.saltedJoin(skewed, Seq(("HOT", 1)).toDF("k", "x"), "k", col("id"), 8)
