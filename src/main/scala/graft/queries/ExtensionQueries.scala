@@ -1089,6 +1089,87 @@ object ExtensionQueries {
                                  ORDER BY n_chars DESC, doc_id ASC) AS rank
        FROM documents QUALIFY rank <= 20"""
 
+  // ---------------------------------------------------------------------------
+  // X41 — Gopher repetition profile (Rae et al. 2021 §A1.1): top-bigram
+  // dominance and duplicate-trigram fraction per doc, from the native
+  // NgramStats expression — one scan-local loop per row inside codegen, where
+  // an explode→groupBy formulation would shuffle the corpus's n-grams. The
+  // keep verdict derives from the ROUNDED stats so both engines evaluate the
+  // same boundaries.
+  // ---------------------------------------------------------------------------
+  private def x41(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        graft.functions.NgramStats.ngramStats(TextAnalysis.tokens(col("text")), 2).as("s2"),
+        graft.functions.NgramStats.ngramStats(TextAnalysis.tokens(col("text")), 3).as("s3"))
+      .select(col("doc_id"),
+        col("s2.total").as("n_bigrams"),
+        when(col("s2.total") > 0,
+          round(col("s2.top").cast("double") / col("s2.total"), 6))
+          .otherwise(0.0).as("top_bigram_frac"),
+        when(col("s3.total") > 0,
+          round(lit(1.0) - col("s3.distinct").cast("double") / col("s3.total"), 6))
+          .otherwise(0.0).as("dup_trigram_frac"))
+      .withColumn("keep",
+        col("top_bigram_frac") <= 0.2 && col("dup_trigram_frac") <= 0.3)
+
+  private val x41Sql =
+    """WITH t AS (
+         SELECT doc_id,
+                list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+         FROM documents),
+       bg AS (
+         SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS g
+         FROM (SELECT doc_id, toks,
+                      unnest(range(1, greatest(len(toks) - 1, 0) + 1)) AS i FROM t)),
+       bs AS (
+         SELECT doc_id, sum(c) AS total, max(c) AS top
+         FROM (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2) GROUP BY 1),
+       tg AS (
+         SELECT doc_id, toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS g
+         FROM (SELECT doc_id, toks,
+                      unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS i FROM t)),
+       tgs AS (SELECT doc_id, count(*) AS total, count(DISTINCT g) AS dist
+               FROM tg GROUP BY 1)
+       SELECT t.doc_id,
+              CAST(coalesce(bs.total, 0) AS BIGINT) AS n_bigrams,
+              round(coalesce(bs.top * 1.0 / bs.total, 0), 6) AS top_bigram_frac,
+              round(coalesce(1.0 - tgs.dist * 1.0 / tgs.total, 0), 6) AS dup_trigram_frac,
+              (top_bigram_frac <= 0.2 AND dup_trigram_frac <= 0.3) AS keep
+       FROM t LEFT JOIN bs USING (doc_id) LEFT JOIN tgs USING (doc_id)"""
+
+  // ---------------------------------------------------------------------------
+  // X42 — time-grid resample + gap fill (ops/Resample): per-user hourly grid
+  // over events, empty hours manufactured and forward-filled. Aggregation
+  // happens BEFORE the grid explode, so the fill runs on bucket-cardinality
+  // data regardless of event volume.
+  // ---------------------------------------------------------------------------
+  private def x42(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Resample.gapFill(ParityQueries.events(s, dir),
+        col("user_id"), col("ts"), col("value"), unit = "hour")
+      .select(col("key").as("user_id"),
+        graft.ops.Scalars.formatTs(col("bucket")).as("hour"),
+        col("n").as("n_events"), col("v_avg").as("avg_value"),
+        col("v_ffill").as("ffill_value"), col("gap_filled"))
+
+  private val x42Sql =
+    """WITH hourly AS (
+         SELECT user_id, date_trunc('hour', ts) AS bucket, count(*) AS n_events,
+                round(avg("value"), 6) AS avg_value
+         FROM events GROUP BY 1, 2),
+       bounds AS (SELECT user_id, min(bucket) AS b0, max(bucket) AS b1
+                  FROM hourly GROUP BY 1),
+       grid AS (SELECT user_id, unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket
+                FROM bounds)
+       SELECT g.user_id, strftime(g.bucket, '%Y-%m-%d %H:%M:%S') AS hour,
+              coalesce(h.n_events, 0) AS n_events, h.avg_value,
+              last_value(h.avg_value IGNORE NULLS) OVER (
+                PARTITION BY g.user_id ORDER BY g.bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_value,
+              h.n_events IS NULL AS gap_filled
+       FROM grid g LEFT JOIN hourly h
+         ON g.user_id = h.user_id AND g.bucket = h.bucket"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_dedup_exact" -> x1 _,
     "x02_dedup_ngram_jaccard" -> x2 _,
@@ -1129,7 +1210,9 @@ object ExtensionQueries {
     "x37_embed_prototype" -> x37 _,
     "x38_quality_deciles" -> x38 _,
     "x39_incremental_dedup" -> x39 _,
-    "x40_source_cap" -> x40 _
+    "x40_source_cap" -> x40 _,
+    "x41_repetition" -> x41 _,
+    "x42_gapfill" -> x42 _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1167,6 +1250,8 @@ object ExtensionQueries {
     "x37_embed_prototype" -> x37Sql,
     "x38_quality_deciles" -> x38Sql,
     "x39_incremental_dedup" -> x39Sql,
-    "x40_source_cap" -> x40Sql
+    "x40_source_cap" -> x40Sql,
+    "x41_repetition" -> x41Sql,
+    "x42_gapfill" -> x42Sql
   )
 }

@@ -193,4 +193,37 @@ class NativeExprEquivalenceSpec extends AnyFunSuite with SparkTestSession {
       .count()
     assert(mismatches == 0)
   }
+
+  test("NgramStats matches an explode/groupBy re-derivation on corpus text") {
+    import org.apache.spark.sql.functions.{count => fcount}
+    for (n <- Seq(2, 3)) {
+      // reference: non-distinct sliding windows (only full windows), counted
+      val toks = TextAnalysis.tokens(col("text"))
+      val windows = docs.select(col("doc_id"), toks.as("t"))
+        .filter(size(col("t")) >= n)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(col("t")) - (n - 1)),
+          i => concat_ws(" ", slice(col("t"), i, lit(n))))).as("g"))
+      val ref = windows.groupBy("doc_id", "g").agg(fcount(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("total"), fcount(lit(1)).as("distinct"), max("c").as("top"))
+      val native = docs.select(col("doc_id"),
+          graft.functions.NgramStats.ngramStats(toks, n).as("s"))
+        .select(col("doc_id"), col("s.total"), col("s.distinct"), col("s.top"))
+        .filter(col("total") > 0)
+      assert(native.exceptAll(ref).isEmpty && ref.exceptAll(native).isEmpty, s"n=$n")
+    }
+  }
+
+  test("NgramStats edge cases: empty, fewer tokens than n, all-identical tokens") {
+    val rows = spark.createDataFrame(Seq(
+      Tuple1(""), Tuple1("one two"), Tuple1("a a a a a"), Tuple1("x y x y x"))).toDF("text")
+    val out = rows.select(graft.functions.NgramStats
+        .ngramStats(TextAnalysis.tokens(col("text")), 3).as("s"))
+      .select("s.total", "s.distinct", "s.top").collect()
+    assert(out(0).getLong(0) == 0 && out(0).getLong(1) == 0 && out(0).getLong(2) == 0)
+    assert(out(1).getLong(0) == 0) // 2 tokens < n=3 → no full window
+    assert(out(2).getLong(0) == 3 && out(2).getLong(1) == 1 && out(2).getLong(2) == 3)
+    assert(out(3).getLong(0) == 3 && out(3).getLong(1) == 2 && out(3).getLong(2) == 2)
+  }
 }
