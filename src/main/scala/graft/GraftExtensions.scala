@@ -60,7 +60,11 @@ object GraftExtensions {
     (FunctionIdentifier("sign_lsh_bucket"),
       new ExpressionInfo(classOf[SignLshBucket].getName, "sign_lsh_bucket"),
       (args: Seq[Expression]) => { arity("sign_lsh_bucket", 2, args)
-        SignLshBucket(args(0), litInt(args(1), "sign_lsh_bucket")) }))
+        SignLshBucket(args(0), litInt(args(1), "sign_lsh_bucket")) }),
+    (FunctionIdentifier("ngram_stats"),
+      new ExpressionInfo(classOf[graft.functions.NgramStats].getName, "ngram_stats"),
+      (args: Seq[Expression]) => { arity("ngram_stats", 2, args)
+        graft.functions.NgramStats(args(0), litInt(args(1), "ngram_stats")) }))
 
   /** Imperative registration on an existing session (same builders as the
     * config-driven path). */

@@ -28,6 +28,11 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestSession {
                 length(sign_lsh_bucket(array(CAST(0.5 AS DOUBLE), CAST(-1.5 AS DOUBLE)), 8)) AS b""").head()
     assert(simRow.getDouble(0) == 11.0)
     assert(simRow.getInt(1) == 8)
+
+    val st = spark.sql(
+      "SELECT ngram_stats(array('a','b','a','b','a'), 2) AS s").head()
+      .getStruct(0)
+    assert(st.getLong(0) == 4 && st.getLong(1) == 2 && st.getLong(2) == 2)
   }
 
   test("builder.withExtensions(new GraftExtensions) injects the same functions") {
