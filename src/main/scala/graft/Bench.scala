@@ -42,7 +42,14 @@ object Bench {
         failed += name
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Isolation (untimed): drop every cached block a query left behind —
+      // catalog cache (Dataset.persist) AND RDD-level blocks (localCheckpoint)
+      // — so each number measures its own plan, not the memory pressure of
+      // everything that ran before it (the round-4 tail collapse).
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      name -> dt
     }
     // 3-decimal precision keeps the one-line JSON short enough to survive
     // log-tail capture (full-precision doubles pushed the line past the

@@ -89,8 +89,14 @@ object Dedup {
     // The signature table is sketch-sized (k longs per doc) and referenced by
     // several join branches; persisting it is the cluster idiom — without it
     // every branch re-runs the shingle+hash scan over the full corpus.
+    // Lifecycle: the persist is RELEASED before return — the candidate-pair
+    // result (corpus-sparse, ids + one double) is eagerly materialized via
+    // localCheckpoint, so the returned plan no longer references `sig` and a
+    // long-lived application never accumulates signature tables in cache
+    // (leaked here, this was the round-4 bench-tail collapse).
     val sig = df.select(id.as("id"), minhashSignature(shingles(text)).as("sig"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
     val banded = sig.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws(",", slice(col("sig"), b * rows + lit(1), lit(rows))), b))))
@@ -112,6 +118,10 @@ object Dedup {
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
           .cast("double") / k).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
+      // eager: materializes the sparse pair set NOW (blocks are GC-owned and
+      // reclaimed by the ContextCleaner) so `sig` can be released in finally
+      .localCheckpoint()
+    } finally sig.unpersist(false)
   }
 
   // -------------------------------------------------------------- simhash --
@@ -145,8 +155,11 @@ object Dedup {
       maxBucketSize: Int = 2000, nChunks: Int = 4): DataFrame = {
     require(Set(2, 4, 8, 16, 32).contains(nChunks), s"nChunks must divide 64 evenly, got $nChunks")
     require(maxDist >= 0 && maxDist <= 63)
+    // sketch table feeds banding + the pair join-back: persist for the solve,
+    // release before return (see minhashPairs — same lifecycle contract)
     val sk = df.select(id.as("id"), simhash(text).as("sk"))
-      .persist(StorageLevel.MEMORY_AND_DISK) // sketch table: see minhashPairs
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
     val bits = 64 / nChunks
     val mask = if (bits == 64) -1L else (1L << bits) - 1L
     val chunk = (c: Column, i: Int) => shiftright(c, i * bits).bitwiseAND(lit(mask))
@@ -169,6 +182,8 @@ object Dedup {
       .join(sk.select(col("id").as("id_b"), col("sk").as("sk_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), simhashDistance(col("sk_a"), col("sk_b")).as("hamming"))
       .filter(col("hamming") <= maxDist)
+      .localCheckpoint() // eager: sparse pair set, lets sk release in finally
+    } finally sk.unpersist(false)
   }
 
   // ------------------------------------------------------- n-gram jaccard --
@@ -188,18 +203,24 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column, block: Column,
       n: Int = 3, threshold: Double = 0.3): DataFrame = {
+    // both self-join sides read the shingle table — persist for the solve,
+    // release before return (the pair result is corpus-sparse and eagerly
+    // checkpointed, so the returned plan holds no cached corpus-scale state)
     val sh = df.select(id.as("id"), block.as("block"), shingles(text, n).as("sh"))
-      .persist(StorageLevel.MEMORY_AND_DISK) // both self-join sides read it
-    val l = sh.select(col("block"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val r = sh.select(col("block"), col("id").as("id_b"), col("sh").as("sh_b"))
-    l.join(r, Seq("block"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("jaccard",
-        round(col("inter").cast("double") /
-          (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "inter", "jaccard")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val l = sh.select(col("block"), col("id").as("id_a"), col("sh").as("sh_a"))
+      val r = sh.select(col("block"), col("id").as("id_b"), col("sh").as("sh_b"))
+      l.join(r, Seq("block"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+        .withColumn("jaccard",
+          round(col("inter").cast("double") /
+            (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 6))
+        .filter(col("jaccard") >= threshold)
+        .select("id_a", "id_b", "inter", "jaccard")
+        .localCheckpoint()
+    } finally sh.unpersist(false)
   }
 
   // ----------------------------------------------------- cluster resolution --
@@ -330,8 +351,8 @@ object Dedup {
     * `component`, `cluster_size`, and `is_survivor` (exactly one survivor per
     * cluster, minimum `keep` with id tie-break — same keep contract as
     * [[exact]]). Rows in no pair are singleton clusters of themselves.
-    * Cost beyond [[connectedComponents]]: two key-partitioned joins and one
-    * component-keyed aggregate — no new scale hazards.
+    * Cost beyond [[connectedComponents]]: one component join plus one
+    * component-keyed window shuffle — no persist, no second corpus pass.
     */
   def resolveClusters(df: DataFrame, id: Column, keep: Column, pairs: DataFrame): DataFrame = {
     // The component relation's size was measured inside the solve, so pick the
@@ -345,20 +366,25 @@ object Dedup {
       maxIter = 64, localEdgeThreshold = 8L * 1000 * 1000)
     val comps = if (edgeCount <= 1000 * 1000) broadcast(comps0)
                 else comps0.hint("shuffle_hash")
-    // tagged feeds both the survivor aggregate and the final join — persist
-    // so the corpus scan + component join run once, not twice
-    val tagged = df
+    // Survivor election + size run as WINDOW aggregates over the component:
+    // ONE component-keyed shuffle and a single pass over the corpus — the
+    // previous groupBy + join-back needed the corpus twice (and a persist to
+    // make that affordable, which leaked cache for the application lifetime).
+    // Skew note: a mega-cluster lands on one task either way (same shuffle
+    // key); the window only removes the second corpus pass, it doesn't add
+    // state — unbounded frames over count/min_by keep O(1) running state.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("component"))
+    df
       .withColumn("__id", id.cast("long"))
       .withColumn("__keep", keep)
       .join(comps.select(col("id").as("__id"), col("component")), Seq("__id"), "left")
       .withColumn("component", coalesce(col("component"), col("__id")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val stats = tagged.groupBy("component").agg(
-      min_by(col("__id"), struct(col("__keep"), col("__id"))).as("__survivor_id"),
-      count(lit(1)).as("cluster_size")).hint("shuffle_hash")
-    tagged.join(stats, Seq("component"))
-      .withColumn("is_survivor", col("__id") === col("__survivor_id"))
-      .drop("__id", "__keep", "__survivor_id")
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .withColumn("is_survivor", col("__id") ===
+        min_by(col("__id"), struct(col("__keep"), col("__id"))).over(w))
+      .drop("__id", "__keep")
+      .select((col("component") +: df.columns.map(col)) ++
+        Seq(col("cluster_size"), col("is_survivor")): _*)
   }
 
   /** One row per cluster — the dataset a training run actually consumes. */

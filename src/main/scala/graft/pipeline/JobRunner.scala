@@ -129,7 +129,12 @@ object JobRunner {
 
     val sunk = BatchJob.fromDirectory(spark, inputDir, spec.cfg,
       spec.groupBySubfolder, clientFactory)
-    val results = sunk.results.persist()
+    // localCheckpoint, not persist: every sink below re-reads the result set
+    // (group-scale, one row per group) and the DataFrame escapes in the
+    // returned JobResult — an unreleased persist() would pin cache for the
+    // application lifetime, while checkpoint blocks are GC-reclaimed once the
+    // caller drops the JobResult.
+    val results = sunk.results.localCheckpoint()
     val out = results.select(col("seq"), col("group_id").as("file"), col("output"))
 
     if (spec.outputFormats.contains("csv"))

@@ -602,35 +602,43 @@ object ExtensionQueries {
     def pairDocs(p: DataFrame): DataFrame =
       p.select(col("id_a").as("doc_id")).union(p.select(col("id_b").as("doc_id")))
 
+    // t3 feeds three branches; persist for the derivation, RELEASE before
+    // return: the violation relations are corpus-sparse (usually empty), so
+    // they materialize eagerly (localCheckpoint) inside the try and the
+    // returned plan never references the cached shingle table.
     val t3 = shingleTable(3).persist(StorageLevel.MEMORY_AND_DISK)
-    val t2 = shingleTable(2)
+    val (mhUnsoundDocs, mhMissedDocs, shMissedDocs) = try {
+      val t2 = shingleTable(2)
 
-    val mhPairs = Dedup.minhashPairs(d, col("doc_id"), col("text"),
-      k = 32, bands = 8, threshold = 0.5).select("id_a", "id_b")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val shPairs = Dedup.simhashPairs(d, col("doc_id"), col("text"), maxDist = 26)
-      .select("id_a", "id_b")
+      // minhashPairs returns an eagerly-checkpointed pair set (cache-neutral)
+      val mhPairs = Dedup.minhashPairs(d, col("doc_id"), col("text"),
+        k = 32, bands = 8, threshold = 0.5).select("id_a", "id_b")
+      val shPairs = Dedup.simhashPairs(d, col("doc_id"), col("text"), maxDist = 26)
+        .select("id_a", "id_b")
 
-    // candidate-pair relations are corpus-sparse (≪ doc count) — broadcast
-    // them into the doc-scale joins
-    val withShingles = broadcast(mhPairs)
-      .join(t3.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-    val mhUnsound = broadcast(withShingles)
-      .join(t3.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .filter(col("inter").cast("double") /
-        (size(col("sh_a")) + size(col("sh_b")) - col("inter")) < 0.4)
-    val mhMissed = identicalSetPairs(t3)
-      .join(broadcast(mhPairs), Seq("id_a", "id_b"), "left_anti")
-    val shMissed = identicalSetPairs(t2)
-      .join(broadcast(shPairs), Seq("id_a", "id_b"), "left_anti")
+      // candidate-pair relations are corpus-sparse (≪ doc count) — broadcast
+      // them into the doc-scale joins
+      val withShingles = broadcast(mhPairs)
+        .join(t3.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      val mhUnsound = broadcast(withShingles)
+        .join(t3.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+        .filter(col("inter").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")) < 0.4)
+      val mhMissed = identicalSetPairs(t3)
+        .join(broadcast(mhPairs), Seq("id_a", "id_b"), "left_anti")
+      val shMissed = identicalSetPairs(t2)
+        .join(broadcast(shPairs), Seq("id_a", "id_b"), "left_anti")
+      (pairDocs(mhUnsound).localCheckpoint(),
+        pairDocs(mhMissed).localCheckpoint(),
+        pairDocs(shMissed).localCheckpoint())
+    } finally t3.unpersist(false)
 
     val base = d.select(col("doc_id"))
-    val out = okFlag(okFlag(okFlag(base,
-      pairDocs(mhUnsound), "mh_sound"),
-      pairDocs(mhMissed), "mh_complete"),
-      pairDocs(shMissed), "sh_complete")
-    out
+    okFlag(okFlag(okFlag(base,
+      mhUnsoundDocs, "mh_sound"),
+      mhMissedDocs, "mh_complete"),
+      shMissedDocs, "sh_complete")
   }
 
   private val x25Sql =
@@ -647,42 +655,91 @@ object ExtensionQueries {
     *    containment is deliberately NOT asserted for sign-LSH: its buckets
     *    partition the corpus, and the probe shows bucket-local top-5 can sit
     *    beyond global rank 200 — that op trades recall for bucket locality.
+    *  - lsh_in_bucket / lsh_bucket_optimal: what sign-LSH DOES guarantee —
+    *    every returned neighbor shares the query's bucket (re-derived
+    *    independently from the raw embeddings), and at each rank the ANN's
+    *    similarity is never below a from-scratch cosine re-score of the
+    *    bucket's own top-5 (its candidates ARE the bucket, so a deficit at
+    *    any rank means a missed or mis-scored in-bucket neighbor).
+    *
+    * Cache lifecycle: brute/ivf/lsh feed only corpus-sparse violation
+    * relations — those are materialized eagerly (localCheckpoint) inside the
+    * try and all three persists are released in finally, so the returned
+    * plan holds no cached corpus-scale state.
     */
   private def x26(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val e = embeds(s, dir)
     val queries = e.filter(col("vec_id") % 50 === 0)
     val brute = Similarity.bruteForceTopK(queries, e, k = 100)
       .persist(StorageLevel.MEMORY_AND_DISK)
-
-    def domViol(ann: DataFrame): DataFrame =
-      ann.join(broadcast(brute.select(col("query_id"), col("rank"),
-          col("sim").as("brute_sim"))),
-          Seq("query_id", "rank"))
-        .filter(col("sim") > col("brute_sim"))
-        .select(col("query_id"))
-
-    val lsh = Similarity.annTopK(e, k = 5, nBits = 8)
-      .filter(col("query_id") % 50 === 0)
     val ivf = Similarity.ivfTopK(queries, e, k = 5, nCentroids = 16, nProbe = 4)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val ivfOutside = ivf
-      .join(broadcast(brute.select(col("query_id"), col("neighbor_id"))),
-        Seq("query_id", "neighbor_id"), "left_anti")
-      .select(col("query_id"))
+    val lsh = Similarity.annTopK(e, k = 5, nBits = 8)
+      .filter(col("query_id") % 50 === 0)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val (lshDom, ivfDom, ivfOutside, lshOffBucket, lshSubopt) = try {
+      def domViol(ann: DataFrame): DataFrame =
+        ann.join(broadcast(brute.select(col("query_id"), col("rank"),
+            col("sim").as("brute_sim"))),
+            Seq("query_id", "rank"))
+          .filter(col("sim") > col("brute_sim"))
+          .select(col("query_id"))
+
+      val ivfOut = ivf
+        .join(broadcast(brute.select(col("query_id"), col("neighbor_id"))),
+          Seq("query_id", "neighbor_id"), "left_anti")
+        .select(col("query_id"))
+
+      // independent re-derivation of the bucket structure: fresh bucket keys
+      // from the raw embeddings, fresh cosine (the non-precomputed-norm
+      // formulation) — shares no intermediate with annTopK
+      val qb = queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("qv"), Similarity.lshBucket(col("embedding"), 8).as("b"))
+      val cb = e.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("cv"), Similarity.lshBucket(col("embedding"), 8).as("b"))
+      val bucketCand = broadcast(qb).join(cb, Seq("b"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+      val offBucket = lsh
+        .join(bucketCand.select("query_id", "neighbor_id"),
+          Seq("query_id", "neighbor_id"), "left_anti")
+        .select(col("query_id"))
+      val bucketTop = bucketCand
+        .withColumn("bsim", round(Similarity.cosine(col("qv"), col("cv")), 6))
+        .withColumn("brank", row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("bsim").desc, col("neighbor_id").asc)))
+        .filter(col("brank") <= 5)
+      val subopt = lsh
+        .join(broadcast(bucketTop.select(col("query_id"),
+          col("brank").as("rank"), col("bsim"))), Seq("query_id", "rank"))
+        .filter(col("sim") < col("bsim"))
+        .select(col("query_id"))
+
+      (domViol(lsh).localCheckpoint(), domViol(ivf).localCheckpoint(),
+        ivfOut.localCheckpoint(), offBucket.localCheckpoint(),
+        subopt.localCheckpoint())
+    } finally {
+      brute.unpersist(false); ivf.unpersist(false); lsh.unpersist(false)
+    }
 
     val base = queries.select(col("vec_id").as("query_id"))
     def qFlag(b: DataFrame, viol: DataFrame, name: String): DataFrame =
       b.join(broadcast(viol.select(col("query_id"), lit(true).as("__bad")).distinct()),
           Seq("query_id"), "left")
         .withColumn(name, col("__bad").isNull).drop("__bad")
-    qFlag(qFlag(qFlag(base, domViol(lsh), "lsh_dominated"),
-      domViol(ivf), "ivf_dominated"),
-      ivfOutside, "ivf_in_top100")
+    qFlag(qFlag(qFlag(qFlag(qFlag(base,
+      lshDom, "lsh_dominated"),
+      ivfDom, "ivf_dominated"),
+      ivfOutside, "ivf_in_top100"),
+      lshOffBucket, "lsh_in_bucket"),
+      lshSubopt, "lsh_bucket_optimal")
   }
 
   private val x26Sql =
     """SELECT vec_id AS query_id, TRUE AS lsh_dominated, TRUE AS ivf_dominated,
-              TRUE AS ivf_in_top100
+              TRUE AS ivf_in_top100, TRUE AS lsh_in_bucket,
+              TRUE AS lsh_bucket_optimal
        FROM embeddings WHERE vec_id % 50 = 0"""
 
   /** X27 — corpus-profile invariants, one row per language: the exact fields
