@@ -1227,6 +1227,80 @@ object ExtensionQueries {
        FROM grid g LEFT JOIN hourly h
          ON g.user_id = h.user_id AND g.bucket = h.bucket"""
 
+  // ---------------------------------------------------------------------------
+  // X43 — int8 scalar quantization (extensions/Quantize): per-dimension corpus
+  // min/max → 0..255 codes with explicit half-up rounding, plus the per-row
+  // reconstruction-error bound check. The oracle re-derives the codes from
+  // scratch in DuckDB (same double math: per-dim min/max, floor(x·255+0.5)),
+  // so codes_csv/sum/min/max hash-compare pins every code, and err_ok pins
+  // dequantization to within half a step per dimension. All arithmetic is
+  // CAST to DOUBLE on both sides — DuckDB would otherwise stay in FLOAT and
+  // diverge at rounding boundaries.
+  // ---------------------------------------------------------------------------
+  private def x43(s: SparkSession, dir: String): DataFrame =
+    graft.extensions.Quantize.quantizeWithError(
+        embeds(s, dir), col("vec_id"), col("embedding"))
+      .select(col("id"), array_join(col("codes"), ",").as("codes_csv"),
+        col("n_dims").cast("long").as("n_dims"), col("sum_code"),
+        col("min_code"), col("max_code"), col("err_ok"))
+
+  private val x43Sql =
+    """WITH ev AS (
+         SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+         FROM (SELECT vec_id, embedding,
+                      unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)),
+       dims AS (SELECT i, min(v) AS lo, max(v) AS hi FROM ev GROUP BY i),
+       c AS (
+         SELECT ev.vec_id, ev.i, ev.v, d.lo, d.hi,
+                CASE WHEN d.hi > d.lo
+                     THEN CAST(floor((ev.v - d.lo) / (d.hi - d.lo) * 255 + 0.5) AS INT)
+                     ELSE 0 END AS code
+         FROM ev JOIN dims d USING (i))
+       SELECT vec_id AS id,
+              string_agg(CAST(code AS VARCHAR), ',' ORDER BY i) AS codes_csv,
+              count(*) AS n_dims,
+              CAST(sum(code) AS BIGINT) AS sum_code,
+              min(code) AS min_code,
+              max(code) AS max_code,
+              bool_and(abs(v - (lo + code / 255.0 * (hi - lo)))
+                       <= (hi - lo) / 255.0 / 2 + 1e-9) AS err_ok
+       FROM c GROUP BY 1"""
+
+  // ---------------------------------------------------------------------------
+  // X44 — trailing z-score outliers (ops/Outliers): each event's value against
+  // the mean/stddev of its user's previous ≤20 events (ROWS frame, row
+  // excluded). Total order inside a key = (µs timestamp, event_id) — events
+  // carry nanosecond timestamps, Spark reads them truncated to µs, so the
+  // oracle orders by the SAME µs value (CAST ts AS TIMESTAMP) or frames could
+  // disagree on sub-µs neighbors. Baseline stats are rounded (6 dp) before
+  // the z-score so both engines flag identical boundaries.
+  // ---------------------------------------------------------------------------
+  private def x44(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Outliers.trailingZScore(
+        ParityQueries.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("ts"), col("value")),
+        col("user_id"), Seq(col("ts"), col("event_id")), col("value"),
+        lookback = 20, minN = 10, threshold = 3.0)
+      .select(col("user_id"), col("event_id"),
+        graft.ops.Scalars.formatTs(col("ts")).as("ts"),
+        col("value"), col("base_n"), col("z"), col("is_anomaly"))
+
+  private val x44Sql =
+    """SELECT user_id, event_id,
+              strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts,
+              "value",
+              count("value") OVER fr AS base_n,
+              CASE WHEN count("value") OVER fr >= 10
+                        AND round(stddev_samp("value") OVER fr, 6) > 0
+                   THEN round(("value" - round(avg("value") OVER fr, 6))
+                              / round(stddev_samp("value") OVER fr, 6), 4)
+              END AS z,
+              coalesce(abs(z) > 3.0, FALSE) AS is_anomaly
+       FROM events
+       WINDOW fr AS (PARTITION BY user_id
+                     ORDER BY CAST(ts AS TIMESTAMP), event_id
+                     ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_dedup_exact" -> x1 _,
     "x02_dedup_ngram_jaccard" -> x2 _,
@@ -1269,7 +1343,9 @@ object ExtensionQueries {
     "x39_incremental_dedup" -> x39 _,
     "x40_source_cap" -> x40 _,
     "x41_repetition" -> x41 _,
-    "x42_gapfill" -> x42 _
+    "x42_gapfill" -> x42 _,
+    "x43_quantize" -> x43 _,
+    "x44_outliers" -> x44 _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1309,6 +1385,8 @@ object ExtensionQueries {
     "x39_incremental_dedup" -> x39Sql,
     "x40_source_cap" -> x40Sql,
     "x41_repetition" -> x41Sql,
-    "x42_gapfill" -> x42Sql
+    "x42_gapfill" -> x42Sql,
+    "x43_quantize" -> x43Sql,
+    "x44_outliers" -> x44Sql
   )
 }
