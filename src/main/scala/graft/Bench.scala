@@ -47,8 +47,13 @@ object Bench {
       // catalog cache (Dataset.persist) AND RDD-level blocks (localCheckpoint)
       // — so each number measures its own plan, not the memory pressure of
       // everything that ran before it (the round-4 tail collapse).
+      // BLOCKING unpersist first: async removal (the clearCache default)
+      // overlaps block deletion with the next timed query and bleeds I/O into
+      // its measurement. RDD-level blocking unpersist covers cache-manager
+      // blocks too (persist registers the buffer RDD), so clearCache after it
+      // is pure bookkeeping.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       name -> dt
     }
     // 3-decimal precision keeps the one-line JSON short enough to survive

@@ -71,6 +71,36 @@ object Dedup {
     * key, so comparisons happen only inside buckets. Pair (a,b) kept once
     * (a<b), ordered deterministically.
     */
+  /** Sketch-table lifecycle shared by the three pair generators. The sketch
+    * (signature / simhash / shingle table) is referenced by several join
+    * branches, so it must be cached for the solve or every branch re-runs the
+    * corpus scan. Two caller-selectable contracts:
+    *
+    *  - `materialize = true` (default, leak-safe): the sketch is `persist`ed,
+    *    the corpus-sparse pair set is EAGERLY materialized via
+    *    `localCheckpoint` (a Spark job runs at call time), and the persist is
+    *    released in `finally`. The returned DataFrame holds only GC-owned
+    *    checkpoint blocks (reclaimed by the ContextCleaner once the caller
+    *    drops it) — a long-lived application can never accumulate sketch
+    *    tables in cache (the round-4 bench-tail collapse). Cost: callers'
+    *    filters/limits no longer push into pair generation, and a
+    *    single-consumer pipeline pays one up-front materialization.
+    *  - `materialize = false` (lazy composition): returns the UNEXECUTED plan;
+    *    the sketch is a lazily-localCheckpointed intermediate, computed once
+    *    on first action and shared by all branches, with blocks owned by the
+    *    GC rather than the CacheManager — no unpersist obligation, no
+    *    application-lifetime pin. Use for single-consumer pipelines at scale
+    *    where an unconditional eager pair materialization is a real cost;
+    *    note each NEW action on the result re-runs the post-sketch join work.
+    */
+  private def withSketchCache(sketch: DataFrame, materialize: Boolean)(
+      build: DataFrame => DataFrame): DataFrame =
+    if (materialize) {
+      val cached = sketch.persist(StorageLevel.MEMORY_AND_DISK)
+      try build(cached).localCheckpoint()
+      finally cached.unpersist(false)
+    } else build(sketch.localCheckpoint(eager = false))
+
   /** `maxBucketSize` is the skew guard: a band bucket larger than it is
     * dropped (with min-hash, corpora with globally-common shingles concentrate
     * the minimum onto those shingles, producing degenerate everything-matches
@@ -78,25 +108,20 @@ object Dedup {
     * discriminative signal). Pair generation is ids-only and deduped BEFORE
     * signatures are joined back, so the 32-wide estimate math runs once per
     * candidate pair, not once per (pair × colliding band).
+    *
+    * `materialize` selects eager-checkpointed (default) vs lazy composition —
+    * see [[withSketchCache]] for the exact contract of each.
     */
   def minhashPairs(df: DataFrame, id: Column, text: Column,
       k: Int = 32, bands: Int = 8, threshold: Double = 0.5,
-      maxBucketSize: Int = 1000): DataFrame = {
+      maxBucketSize: Int = 1000, materialize: Boolean = true): DataFrame = {
     require(k % bands == 0,
       s"bands ($bands) must divide k ($k): integer rows-per-band would " +
         "silently leave trailing signature positions out of every band")
     val rows = k / bands
-    // The signature table is sketch-sized (k longs per doc) and referenced by
-    // several join branches; persisting it is the cluster idiom — without it
-    // every branch re-runs the shingle+hash scan over the full corpus.
-    // Lifecycle: the persist is RELEASED before return — the candidate-pair
-    // result (corpus-sparse, ids + one double) is eagerly materialized via
-    // localCheckpoint, so the returned plan no longer references `sig` and a
-    // long-lived application never accumulates signature tables in cache
-    // (leaked here, this was the round-4 bench-tail collapse).
-    val sig = df.select(id.as("id"), minhashSignature(shingles(text)).as("sig"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    try {
+    withSketchCache(
+      df.select(id.as("id"), minhashSignature(shingles(text)).as("sig")),
+      materialize) { sig =>
     val banded = sig.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws(",", slice(col("sig"), b * rows + lit(1), lit(rows))), b))))
@@ -118,10 +143,7 @@ object Dedup {
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
           .cast("double") / k).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
-      // eager: materializes the sparse pair set NOW (blocks are GC-owned and
-      // reclaimed by the ContextCleaner) so `sig` can be released in finally
-      .localCheckpoint()
-    } finally sig.unpersist(false)
+    }
   }
 
   // -------------------------------------------------------------- simhash --
@@ -152,14 +174,14 @@ object Dedup {
     * bits is the standard operating point for near-dup distances ≤ 3).
     */
   def simhashPairs(df: DataFrame, id: Column, text: Column, maxDist: Int = 3,
-      maxBucketSize: Int = 2000, nChunks: Int = 4): DataFrame = {
+      maxBucketSize: Int = 2000, nChunks: Int = 4,
+      materialize: Boolean = true): DataFrame = {
     require(Set(2, 4, 8, 16, 32).contains(nChunks), s"nChunks must divide 64 evenly, got $nChunks")
     require(maxDist >= 0 && maxDist <= 63)
-    // sketch table feeds banding + the pair join-back: persist for the solve,
-    // release before return (see minhashPairs — same lifecycle contract)
-    val sk = df.select(id.as("id"), simhash(text).as("sk"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    try {
+    // sketch table feeds banding + the pair join-back — same caller-selectable
+    // lifecycle contract as minhashPairs (see withSketchCache)
+    withSketchCache(df.select(id.as("id"), simhash(text).as("sk")),
+      materialize) { sk =>
     val bits = 64 / nChunks
     val mask = if (bits == 64) -1L else (1L << bits) - 1L
     val chunk = (c: Column, i: Int) => shiftright(c, i * bits).bitwiseAND(lit(mask))
@@ -182,8 +204,7 @@ object Dedup {
       .join(sk.select(col("id").as("id_b"), col("sk").as("sk_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), simhashDistance(col("sk_a"), col("sk_b")).as("hamming"))
       .filter(col("hamming") <= maxDist)
-      .localCheckpoint() // eager: sparse pair set, lets sk release in finally
-    } finally sk.unpersist(false)
+    }
   }
 
   // ------------------------------------------------------- n-gram jaccard --
@@ -202,13 +223,13 @@ object Dedup {
     * thousands, not millions.
     */
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column, block: Column,
-      n: Int = 3, threshold: Double = 0.3): DataFrame = {
-    // both self-join sides read the shingle table — persist for the solve,
-    // release before return (the pair result is corpus-sparse and eagerly
-    // checkpointed, so the returned plan holds no cached corpus-scale state)
-    val sh = df.select(id.as("id"), block.as("block"), shingles(text, n).as("sh"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    try {
+      n: Int = 3, threshold: Double = 0.3,
+      materialize: Boolean = true): DataFrame = {
+    // both self-join sides read the shingle table — same caller-selectable
+    // lifecycle contract as minhashPairs (see withSketchCache)
+    withSketchCache(
+      df.select(id.as("id"), block.as("block"), shingles(text, n).as("sh")),
+      materialize) { sh =>
       val l = sh.select(col("block"), col("id").as("id_a"), col("sh").as("sh_a"))
       val r = sh.select(col("block"), col("id").as("id_b"), col("sh").as("sh_b"))
       l.join(r, Seq("block"))
@@ -219,8 +240,7 @@ object Dedup {
             (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 6))
         .filter(col("jaccard") >= threshold)
         .select("id_a", "id_b", "inter", "jaccard")
-        .localCheckpoint()
-    } finally sh.unpersist(false)
+    }
   }
 
   // ----------------------------------------------------- cluster resolution --

@@ -41,11 +41,14 @@ object ExtensionQueries {
     // token-less docs excluded on BOTH sides: the engine's shingle set for an
     // empty doc is [""] (one all-tokens window) while SQL's token list is []
     // — two empty docs would be jaccard=1 here and NULL-dropped in the oracle
+    // materialize=false: single-consumer query — the driver/bench runs exactly
+    // one action over the result, so the lazy contract (GC-owned sketch cache,
+    // no up-front pair checkpoint job) is strictly cheaper here
     Dedup.ngramJaccardPairs(
       docs(s, dir).filter(size(TextAnalysis.tokens(col("text"))) > 0),
       col("doc_id"), col("text"),
       concat(col("lang"), lit("|"), (col("n_chars") / 25).cast("long")),
-      n = 1, threshold = 0.7)
+      n = 1, threshold = 0.7, materialize = false)
 
   private val x2Sql =
     """WITH t AS (
@@ -67,10 +70,11 @@ object ExtensionQueries {
   // ---------------------------------------------------------------------------
   private def x3(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashPairs(docs(s, dir), col("doc_id"), col("text"),
-      k = 32, bands = 8, threshold = 0.5)
+      k = 32, bands = 8, threshold = 0.5, materialize = false) // single-consumer
 
   private def x4(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(docs(s, dir), col("doc_id"), col("text"), maxDist = 26)
+    Dedup.simhashPairs(docs(s, dir), col("doc_id"), col("text"), maxDist = 26,
+      materialize = false) // single-consumer
 
   // ---------------------------------------------------------------------------
   // X5 — brute-force cosine top-k (every 50th vector queries the corpus).
@@ -603,11 +607,15 @@ object ExtensionQueries {
       p.select(col("id_a").as("doc_id")).union(p.select(col("id_b").as("doc_id")))
 
     // t3 feeds three branches; persist for the derivation, RELEASE before
-    // return: the violation relations are corpus-sparse (usually empty), so
-    // they materialize eagerly (localCheckpoint) inside the try and the
-    // returned plan never references the cached shingle table.
+    // return. The violation relations are corpus-sparse (usually empty), so
+    // they materialize eagerly inside the try — as ONE tag-column union with a
+    // SINGLE localCheckpoint, so the expensive interpreted-HOF shingle scans
+    // and the broadcast builds of all three branches co-schedule in one job
+    // against the shared t3 cache (checkpointing them one at a time serialized
+    // five jobs and tripled this audit's cost in round 5). The returned plan
+    // never references the cached shingle table.
     val t3 = shingleTable(3).persist(StorageLevel.MEMORY_AND_DISK)
-    val (mhUnsoundDocs, mhMissedDocs, shMissedDocs) = try {
+    val violations = try {
       val t2 = shingleTable(2)
 
       // minhashPairs returns an eagerly-checkpointed pair set (cache-neutral)
@@ -629,16 +637,17 @@ object ExtensionQueries {
         .join(broadcast(mhPairs), Seq("id_a", "id_b"), "left_anti")
       val shMissed = identicalSetPairs(t2)
         .join(broadcast(shPairs), Seq("id_a", "id_b"), "left_anti")
-      (pairDocs(mhUnsound).localCheckpoint(),
-        pairDocs(mhMissed).localCheckpoint(),
-        pairDocs(shMissed).localCheckpoint())
+      pairDocs(mhUnsound).withColumn("kind", lit("mh_sound"))
+        .unionByName(pairDocs(mhMissed).withColumn("kind", lit("mh_complete")))
+        .unionByName(pairDocs(shMissed).withColumn("kind", lit("sh_complete")))
+        .localCheckpoint()
     } finally t3.unpersist(false)
 
     val base = d.select(col("doc_id"))
     okFlag(okFlag(okFlag(base,
-      mhUnsoundDocs, "mh_sound"),
-      mhMissedDocs, "mh_complete"),
-      shMissedDocs, "sh_complete")
+      violations.filter(col("kind") === "mh_sound"), "mh_sound"),
+      violations.filter(col("kind") === "mh_complete"), "mh_complete"),
+      violations.filter(col("kind") === "sh_complete"), "sh_complete")
   }
 
   private val x25Sql =
