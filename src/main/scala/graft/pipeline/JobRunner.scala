@@ -129,12 +129,21 @@ object JobRunner {
 
     val sunk = BatchJob.fromDirectory(spark, inputDir, spec.cfg,
       spec.groupBySubfolder, clientFactory)
-    // localCheckpoint, not persist: every sink below re-reads the result set
+    // Checkpoint, not persist: every sink below re-reads the result set
     // (group-scale, one row per group) and the DataFrame escapes in the
     // returned JobResult — an unreleased persist() would pin cache for the
-    // application lifetime, while checkpoint blocks are GC-reclaimed once the
-    // caller drops the JobResult.
-    val results = sunk.results.localCheckpoint()
+    // application lifetime, and recomputation is unacceptable (clientFactory
+    // calls are side-effecting: a live model client bills per request).
+    // RELIABLE checkpoint when the application configured a checkpoint dir:
+    // local-checkpoint blocks are unreplicated and lineage-truncated, so on a
+    // real cluster an executor loss (or dynamic-allocation decommission)
+    // between materialization and the last sink would fail the job with
+    // "checkpoint block not found" instead of recovering. With no checkpoint
+    // dir (single-JVM runs, tests) fall back to localCheckpoint — same
+    // GC-owned-block hygiene, executor loss is process death there anyway.
+    val results =
+      if (spark.sparkContext.getCheckpointDir.isDefined) sunk.results.checkpoint()
+      else sunk.results.localCheckpoint()
     val out = results.select(col("seq"), col("group_id").as("file"), col("output"))
 
     if (spec.outputFormats.contains("csv"))

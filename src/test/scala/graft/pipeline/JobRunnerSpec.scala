@@ -75,6 +75,26 @@ class JobRunnerSpec extends AnyFunSuite with SparkTestSession {
     assert(JobRunner.loadRegistry(spark, registry).count() == 1)
   }
 
+  test("results upgrade to a RELIABLE checkpoint when a checkpoint dir is set") {
+    // On a real cluster local-checkpoint blocks die with their executor; the
+    // runner must promote to a replicated reliable checkpoint whenever the
+    // application has configured one (the cluster operator's signal), so an
+    // executor loss between materialization and the last sink recovers
+    // instead of failing — without re-invoking the billable model client.
+    val ckpt = Files.createTempDirectory("graft-ckpt")
+    spark.sparkContext.setCheckpointDir(ckpt.toString)
+    val tree = mkFixtureTree()
+    val work = Files.createTempDirectory("graft-work-ckpt")
+    val (_, result) = JobRunner.run(spark, work.resolve("job1").toString, tree,
+      work.resolve("store").toString, work.resolve("registry.json").toString,
+      JobRunner.JobSpec(jobId = "job1"), now = "2026-08-12 00:00:00")
+    assert(result.results.count() == 3)
+    // reliable checkpoint writes rdd-N data under <dir>/<app-uuid>/
+    val rddDirs = Files.walk(ckpt).filter(p => p.getFileName.toString.startsWith("rdd-"))
+    assert(rddDirs.findFirst().isPresent,
+      s"no reliable-checkpoint rdd directory written under $ckpt")
+  }
+
   test("F11 storage naming: sanitize, cap, hash suffix, collision bump") {
     val sha = "ab" * 32
     assert(JobRunner.storageZipName("My Upload (v2).zip", sha, Set.empty)
