@@ -101,6 +101,39 @@ class ExtensionsSpec extends AnyFunSuite with SparkTestSession {
     assert(survivors == Set(2L, 4L, 6L))
   }
 
+  test("resolveClusters mega-cluster skew: groupBy shape ≡ window shape") {
+    // One component holding 50% of all rows — the duplicate-storm profile that
+    // makes WindowExec buffer half the corpus in a single task. The skew gate
+    // must switch to the map-side-combining groupBy + join-back shape, and the
+    // two shapes must be row-identical on the same input.
+    val n = 200000L
+    val rows = spark.range(n).select(col("id").as("doc_id"),
+      (col("id") % 97).as("quality"))
+    // star component {0 .. n/2-1} plus scattered 2-clusters in the upper half
+    val mega = spark.range(1, n / 2)
+      .select(lit(0L).as("id_a"), col("id").as("id_b"))
+    val small = spark.range(n / 2 + 1, n - 1, 4)
+      .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+    val pairs = mega.union(small)
+    val keep = -col("quality")
+    val windowed = Dedup.resolveClusters(rows, col("doc_id"), keep, pairs,
+      maxWindowedClusterSize = Long.MaxValue) // force window shape
+    val grouped = Dedup.resolveClusters(rows, col("doc_id"), keep, pairs,
+      maxWindowedClusterSize = 1000) // force skew shape (mega = n/2 members)
+    assert(windowed.columns.sameElements(grouped.columns))
+    val wRows = windowed.orderBy("doc_id").collect()
+    val gRows = grouped.orderBy("doc_id").collect()
+    assert(wRows.length == n && wRows.sameElements(gRows),
+      "skew-gated groupBy shape diverged from the window shape")
+    // mega cluster resolved correctly: size n/2, exactly one survivor = the
+    // max-quality member (quality = id % 97, keep = -quality, min id breaks
+    // ties) — id 96 is the first row hitting the max residue 96
+    val megaRows = gRows.filter(_.getAs[Long]("component") == 0L)
+    assert(megaRows.length == n / 2)
+    val survivors = megaRows.filter(_.getAs[Boolean]("is_survivor"))
+    assert(survivors.map(_.getAs[Long]("doc_id")).toSeq == Seq(96L))
+  }
+
   test("nearDupDedup end-to-end: planted dups collapse to one survivor") {
     // docs: 100/101 identical, 102 near-dup of 100 → one cluster {100,101,102};
     // 200 and 201 unrelated → survive as singletons
