@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.Schemas
-import graft.ops.CostAgg
+import graft.ops.{CostAgg, Enrich}
 import graft.pipeline.BatchJob
 
 /** End-to-end pipeline queries: the full flagship DAG (ingest → group → mock
@@ -83,13 +83,52 @@ object PipelineQueries {
               'USD' AS cost_unit
        FROM usage"""
 
+  /** Q27 — the END-TO-END artifact chain (ingest → group → enrich → footer →
+    * renumber → concat), hashed: one row holding the sha256 + byte length of
+    * the exact bytes `Sinks.writeConcatenatedResults` (K4) streams to disk,
+    * built relationally (renumber per line, seq-ordered join with "\n") so the
+    * driver's DuckDB oracle can pin the whole sink path — not just its unit
+    * pieces (q13 renumber, q17 footer) — byte for byte. The final assembly is
+    * a single-row aggregate over GROUP-scale rows (one line per group), which
+    * is exactly the sink's own cardinality; the corpus-scale work stays in
+    * the distributed pipeline underneath.
+    */
+  private def q27Artifact(s: SparkSession, dir: String): DataFrame = {
+    val res = BatchJob.flagship(s, dir,
+      Enrich.JobConfig(customFooter = "-- processed by graft"))
+    val lines = res.select(col("seq"),
+      graft.ops.Scalars.renumberToken(col("output"), col("seq")).as("line"))
+    lines
+      .agg(count(lit(1)).as("n_lines"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("seq"), col("line")))),
+            x => x.getField("line")), "\n").as("__artifact"))
+      .select(col("n_lines"),
+        length(encode(col("__artifact"), "UTF-8")).as("artifact_bytes"),
+        sha2(encode(col("__artifact"), "UTF-8"), 256).as("artifact_sha256"))
+  }
+
+  private val q27Sql = mockCte +
+    """, lines AS (
+         SELECT seq,
+                replace(output || chr(10) || '-- processed by graft',
+                        '000000001',
+                        lpad(CAST(seq AS VARCHAR), 9, '0')) AS line
+         FROM usage)
+       SELECT CAST(count(*) AS BIGINT) AS n_lines,
+              CAST(strlen(string_agg(line, chr(10) ORDER BY seq)) AS INTEGER) AS artifact_bytes,
+              sha256(string_agg(line, chr(10) ORDER BY seq)) AS artifact_sha256
+       FROM lines"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_pipeline_enrich" -> q21Enrich _,
-    "q22_pipeline_cost_summary" -> q22CostSummary _
+    "q22_pipeline_cost_summary" -> q22CostSummary _,
+    "q27_pipeline_artifact" -> q27Artifact _
   )
 
   val oracleSql: Map[String, String] = Map(
     "q21_pipeline_enrich" -> q21Sql,
-    "q22_pipeline_cost_summary" -> q22Sql
+    "q22_pipeline_cost_summary" -> q22Sql,
+    "q27_pipeline_artifact" -> q27Sql
   )
 }
