@@ -32,7 +32,12 @@ object Bench {
       System.err.println(s"[bench] WARM-UP FAILED (first query will absorb init cost): $e")
     }
     val failed = scala.collection.mutable.ListBuffer[String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev knob: SPARK_GRAFT_ONLY=x02,x24 runs just the named queries (prefix
+    // match) — for iterating on one query's plan without the full sweep
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink, not count(): count() lets Catalyst prune deterministic
       // projections, so a projection-only query would benchmark an empty scan

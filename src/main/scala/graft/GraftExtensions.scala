@@ -14,7 +14,8 @@ import graft.functions.{DotProduct, MinHashSig, NGrams, SignLshBucket, SimHash64
   *
   * Functions: `ngrams(ARRAY<STRING>, n)`, `minhash_sig(ARRAY<STRING>, k)`,
   * `simhash64(ARRAY<STRING>)`, `dot_product(ARRAY<FLOAT|DOUBLE>,
-  * ARRAY<FLOAT|DOUBLE>)`, `sign_lsh_bucket(ARRAY<FLOAT|DOUBLE>, nBits)`.
+  * ARRAY<FLOAT|DOUBLE>)`, `sign_lsh_bucket(ARRAY<FLOAT|DOUBLE>, nBits)`,
+  * `bitset_intersect_count(ARRAY<BIGINT>, ARRAY<BIGINT>)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -64,7 +65,12 @@ object GraftExtensions {
     (FunctionIdentifier("ngram_stats"),
       new ExpressionInfo(classOf[graft.functions.NgramStats].getName, "ngram_stats"),
       (args: Seq[Expression]) => { arity("ngram_stats", 2, args)
-        graft.functions.NgramStats(args(0), litInt(args(1), "ngram_stats")) }))
+        graft.functions.NgramStats(args(0), litInt(args(1), "ngram_stats")) }),
+    (FunctionIdentifier("bitset_intersect_count"),
+      new ExpressionInfo(classOf[graft.functions.BitsetIntersectCount].getName,
+        "bitset_intersect_count"),
+      (args: Seq[Expression]) => { arity("bitset_intersect_count", 2, args)
+        graft.functions.BitsetIntersectCount(args(0), args(1)) }))
 
   /** Imperative registration on an existing session (same builders as the
     * config-driven path). */

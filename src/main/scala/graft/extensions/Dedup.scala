@@ -212,34 +212,98 @@ object Dedup {
   /** Exact n-gram Jaccard pairs within a blocking key (same block only — the
     * caller picks blocks that bound bucket size, e.g. lang × length band).
     *
-    * Formulation: block-bounded self-join + array_intersect on the (distinct)
-    * shingle sets. For corpora with SELECTIVE shingles the explode-equi-join
-    * (token-level join, count = |∩|) shuffles less; for small shared
-    * vocabularies (like the synthetic word-soup docs) every token hits every
-    * doc and the explode-join degenerates to |bucket|²·|vocab| rows — the
-    * array-intersect form keeps it at |bucket|² with O(|A|+|B|) work per pair.
-    * Either way the blocking key bounds the quadratic term: at 100 TB you
-    * size blocks (e.g. lang × length-band × LSH-prefilter) so buckets stay
-    * thousands, not millions.
+    * Pair generation is the block-bounded self-join either way (the blocking
+    * key bounds the quadratic term: at 100 TB you size blocks — lang ×
+    * length-band × LSH-prefilter — so buckets stay thousands, not millions).
+    * The per-pair VERIFY is gated on the MEASURED shingle vocabulary
+    * (one bounded probe job on the cached sketch, the same measure-then-pick
+    * idiom as [[resolveClusters]]' skew gate and [[connectedComponents]]'
+    * size cutover):
+    *
+    *  - vocab ≤ `maxDictVocab` (enum-ish corpora: codes, tags, synthetic
+    *    word-soup — where blocks are dense and the quadratic term bites
+    *    hardest): each shingle set becomes a ⌈vocab/64⌉-word BITSET via a
+    *    broadcast dictionary join, and |∩| is the native codegen'd
+    *    [[graft.functions.BitsetIntersectCount]] popcount(AND) loop —
+    *    constant-time per pair instead of `array_intersect`'s per-pair string
+    *    hash-set build. Value-identical output: |∩| and the set sizes are the
+    *    same integers, so the rounded Jaccard double is bit-equal (pinned by
+    *    ExtensionsSpec on both paths).
+    *  - larger vocab: `array_intersect` on the sorted shingle arrays, as
+    *    before. (A token-level explode-equi-join would shuffle less for very
+    *    SELECTIVE shingles, but degenerates to |bucket|²·|vocab| rows on
+    *    shared vocabularies — the array form keeps worst-case |bucket|² with
+    *    O(|A|+|B|) per pair.)
+    *
+    * `maxDictVocab = 0` forces the array path. The vocabulary probe runs
+    * eagerly at call time in BOTH materialize modes; under
+    * `materialize = false` it doubles as the lazily-checkpointed sketch's
+    * first action, so the corpus scan still happens exactly once.
     */
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column, block: Column,
       n: Int = 3, threshold: Double = 0.3,
-      materialize: Boolean = true): DataFrame = {
+      materialize: Boolean = true, maxDictVocab: Int = 4096): DataFrame = {
     // both self-join sides read the shingle table — same caller-selectable
     // lifecycle contract as minhashPairs (see withSketchCache)
     withSketchCache(
       df.select(id.as("id"), block.as("block"), shingles(text, n).as("sh")),
       materialize) { sh =>
-      val l = sh.select(col("block"), col("id").as("id_a"), col("sh").as("sh_a"))
-      val r = sh.select(col("block"), col("id").as("id_b"), col("sh").as("sh_b"))
-      l.join(r, Seq("block"))
-        .filter(col("id_a") < col("id_b"))
-        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-        .withColumn("jaccard",
-          round(col("inter").cast("double") /
-            (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 6))
-        .filter(col("jaccard") >= threshold)
-        .select("id_a", "id_b", "inter", "jaccard")
+      // limit+collect bounds the probe at maxDictVocab+1 rows regardless of
+      // true vocabulary size — the driver never holds an unbounded dictionary
+      val dict: Array[String] =
+        if (maxDictVocab <= 0) Array.empty
+        else sh.select(explode(col("sh")).as("tok")).distinct()
+          .limit(maxDictVocab + 1).collect().map(_.getString(0))
+      val jaccardOf = (inter: Column, szA: Column, szB: Column) =>
+        round(inter.cast("double") / (szA + szB - inter), 6)
+      if (maxDictVocab > 0 && dict.length <= maxDictVocab) {
+        val spark = df.sparkSession
+        import spark.implicits._
+        val nWords = math.max(1, (dict.length + 63) / 64)
+        // sorted for deterministic bit positions (layout only — |∩| is
+        // position-independent)
+        val dictDf = dict.sorted.zipWithIndex.toSeq.toDF("tok", "pos")
+        val masks = sh.select(col("id"), col("block"), explode(col("sh")).as("tok"))
+          .join(broadcast(dictDf), Seq("tok"))
+          .groupBy(col("id"), col("block"))
+          .agg(collect_list(col("pos")).as("ps"))
+          // ps is distinct (shingle sets are), so size(ps) IS the set size;
+          // the HOF mask build is interpreted but corpus-LINEAR (once per
+          // doc) — only the per-PAIR popcount sits on the quadratic path
+          .select(col("id"), col("block"), size(col("ps")).as("sz"),
+            transform(sequence(lit(0), lit(nWords - 1)), w =>
+              aggregate(filter(col("ps"), p => floor(p / 64).cast("int") === w),
+                lit(0L), (acc, p) => acc.bitwiseOR(
+                  // functions.shiftleft takes only a literal shift — the SQL
+                  // form accepts a column one
+                  call_function("shiftleft", lit(1L),
+                    pmod(p, lit(64)).cast("int"))))).as("m"))
+        val l = masks.select(col("block"), col("id").as("id_a"),
+          col("sz").as("sz_a"), col("m").as("ma"))
+        val r = masks.select(col("block"), col("id").as("id_b"),
+          col("sz").as("sz_b"), col("m").as("mb"))
+        // the mask relation sits behind two exchanges, so Spark has no size
+        // estimate and would fall back to sort-merge; the engine shape for a
+        // block-bounded self-join is the sortless shuffled hash join (build
+        // side = one block's masks, bounded by the caller's blocking contract)
+        l.join(r.hint("shuffle_hash"), Seq("block"))
+          .filter(col("id_a") < col("id_b"))
+          .withColumn("inter", graft.functions.BitsetIntersectCount
+            .bitsetIntersectCount(col("ma"), col("mb")))
+          .withColumn("jaccard", jaccardOf(col("inter"), col("sz_a"), col("sz_b")))
+          .filter(col("jaccard") >= threshold)
+          .select("id_a", "id_b", "inter", "jaccard")
+      } else {
+        val l = sh.select(col("block"), col("id").as("id_a"), col("sh").as("sh_a"))
+        val r = sh.select(col("block"), col("id").as("id_b"), col("sh").as("sh_b"))
+        l.join(r, Seq("block"))
+          .filter(col("id_a") < col("id_b"))
+          .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+          .withColumn("jaccard",
+            jaccardOf(col("inter"), size(col("sh_a")), size(col("sh_b"))))
+          .filter(col("jaccard") >= threshold)
+          .select("id_a", "id_b", "inter", "jaccard")
+      }
     }
   }
 

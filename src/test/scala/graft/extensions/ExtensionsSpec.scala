@@ -172,6 +172,23 @@ class ExtensionsSpec extends AnyFunSuite with SparkTestSession {
     )
   }
 
+  test("ngram jaccard: bitset fast path ≡ array_intersect path on corpus text") {
+    // the vocab gate must be invisible in results: same pairs, same inter,
+    // bit-equal rounded jaccard — on real corpus text where both blocks and
+    // near-dup structure are nontrivial
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(size(TextAnalysis.tokens(col("text"))) > 0)
+    def run(maxVocab: Int) = Dedup.ngramJaccardPairs(corpus, col("doc_id"),
+      col("text"), concat(col("lang"), lit("|"), (col("n_chars") / 25).cast("long")),
+      n = 1, threshold = 0.5, maxDictVocab = maxVocab)
+      .orderBy("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    val bitset = run(4096) // corpus vocab ≈ 31 → bitset path
+    val array = run(0)     // forced array_intersect path
+    assert(bitset.nonEmpty, "fixture produced no pairs — test is vacuous")
+    assert(bitset.sameElements(array))
+  }
+
   test("cosine column: known values, zero-norm guard") {
     import spark.implicits._
     val df = Seq(

@@ -85,6 +85,29 @@ class NativeExprEquivalenceSpec extends AnyFunSuite with SparkTestSession {
     assert(mismatches == 0)
   }
 
+  test("BitsetIntersectCount matches the zip_with/bit_count formulation") {
+    def hofCount(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseAND(y))),
+        lit(0), (acc, x) => acc + x)
+    val rng = new scala.util.Random(41)
+    val rows = (1 to 300).map { _ =>
+      (Array.fill(rng.nextInt(8) + 1)(rng.nextLong()),
+        Array.fill(rng.nextInt(8) + 1)(rng.nextLong()))
+    } :+ ((Array(0L), Array(-1L))) :+ ((Array(-1L), Array(-1L)))
+    val df = spark.createDataFrame(rows).toDF("a", "b")
+    // HOF zip_with null-pads the shorter array (null AND → null → bit_count
+    // null → counted 0 by +) and the native loop stops at min length — same
+    // totals; compare on equal-length slices to keep the claim exact anyway
+    val n = least(size(col("a")), size(col("b")))
+    val mismatches = df.select(
+        graft.functions.BitsetIntersectCount.bitsetIntersectCount(
+          slice(col("a"), lit(1), n), slice(col("b"), lit(1), n)).as("native"),
+        hofCount(slice(col("a"), lit(1), n), slice(col("b"), lit(1), n)).as("hof"))
+      .filter(col("native") =!= col("hof"))
+      .count()
+    assert(mismatches == 0)
+  }
+
   test("DocFingerprint64 matches the HOF formulation on corpus text + edges") {
     def hofFingerprint(text: org.apache.spark.sql.Column, shingleLen: Int, maxSamples: Int) = {
       val n = greatest(length(text) - (shingleLen - 1), lit(1))
