@@ -53,6 +53,30 @@ object Sampling {
     df.filter(hashBucket(key, salt) < bound)
   }
 
+  /** Deterministic epoch shuffle: a reproducible global permutation of the
+    * corpus per training epoch — every epoch a fresh, uncorrelated order;
+    * every rerun of the same epoch the SAME order, on any engine and any
+    * cluster size. Data ordering is part of a training run's reproducibility
+    * contract, and `df.orderBy(rand(seed))` breaks it (rand is
+    * partitioning-dependent).
+    *
+    * Order key = sha256(key ⊕ epoch ⊕ salt) — same portable-hash trade as
+    * [[hashBucket]]; `key` itself breaks the (hash-collision) ties so the
+    * permutation is total when keys are unique (same caller contract as
+    * [[graft.ops.SeqNumber]]). Output adds `epoch_pos` (1-based position in
+    * the shuffled order) via the range-partitioned distributed numbering —
+    * ONE sample-ranged shuffle, never a single-partition window; rows come
+    * back physically sorted in shuffle order, ready for sequential write.
+    */
+  def epochShuffle(df: DataFrame, key: Column, epoch: Int,
+      salt: String = ""): DataFrame = {
+    val ord = sha2(concat_ws("|", key.cast("string"), lit(epoch.toString), lit(salt)), 256)
+    graft.ops.SeqNumber.withGlobalSeq(
+        df.withColumn("__shuffle_ord", ord), "epoch_pos",
+        col("__shuffle_ord"), key)
+      .drop("__shuffle_ord")
+  }
+
   /** Disjoint named splits, e.g. `Seq("train" -> 0.9, "val" -> 0.05,
     * "test" -> 0.05)` → adds a `split` column. Fractions must sum to ≤ 1;
     * any remainder gets NULL (excluded rows).

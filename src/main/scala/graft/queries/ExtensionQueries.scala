@@ -1310,6 +1310,26 @@ object ExtensionQueries {
                      ORDER BY CAST(ts AS TIMESTAMP), event_id
                      ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)"""
 
+  // ---------------------------------------------------------------------------
+  // X45 — deterministic epoch shuffle (extensions/Sampling.epochShuffle): a
+  // reproducible global permutation per training epoch. The order key is
+  // sha256(doc_id|epoch|salt), so DuckDB re-derives every row's exact
+  // epoch_pos with row_number() — the position is a VALUE, which makes the
+  // whole permutation (not just its statistics) oracle-checkable.
+  // ---------------------------------------------------------------------------
+  private def x45(s: SparkSession, dir: String): DataFrame =
+    Sampling.epochShuffle(
+        docs(s, dir).select(col("doc_id"), col("lang"), col("source")),
+        col("doc_id"), epoch = 3, salt = "r6")
+      .select(col("doc_id"), col("lang"), col("source"), col("epoch_pos"))
+
+  private val x45Sql =
+    """SELECT doc_id, lang, source,
+              CAST(row_number() OVER (
+                ORDER BY sha256(CAST(doc_id AS VARCHAR) || '|3|' || 'r6'), doc_id)
+                AS BIGINT) AS epoch_pos
+       FROM documents"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_dedup_exact" -> x1 _,
     "x02_dedup_ngram_jaccard" -> x2 _,
@@ -1354,7 +1374,8 @@ object ExtensionQueries {
     "x41_repetition" -> x41 _,
     "x42_gapfill" -> x42 _,
     "x43_quantize" -> x43 _,
-    "x44_outliers" -> x44 _
+    "x44_outliers" -> x44 _,
+    "x45_epoch_shuffle" -> x45 _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1396,6 +1417,7 @@ object ExtensionQueries {
     "x41_repetition" -> x41Sql,
     "x42_gapfill" -> x42Sql,
     "x43_quantize" -> x43Sql,
-    "x44_outliers" -> x44Sql
+    "x44_outliers" -> x44Sql,
+    "x45_epoch_shuffle" -> x45Sql
   )
 }

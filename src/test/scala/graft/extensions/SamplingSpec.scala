@@ -37,6 +37,24 @@ class SamplingSpec extends AnyFunSuite with SparkTestSession {
     assert(a != b)
   }
 
+  test("epochShuffle: total permutation, reproducible, epochs uncorrelated") {
+    val n = 5000
+    val df = spark.range(n).toDF("id")
+    val e1 = Sampling.epochShuffle(df, col("id"), epoch = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // bijection onto 1..n
+    assert(e1.size == n && e1.values.toSet == (1L to n.toLong).toSet)
+    // rerun (different partitioning) = identical permutation
+    val e1b = Sampling.epochShuffle(df.repartition(17), col("id"), epoch = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(e1 == e1b)
+    // a different epoch is a (near-)uncorrelated fresh order, not a shift
+    val e2 = Sampling.epochShuffle(df, col("id"), epoch = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fixed = (0L until n.toLong).count(id => e1(id) == e2(id))
+    assert(e2 != e1 && fixed < 10, s"$fixed fixed points") // E[fixed]=1 for a random perm
+  }
+
   test("stratified sample applies per-stratum rates; unknown strata use default") {
     import org.apache.spark.sql.functions.{concat, lit}
     val df = spark.range(9000).toDF("id")
