@@ -189,6 +189,30 @@ class ExtensionsSpec extends AnyFunSuite with SparkTestSession {
     assert(bitset.sameElements(array))
   }
 
+  test("ngram jaccard bitset path: word-boundary vocabularies (63..65, 129)") {
+    // mask width = ceil(vocab/64) words: vocab 63/64 fit one long, 65 spills
+    // into a second, 129 into a third — the off-by-one-word shapes where a
+    // bit-layout bug would hide. Docs draw deterministic overlapping slices
+    // so pairs straddle the threshold both ways.
+    import spark.implicits._
+    for (vocab <- Seq(63, 64, 65, 129)) {
+      val words = (0 until vocab).map(i => s"w$i")
+      // doc i = 8 consecutive words starting at 3i (mod vocab) — adjacent
+      // docs overlap 5/11 ≈ 0.45, distant docs 0
+      val docsV = (0L until 40L).map { i =>
+        val s = (0 until 8).map(j => words(((i * 3).toInt + j) % vocab)).mkString(" ")
+        (i, s)
+      }.toDF("doc_id", "text")
+      def run(maxVocab: Int) = Dedup.ngramJaccardPairs(docsV, col("doc_id"),
+        col("text"), lit("all"), n = 1, threshold = 0.4, maxDictVocab = maxVocab)
+        .orderBy("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      val bitset = run(4096)
+      val array = run(0)
+      assert(bitset.nonEmpty && bitset.sameElements(array), s"vocab=$vocab")
+    }
+  }
+
   test("cosine column: known values, zero-norm guard") {
     import spark.implicits._
     val df = Seq(
