@@ -1,10 +1,12 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StreamingQuery, Trigger}
 
-import graft.extensions.Dedup
+import graft.extensions.{Dedup, IncrementalDedup}
 
 /** Streaming NEAR-duplicate detection — the ingest-time analogue of the batch
   * [[graft.extensions.Dedup.simhashPairs]]: as documents arrive, emit a pair
@@ -108,4 +110,59 @@ object StreamingDedup {
           }
       }
   }
+
+  /** Streaming EXACT dedup-before-store: each micro-batch keeps only rows
+    * whose `key` has never been seen — not in any earlier batch (tracked in a
+    * persistent parquet key registry at `registryDir`) and not earlier in the
+    * same batch (first by `keep` order wins, [[Dedup.exact]]'s contract) —
+    * then appends survivors to `survivorsDir` and their keys to the registry.
+    * This is the composed "don't store what we already have" ingest stage:
+    * [[graft.extensions.IncrementalDedup.dropSeen]] per micro-batch, so the
+    * registry probe is a Bloom filter IN THE SCAN and only probable dups
+    * shuffle — the registry is never joined wholesale against the batch.
+    *
+    * Unlike [[simhashPairsStream]] the seen-set lives in parquet, not stream
+    * state: an exact-dedup registry grows with corpus cardinality (every
+    * unique key, forever), which is exactly what executor state must NOT do;
+    * as a side effect the registry survives stream restarts and is shared
+    * with batch runs ([[graft.extensions.IncrementalDedup]] reads the same
+    * layout).
+    *
+    * Delivery: foreachBatch is at-least-once — a batch retried after a
+    * partial survivor write can append rows twice. Duplicate KEYS in the
+    * registry are harmless (the probe semantics don't change); survivors are
+    * exactly-once only under a transactional table format, which this
+    * zero-dependency layout deliberately isn't. Downstream exact dedup (one
+    * `dup_count > 0` filter) restores uniqueness if the sink needs it.
+    */
+  def dedupFilterStream(docs: DataFrame, key: Column, keep: Column,
+      survivorsDir: String, registryDir: String, checkpointDir: String,
+      fpp: Double = 0.01,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val withinBatch = Dedup.exact(batch, key, keep).drop("dup_count")
+          val fs = new Path(registryDir)
+            .getFileSystem(spark.sessionState.newHadoopConf())
+          val survivors =
+            if (fs.exists(new Path(registryDir))) {
+              val registry = spark.read.parquet(registryDir)
+              IncrementalDedup.dropSeen(withinBatch, key, registry, col("k"), fpp)
+            } else withinBatch
+          // checkpoint: survivors feed BOTH writes below; recomputing would
+          // re-run the bloom probe + verify join (and re-invoke nothing
+          // side-effecting — still, twice the work per batch)
+          val s = survivors.localCheckpoint()
+          s.withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(survivorsDir)
+          s.select(key.cast("string").as("k"))
+            .write.mode("append").parquet(registryDir)
+        }
+        ()
+      }
+      .start()
 }

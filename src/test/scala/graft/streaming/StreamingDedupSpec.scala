@@ -88,6 +88,39 @@ class StreamingDedupSpec extends AnyFunSuite with SparkTestSession {
     } finally q.stop()
   }
 
+  test("dedupFilterStream: cross-batch + within-batch exact dedup before store") {
+    import java.nio.file.Files
+    val work = Files.createTempDirectory("graft-sdedup")
+    val surv = work.resolve("survivors").toString
+    val reg = work.resolve("registry").toString
+    val ckpt = work.resolve("ckpt").toString
+    val src = MemoryStream[Doc]
+    val q = StreamingDedup.dedupFilterStream(src.toDF(),
+      key = sha2(col("text"), 256), keep = col("doc_id"),
+      survivorsDir = surv, registryDir = reg, checkpointDir = ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      // batch 1: two uniques + an in-batch dup of doc 1 (doc 1 wins by keep)
+      src.addData(Doc(1, t(0), "alpha beta"), Doc(2, t(0), "gamma delta"),
+        Doc(3, t(0), "alpha beta"))
+      q.processAllAvailable()
+      // batch 2: one cross-batch dup, one new
+      src.addData(Doc(4, t(1), "gamma delta"), Doc(5, t(1), "epsilon zeta"))
+      q.processAllAvailable()
+      // batch 3: all dups → nothing stored
+      src.addData(Doc(6, t(2), "alpha beta"), Doc(7, t(2), "epsilon zeta"))
+      q.processAllAvailable()
+      val stored = spark.read.parquet(surv)
+        .select("doc_id", "text").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(stored == Map(1L -> "alpha beta", 2L -> "gamma delta",
+        5L -> "epsilon zeta"), s"got $stored")
+      // registry holds exactly the three survivor keys
+      val keys = spark.read.parquet(reg).collect().map(_.getString(0)).toSet
+      assert(keys.size == 3)
+    } finally q.stop()
+  }
+
   test("maxPerBucket bounds state: oldest entries stop matching") {
     val src = MemoryStream[Doc]
     // capacity 1: each bucket remembers only the newest doc
