@@ -189,6 +189,33 @@ class ExtensionsSpec extends AnyFunSuite with SparkTestSession {
     assert(bitset.sameElements(array))
   }
 
+  test("mega-doc robustness: MB-scale text through the sketch/stat operators") {
+    // a 100 TB corpus always contains pathological rows (concatenated dumps,
+    // minified bundles). One ~2 MB doc must flow through shingling, both
+    // sketches, fingerprinting and the quality stats without error — and the
+    // sketch outputs must stay size-bounded (corpus-independent widths).
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val mega = (1 to 300000).map(_ => words(rng.nextInt(words.size))).mkString(" ")
+    assert(mega.length > 1500000)
+    val df = Seq((1L, mega)).toDF("doc_id", "text")
+    val row = df.select(
+        size(Dedup.shingles(col("text"), 3)).as("n_shingles"),
+        size(Dedup.minhashSignature(Dedup.shingles(col("text"), 3))).as("sig_w"),
+        Dedup.simhash(col("text")).as("sk"),
+        TextAnalysis.docFingerprint(col("text")).as("fp"),
+        TextAnalysis.tokenCountWs(col("text")).as("n_tok"),
+        round(TextAnalysis.qualityScore(col("text")), 6).as("q"))
+      .collect().head
+    assert(row.getAs[Int]("n_shingles") > 900) // 10-word vocab → ≤1000 3-grams
+    assert(row.getAs[Int]("sig_w") == 32)      // signature width is corpus-free
+    assert(row.getAs[Int]("n_tok") == 300000)
+    assert(!row.isNullAt(row.fieldIndex("sk")) && !row.isNullAt(row.fieldIndex("fp")))
+    assert(row.getAs[Double]("q") >= 0.0 && row.getAs[Double]("q") <= 1.0)
+  }
+
   test("ngram jaccard bitset path: word-boundary vocabularies (63..65, 129)") {
     // mask width = ceil(vocab/64) words: vocab 63/64 fit one long, 65 spills
     // into a second, 129 into a third — the off-by-one-word shapes where a
