@@ -121,6 +121,37 @@ class StreamingDedupSpec extends AnyFunSuite with SparkTestSession {
     } finally q.stop()
   }
 
+  test("dedupFilterStream: registry survives a stream restart") {
+    import java.nio.file.Files
+    val work = Files.createTempDirectory("graft-sdedup-restart")
+    val surv = work.resolve("survivors").toString
+    val reg = work.resolve("registry").toString
+    val src1 = MemoryStream[Doc]
+    val q1 = StreamingDedup.dedupFilterStream(src1.toDF(),
+      key = sha2(col("text"), 256), keep = col("doc_id"),
+      survivorsDir = surv, registryDir = reg,
+      checkpointDir = work.resolve("ckpt1").toString,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      src1.addData(Doc(1, t(0), "alpha beta"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // new query, new source, same registry: the dup must still be dropped
+    val src2 = MemoryStream[Doc]
+    val q2 = StreamingDedup.dedupFilterStream(src2.toDF(),
+      key = sha2(col("text"), 256), keep = col("doc_id"),
+      survivorsDir = surv, registryDir = reg,
+      checkpointDir = work.resolve("ckpt2").toString,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      src2.addData(Doc(2, t(1), "alpha beta"), Doc(3, t(1), "gamma delta"))
+      q2.processAllAvailable()
+      val stored = spark.read.parquet(surv).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(stored == Set(1L, 3L), s"got $stored")
+    } finally q2.stop()
+  }
+
   test("maxPerBucket bounds state: oldest entries stop matching") {
     val src = MemoryStream[Doc]
     // capacity 1: each bucket remembers only the newest doc
