@@ -1330,6 +1330,67 @@ object ExtensionQueries {
                 AS BIGINT) AS epoch_pos
        FROM documents"""
 
+  // ---------------------------------------------------------------------------
+  // X46 — train/eval NEAR-dup decontamination: the near-dup strengthening of
+  // x30's exact n-gram contamination check. Eval set = every 10th doc (stands
+  // in for a held-out benchmark); every train doc is flagged if it is within
+  // Jaccard ≥ 0.7 of ANY eval doc — exact-duplicate leakage checks miss
+  // paraphrase-level leakage, which is what actually inflates benchmarks.
+  // Pure composition of existing operators: the blocked Jaccard pair
+  // generator does the heavy lifting; orientation needs no side join because
+  // eval membership is derivable from the id.
+  // ---------------------------------------------------------------------------
+  private def x46(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).filter(size(TextAnalysis.tokens(col("text"))) > 0)
+    val pairs = Dedup.ngramJaccardPairs(d, col("doc_id"), col("text"),
+      concat(col("lang"), lit("|"), (col("n_chars") / 25).cast("long")),
+      n = 1, threshold = 0.7, materialize = false)
+    val crossPairs = pairs.select(
+        when(col("id_a") % 10 === 0, col("id_b")).otherwise(col("id_a")).as("doc_id"),
+        when(col("id_a") % 10 === 0, col("id_a")).otherwise(col("id_b")).as("eval_id"),
+        col("jaccard"))
+      .filter(col("doc_id") % 10 =!= 0 && col("eval_id") % 10 === 0)
+    val agg = crossPairs.groupBy("doc_id").agg(
+      count(lit(1)).as("n_eval_matches"), max(col("jaccard")).as("max_jaccard"))
+    d.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"))
+      // contaminated set is pair-scale sparse — broadcast into the doc scan
+      .join(broadcast(agg), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_eval_matches"), lit(0L)).as("n_eval_matches"),
+        col("max_jaccard"),
+        (coalesce(col("n_eval_matches"), lit(0L)) > 0).as("is_contaminated"))
+  }
+
+  private val x46Sql =
+    """WITH t AS (
+         SELECT doc_id, lang || '|' || CAST(n_chars // 25 AS VARCHAR) AS block,
+                list_distinct(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS toks
+         FROM documents
+         WHERE len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) > 0),
+       p AS (
+         SELECT * FROM (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  round(len(list_intersect(a.toks, b.toks)) * 1.0 /
+                        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 6) AS jaccard
+           FROM t a JOIN t b ON a.block = b.block AND a.doc_id < b.doc_id)
+         WHERE jaccard >= 0.7),
+       cp AS (
+         SELECT CASE WHEN id_a % 10 = 0 THEN id_b ELSE id_a END AS doc_id,
+                CASE WHEN id_a % 10 = 0 THEN id_a ELSE id_b END AS eval_id,
+                jaccard
+         FROM p
+         WHERE (CASE WHEN id_a % 10 = 0 THEN id_b ELSE id_a END) % 10 <> 0
+           AND (CASE WHEN id_a % 10 = 0 THEN id_a ELSE id_b END) % 10 = 0),
+       agg AS (SELECT doc_id, count(*) AS n_eval_matches, max(jaccard) AS max_jaccard
+               FROM cp GROUP BY doc_id)
+       SELECT t.doc_id,
+              coalesce(agg.n_eval_matches, 0) AS n_eval_matches,
+              agg.max_jaccard,
+              coalesce(agg.n_eval_matches, 0) > 0 AS is_contaminated
+       FROM t LEFT JOIN agg USING (doc_id)
+       WHERE t.doc_id % 10 <> 0"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_dedup_exact" -> x1 _,
     "x02_dedup_ngram_jaccard" -> x2 _,
@@ -1375,7 +1436,8 @@ object ExtensionQueries {
     "x42_gapfill" -> x42 _,
     "x43_quantize" -> x43 _,
     "x44_outliers" -> x44 _,
-    "x45_epoch_shuffle" -> x45 _
+    "x45_epoch_shuffle" -> x45 _,
+    "x46_neardup_decontam" -> x46 _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1418,6 +1480,7 @@ object ExtensionQueries {
     "x42_gapfill" -> x42Sql,
     "x43_quantize" -> x43Sql,
     "x44_outliers" -> x44Sql,
-    "x45_epoch_shuffle" -> x45Sql
+    "x45_epoch_shuffle" -> x45Sql,
+    "x46_neardup_decontam" -> x46Sql
   )
 }
