@@ -37,4 +37,56 @@ object Contamination {
       .withColumn("contamination",
         round(col("n_contaminated").cast("double") / col("n_shingles"), 6))
   }
+
+  /** NEAR-dup decontamination: flag every `train` row within n-gram Jaccard
+    * ≥ `threshold` of ANY `eval` row — the paraphrase-level leakage that
+    * [[ngramContamination]]'s shingle-overlap score under-weights when an
+    * eval item was lightly rewritten into the corpus. Output: every train
+    * row (original columns) + `n_eval_matches`, `max_jaccard` (null if
+    * clean), `is_contaminated`.
+    *
+    * Candidate generation is [[Dedup.ngramJaccardPairs]] over the TAGGED
+    * UNION of both sides — one blocked self-join instead of a train×eval
+    * join, so the same block/vocab machinery (and its measured bitset
+    * cutover) applies unchanged; same-side pairs are discarded after the
+    * side-resolution joins. `id` must be unique ACROSS both frames (pair
+    * identity is id-based — same caller contract as [[exact]]'s keep order);
+    * `block` must be computable on both (e.g. lang × length band).
+    *
+    * Scale shape: cross pairs are corpus-sparse, so side resolution and the
+    * final flag join run as broadcast joins against 2-column projections —
+    * the corpus is never shuffled beyond the pair generator's block key. For
+    * corpora where exact Jaccard pairs are too expensive even blocked, swap
+    * [[Dedup.minhashPairs]] into the same union-tag-resolve shape (estimated
+    * Jaccard, same orientation logic).
+    */
+  def nearDupContamination(train: DataFrame, eval: DataFrame,
+      id: Column, text: Column, block: Column,
+      n: Int = 3, threshold: Double = 0.5,
+      maxDictVocab: Int = 4096): DataFrame = {
+    val t = train.select(id.as("id"), text.as("__text"), block.as("__block"))
+      .withColumn("__side", lit("train"))
+    val e = eval.select(id.as("id"), text.as("__text"), block.as("__block"))
+      .withColumn("__side", lit("eval"))
+    val tagged = t.unionByName(e)
+    val pairs = Dedup.ngramJaccardPairs(tagged, col("id"), col("__text"),
+      col("__block"), n, threshold, materialize = false, maxDictVocab)
+    val sides = tagged.select(col("id"), col("__side"))
+    // hints don't survive joins — re-mark the (still pair-scale) intermediate
+    val withA = broadcast(pairs)
+      .join(sides.select(col("id").as("id_a"), col("__side").as("__side_a")), Seq("id_a"))
+    val resolved = broadcast(withA)
+      .join(sides.select(col("id").as("id_b"), col("__side").as("__side_b")), Seq("id_b"))
+      .filter(col("__side_a") =!= col("__side_b"))
+    val agg = resolved
+      .select(when(col("__side_a") === "train", col("id_a")).otherwise(col("id_b")).as("__tid"),
+        col("jaccard"))
+      .groupBy("__tid")
+      .agg(count(lit(1)).as("n_eval_matches"), max(col("jaccard")).as("max_jaccard"))
+    train
+      .join(broadcast(agg), id === col("__tid"), "left")
+      .drop("__tid")
+      .withColumn("n_eval_matches", coalesce(col("n_eval_matches"), lit(0L)))
+      .withColumn("is_contaminated", col("n_eval_matches") > 0)
+  }
 }

@@ -1342,24 +1342,14 @@ object ExtensionQueries {
   // ---------------------------------------------------------------------------
   private def x46(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).filter(size(TextAnalysis.tokens(col("text"))) > 0)
-    val pairs = Dedup.ngramJaccardPairs(d, col("doc_id"), col("text"),
-      concat(col("lang"), lit("|"), (col("n_chars") / 25).cast("long")),
-      n = 1, threshold = 0.7, materialize = false)
-    val crossPairs = pairs.select(
-        when(col("id_a") % 10 === 0, col("id_b")).otherwise(col("id_a")).as("doc_id"),
-        when(col("id_a") % 10 === 0, col("id_a")).otherwise(col("id_b")).as("eval_id"),
-        col("jaccard"))
-      .filter(col("doc_id") % 10 =!= 0 && col("eval_id") % 10 === 0)
-    val agg = crossPairs.groupBy("doc_id").agg(
-      count(lit(1)).as("n_eval_matches"), max(col("jaccard")).as("max_jaccard"))
-    d.filter(col("doc_id") % 10 =!= 0)
-      .select(col("doc_id"))
-      // contaminated set is pair-scale sparse — broadcast into the doc scan
-      .join(broadcast(agg), Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_eval_matches"), lit(0L)).as("n_eval_matches"),
-        col("max_jaccard"),
-        (coalesce(col("n_eval_matches"), lit(0L)) > 0).as("is_contaminated"))
+    Contamination.nearDupContamination(
+        train = d.filter(col("doc_id") % 10 =!= 0),
+        eval = d.filter(col("doc_id") % 10 === 0),
+        col("doc_id"), col("text"),
+        concat(col("lang"), lit("|"), (col("n_chars") / 25).cast("long")),
+        n = 1, threshold = 0.7)
+      .select(col("doc_id"), col("n_eval_matches"), col("max_jaccard"),
+        col("is_contaminated"))
   }
 
   private val x46Sql =

@@ -423,6 +423,27 @@ class ExtensionsSpec extends AnyFunSuite with SparkTestSession {
     assert(out(4L) > 0.0 && out(4L) < 1.0) // "alpha beta gamma" hits, rest misses
   }
 
+  test("nearDupContamination: paraphrased eval leaks flagged, train-train dups not") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river shore"), // ≈1 (train-train, must NOT flag)
+      (3L, "completely unrelated text about catalyst optimizer rule batches"),
+      (4L, "what is the capital city of france and when was it founded there") // ≈ eval 101
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (101L, "what is the capital city of france and when was it founded here"),
+      (102L, "name every planet of the solar system in order from the sun now")
+    ).toDF("doc_id", "text")
+    val out = Contamination.nearDupContamination(train, eval,
+        col("doc_id"), col("text"), block = lit("all"), n = 1, threshold = 0.7)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("is_contaminated"), r.getAs[Long]("n_eval_matches"))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L)) // every train row present
+    assert(out(4L) == (true, 1L), s"got $out")
+    assert(!out(1L)._1 && !out(2L)._1 && !out(3L)._1, s"got $out") // train-train ≈1 pair ignored
+  }
+
   test("chunking: window count, overlap, tail length, short and empty docs") {
     import spark.implicits._
     val d = Seq(
