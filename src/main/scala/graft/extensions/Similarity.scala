@@ -179,6 +179,46 @@ object Similarity {
       .select("block", "id_a", "id_b", "sim")
   }
 
+  /** Embedding-space train/eval decontamination — the vector twin of
+    * [[Contamination.nearDupContamination]]: flag every `train` row whose
+    * embedding has cosine ≥ `threshold` to ANY `eval` row. Catches semantic
+    * leakage that survives text-level checks entirely (translations,
+    * templated rewrites, code with renamed identifiers).
+    *
+    * Same shape as the text operator: candidates come from ONE blocked
+    * self-join over the tagged union ([[nearDupPairs]] — at scale pass an
+    * LSH bucket as `block`), sides resolve via broadcast joins against the
+    * pair-scale relation, and `vec_id` must be unique ACROSS both frames.
+    * Output: every train row + `n_eval_matches`, `max_sim` (null if clean),
+    * `is_contaminated`.
+    */
+  def embeddingDecontamination(train: DataFrame, eval: DataFrame,
+      block: Column, threshold: Double): DataFrame = {
+    val t = train.select(col("vec_id"), col("embedding"), block.as("__block"))
+      .withColumn("__side", lit("train"))
+    val e = eval.select(col("vec_id"), col("embedding"), block.as("__block"))
+      .withColumn("__side", lit("eval"))
+    val tagged = t.unionByName(e)
+    val pairs = nearDupPairs(tagged, col("__block"), threshold)
+    val sides = tagged.select(col("vec_id"), col("__side"))
+    // hints don't survive joins — re-mark the (still pair-scale) intermediate
+    val withA = broadcast(pairs)
+      .join(sides.select(col("vec_id").as("id_a"), col("__side").as("__side_a")), Seq("id_a"))
+    val resolved = broadcast(withA)
+      .join(sides.select(col("vec_id").as("id_b"), col("__side").as("__side_b")), Seq("id_b"))
+      .filter(col("__side_a") =!= col("__side_b"))
+    val agg = resolved
+      .select(when(col("__side_a") === "train", col("id_a")).otherwise(col("id_b")).as("__tid"),
+        col("sim"))
+      .groupBy("__tid")
+      .agg(count(lit(1)).as("n_eval_matches"), max(col("sim")).as("max_sim"))
+    train
+      .join(broadcast(agg), col("vec_id") === col("__tid"), "left")
+      .drop("__tid")
+      .withColumn("n_eval_matches", coalesce(col("n_eval_matches"), lit(0L)))
+      .withColumn("is_contaminated", col("n_eval_matches") > 0)
+  }
+
   /** Per-label prototype vector — the cluster-centroid half of SemDeDup-style
     * (Abbas et al. 2023) prototype filtering: rows far from their cluster's
     * prototype are outliers/noise, rows too close to an already-kept row are

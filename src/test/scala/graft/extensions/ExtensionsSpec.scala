@@ -444,6 +444,25 @@ class ExtensionsSpec extends AnyFunSuite with SparkTestSession {
     assert(!out(1L)._1 && !out(2L)._1 && !out(3L)._1, s"got $out") // train-train ≈1 pair ignored
   }
 
+  test("embeddingDecontamination: planted eval twin flagged, train-train twin not") {
+    import spark.implicits._
+    val rng = new scala.util.Random(13)
+    def v() = Array.fill(16)(rng.nextGaussian().toFloat)
+    def near(a: Array[Float]) = a.map(x => x + 0.01f)
+    val (a, b, c) = (v(), v(), v())
+    val train = Seq((1L, a), (2L, near(a)), (3L, b), (4L, near(c)))
+      .toDF("vec_id", "embedding")
+    val eval = Seq((101L, c), (102L, v())).toDF("vec_id", "embedding")
+    val out = Similarity.embeddingDecontamination(train, eval,
+        block = lit("all"), threshold = 0.95)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Boolean]("is_contaminated"), r.getAs[Long]("n_eval_matches"))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+    assert(out(4L) == (true, 1L), s"got $out")        // ≈ eval 101
+    assert(!out(1L)._1 && !out(2L)._1 && !out(3L)._1, // 1≈2 is train-train
+      s"got $out")
+  }
+
   test("chunking: window count, overlap, tail length, short and empty docs") {
     import spark.implicits._
     val d = Seq(
