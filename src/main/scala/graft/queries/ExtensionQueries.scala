@@ -688,7 +688,7 @@ object ExtensionQueries {
       .filter(col("query_id") % 50 === 0)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    val (lshDom, ivfDom, ivfOutside, lshOffBucket, lshSubopt) = try {
+    val violations = try {
       def domViol(ann: DataFrame): DataFrame =
         ann.join(broadcast(brute.select(col("query_id"), col("rank"),
             col("sim").as("brute_sim"))),
@@ -725,9 +725,16 @@ object ExtensionQueries {
         .filter(col("sim") < col("bsim"))
         .select(col("query_id"))
 
-      (domViol(lsh).localCheckpoint(), domViol(ivf).localCheckpoint(),
-        ivfOut.localCheckpoint(), offBucket.localCheckpoint(),
-        subopt.localCheckpoint())
+      // ONE tag-column union + ONE localCheckpoint: five serialized eager
+      // jobs co-schedule into one against the shared brute/ivf/lsh persists
+      // (the exact shape that tripled x25's cost in round 5 before the same
+      // fix was applied there)
+      domViol(lsh).withColumn("kind", lit("lsh_dominated"))
+        .unionByName(domViol(ivf).withColumn("kind", lit("ivf_dominated")))
+        .unionByName(ivfOut.withColumn("kind", lit("ivf_in_top100")))
+        .unionByName(offBucket.withColumn("kind", lit("lsh_in_bucket")))
+        .unionByName(subopt.withColumn("kind", lit("lsh_bucket_optimal")))
+        .localCheckpoint()
     } finally {
       brute.unpersist(false); ivf.unpersist(false); lsh.unpersist(false)
     }
@@ -737,12 +744,10 @@ object ExtensionQueries {
       b.join(broadcast(viol.select(col("query_id"), lit(true).as("__bad")).distinct()),
           Seq("query_id"), "left")
         .withColumn(name, col("__bad").isNull).drop("__bad")
-    qFlag(qFlag(qFlag(qFlag(qFlag(base,
-      lshDom, "lsh_dominated"),
-      ivfDom, "ivf_dominated"),
-      ivfOutside, "ivf_in_top100"),
-      lshOffBucket, "lsh_in_bucket"),
-      lshSubopt, "lsh_bucket_optimal")
+    Seq("lsh_dominated", "ivf_dominated", "ivf_in_top100", "lsh_in_bucket",
+      "lsh_bucket_optimal").foldLeft(base) { (b, name) =>
+      qFlag(b, violations.filter(col("kind") === name), name)
+    }
   }
 
   private val x26Sql =
