@@ -64,11 +64,16 @@ object Contamination {
       id: Column, text: Column, block: Column,
       n: Int = 3, threshold: Double = 0.5,
       maxDictVocab: Int = 4096): DataFrame = {
+    // token-less rows are excluded from PAIR GENERATION only (their shingle
+    // set is [""], so two empty docs in one block would spuriously "match" at
+    // jaccard 1.0 — same exclusion as ngramContamination); they stay in the
+    // OUTPUT, flagged clean, because the flag join is left outer on train
     val t = train.select(id.as("id"), text.as("__text"), block.as("__block"))
       .withColumn("__side", lit("train"))
     val e = eval.select(id.as("id"), text.as("__text"), block.as("__block"))
       .withColumn("__side", lit("eval"))
     val tagged = t.unionByName(e)
+      .filter(size(TextAnalysis.tokens(col("__text"))) > 0)
     val pairs = Dedup.ngramJaccardPairs(tagged, col("id"), col("__text"),
       col("__block"), n, threshold, materialize = false, maxDictVocab)
     val sides = tagged.select(col("id"), col("__side"))

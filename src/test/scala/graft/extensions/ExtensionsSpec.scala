@@ -429,19 +429,22 @@ class ExtensionsSpec extends AnyFunSuite with SparkTestSession {
       (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
       (2L, "the quick brown fox jumps over the lazy dog near the river shore"), // ≈1 (train-train, must NOT flag)
       (3L, "completely unrelated text about catalyst optimizer rule batches"),
-      (4L, "what is the capital city of france and when was it founded there") // ≈ eval 101
+      (4L, "what is the capital city of france and when was it founded there"), // ≈ eval 101
+      (5L, "   ") // token-less: must appear clean, never match eval 103
     ).toDF("doc_id", "text")
     val eval = Seq(
       (101L, "what is the capital city of france and when was it founded here"),
-      (102L, "name every planet of the solar system in order from the sun now")
+      (102L, "name every planet of the solar system in order from the sun now"),
+      (103L, "") // token-less eval: must pair with nothing
     ).toDF("doc_id", "text")
     val out = Contamination.nearDupContamination(train, eval,
         col("doc_id"), col("text"), block = lit("all"), n = 1, threshold = 0.7)
       .collect().map(r => r.getAs[Long]("doc_id") ->
         (r.getAs[Boolean]("is_contaminated"), r.getAs[Long]("n_eval_matches"))).toMap
-    assert(out.keySet == Set(1L, 2L, 3L, 4L)) // every train row present
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L)) // every train row present
     assert(out(4L) == (true, 1L), s"got $out")
     assert(!out(1L)._1 && !out(2L)._1 && !out(3L)._1, s"got $out") // train-train ≈1 pair ignored
+    assert(out(5L) == (false, 0L), s"got $out") // empty⋈empty is not contamination
   }
 
   test("embeddingDecontamination: planted eval twin flagged, train-train twin not") {
