@@ -98,6 +98,34 @@ class PropertySpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("ngram jaccard: bitset path ≡ array path ∀ random corpora and vocabularies") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    // vocab size spans both sides of the one-long boundary and multi-word
+    // masks; docs draw with replacement so exact dups, subsets and disjoint
+    // sets all occur
+    val corpusGen = for {
+      vocabSize <- Gen.choose(1, 150)
+      vocab = (0 until vocabSize).map(i => s"w$i")
+      nDocs <- Gen.choose(5, 25)
+      docs <- Gen.listOfN(nDocs,
+        Gen.choose(1, 12).flatMap(k =>
+          Gen.listOfN(k, Gen.choose(0, vocabSize - 1)).map(_.map(vocab).mkString(" "))))
+      t <- Gen.oneOf(0.2, 0.5, 0.8)
+      n <- Gen.oneOf(1, 2)
+    } yield (docs, t, n)
+    forAll(corpusGen, n = 8) { case (docTexts, t, n) =>
+      val df = docTexts.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("doc_id", "text")
+      def run(maxVocab: Int) = graft.extensions.Dedup.ngramJaccardPairs(
+          df, col("doc_id"), col("text"), lit("all"), n = n, threshold = t,
+          maxDictVocab = maxVocab)
+        .orderBy("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      assert(run(4096).sameElements(run(0)), s"vocab<=${docTexts.size} t=$t n=$n")
+    }
+  }
+
   test("J1 registry: registering the same batch twice never grows the registry") {
     import spark.implicits._
     val entryGen = for {
