@@ -33,8 +33,13 @@ object Bench {
     }
     val failed = scala.collection.mutable.ListBuffer[String]()
     // dev knob: SPARK_GRAFT_ONLY=x02,x24 runs just the named queries (prefix
-    // match) — for iterating on one query's plan without the full sweep
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    // match) — for iterating on one query's plan without the full sweep.
+    // Empty elements (trailing comma, blank var) are dropped: "" would
+    // prefix-match every query and silently run the full sweep; an all-empty
+    // value means "run all" explicitly.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
       .map { case (name, fn) =>

@@ -53,17 +53,26 @@ object Contamination {
     * identity is id-based — same caller contract as [[exact]]'s keep order);
     * `block` must be computable on both (e.g. lang × length band).
     *
-    * Scale shape: cross pairs are corpus-sparse, so side resolution and the
-    * final flag join run as broadcast joins against 2-column projections —
-    * the corpus is never shuffled beyond the pair generator's block key. For
-    * corpora where exact Jaccard pairs are too expensive even blocked, swap
-    * [[Dedup.minhashPairs]] into the same union-tag-resolve shape (estimated
-    * Jaccard, same orientation logic).
+    * Scale shape: cross pairs are USUALLY corpus-sparse, so side resolution
+    * and the final flag join run as broadcast joins against 2-column
+    * projections — but the pair relation's size is data-dependent (a low
+    * threshold or a heavily contaminated corpus makes it corpus-scale), so
+    * the broadcast is gated on the MEASURED pair count (the same
+    * measure-then-pick idiom as [[Dedup.resolveClusters]]' skew gate): the
+    * generator returns an eagerly-checkpointed pair set, the count is a cheap
+    * second action on it, and every pair-scale intermediate is bounded by
+    * that count. Above `maxBroadcastPairs` the joins fall back to
+    * `shuffle_hash` hints (post-aggregate relations have no stats, so
+    * without the hint they would silently sort-merge) — degraded throughput,
+    * never a driver OOM. For corpora where exact Jaccard pairs are too
+    * expensive even blocked, swap [[Dedup.minhashPairs]] into the same
+    * union-tag-resolve shape (estimated Jaccard, same orientation logic).
     */
   def nearDupContamination(train: DataFrame, eval: DataFrame,
       id: Column, text: Column, block: Column,
       n: Int = 3, threshold: Double = 0.5,
-      maxDictVocab: Int = 4096): DataFrame = {
+      maxDictVocab: Int = 4096,
+      maxBroadcastPairs: Long = 5000000L): DataFrame = {
     // token-less rows are excluded from PAIR GENERATION only (their shingle
     // set is [""], so two empty docs in one block would spuriously "match" at
     // jaccard 1.0 — same exclusion as ngramContamination); they stay in the
@@ -74,13 +83,19 @@ object Contamination {
       .withColumn("__side", lit("eval"))
     val tagged = t.unionByName(e)
       .filter(size(TextAnalysis.tokens(col("__text"))) > 0)
+    // materialize=true → eagerly-checkpointed pairs (GC-owned blocks), so the
+    // gate's count() re-reads the checkpoint instead of re-running the
+    // generator, and the downstream joins read it exactly once
     val pairs = Dedup.ngramJaccardPairs(tagged, col("id"), col("__text"),
-      col("__block"), n, threshold, materialize = false, maxDictVocab)
+      col("__block"), n, threshold, materialize = true, maxDictVocab)
+    val mark: DataFrame => DataFrame =
+      if (pairs.count() <= maxBroadcastPairs) broadcast
+      else df => df.hint("shuffle_hash")
     val sides = tagged.select(col("id"), col("__side"))
     // hints don't survive joins — re-mark the (still pair-scale) intermediate
-    val withA = broadcast(pairs)
+    val withA = mark(pairs)
       .join(sides.select(col("id").as("id_a"), col("__side").as("__side_a")), Seq("id_a"))
-    val resolved = broadcast(withA)
+    val resolved = mark(withA)
       .join(sides.select(col("id").as("id_b"), col("__side").as("__side_b")), Seq("id_b"))
       .filter(col("__side_a") =!= col("__side_b"))
     val agg = resolved
@@ -89,7 +104,7 @@ object Contamination {
       .groupBy("__tid")
       .agg(count(lit(1)).as("n_eval_matches"), max(col("jaccard")).as("max_jaccard"))
     train
-      .join(broadcast(agg), id === col("__tid"), "left")
+      .join(mark(agg), id === col("__tid"), "left")
       .drop("__tid")
       .withColumn("n_eval_matches", coalesce(col("n_eval_matches"), lit(0L)))
       .withColumn("is_contaminated", col("n_eval_matches") > 0)

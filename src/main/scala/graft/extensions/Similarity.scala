@@ -187,24 +187,36 @@ object Similarity {
     *
     * Same shape as the text operator: candidates come from ONE blocked
     * self-join over the tagged union ([[nearDupPairs]] — at scale pass an
-    * LSH bucket as `block`), sides resolve via broadcast joins against the
-    * pair-scale relation, and `vec_id` must be unique ACROSS both frames.
+    * LSH bucket as `block`), sides resolve against the pair-scale relation,
+    * and `vec_id` must be unique ACROSS both frames. The pair relation's
+    * size is data-dependent (a low threshold makes it corpus-scale), so it
+    * is eagerly checkpointed and the broadcast of every pair-scale
+    * intermediate is gated on its MEASURED count — above `maxBroadcastPairs`
+    * the joins fall back to `shuffle_hash` hints instead of risking a
+    * driver OOM (same measured-cutover idiom as the text twin).
     * Output: every train row + `n_eval_matches`, `max_sim` (null if clean),
     * `is_contaminated`.
     */
   def embeddingDecontamination(train: DataFrame, eval: DataFrame,
-      block: Column, threshold: Double): DataFrame = {
+      block: Column, threshold: Double,
+      maxBroadcastPairs: Long = 5000000L): DataFrame = {
     val t = train.select(col("vec_id"), col("embedding"), block.as("__block"))
       .withColumn("__side", lit("train"))
     val e = eval.select(col("vec_id"), col("embedding"), block.as("__block"))
       .withColumn("__side", lit("eval"))
     val tagged = t.unionByName(e)
-    val pairs = nearDupPairs(tagged, col("__block"), threshold)
+    // eager localCheckpoint (GC-owned blocks): the gate's count() re-reads
+    // the checkpoint instead of re-running the blocked self-join, and the
+    // downstream side-resolution joins read it exactly once
+    val pairs = nearDupPairs(tagged, col("__block"), threshold).localCheckpoint()
+    val mark: DataFrame => DataFrame =
+      if (pairs.count() <= maxBroadcastPairs) broadcast
+      else df => df.hint("shuffle_hash")
     val sides = tagged.select(col("vec_id"), col("__side"))
     // hints don't survive joins — re-mark the (still pair-scale) intermediate
-    val withA = broadcast(pairs)
+    val withA = mark(pairs)
       .join(sides.select(col("vec_id").as("id_a"), col("__side").as("__side_a")), Seq("id_a"))
-    val resolved = broadcast(withA)
+    val resolved = mark(withA)
       .join(sides.select(col("vec_id").as("id_b"), col("__side").as("__side_b")), Seq("id_b"))
       .filter(col("__side_a") =!= col("__side_b"))
     val agg = resolved
@@ -213,7 +225,7 @@ object Similarity {
       .groupBy("__tid")
       .agg(count(lit(1)).as("n_eval_matches"), max(col("sim")).as("max_sim"))
     train
-      .join(broadcast(agg), col("vec_id") === col("__tid"), "left")
+      .join(mark(agg), col("vec_id") === col("__tid"), "left")
       .drop("__tid")
       .withColumn("n_eval_matches", coalesce(col("n_eval_matches"), lit(0L)))
       .withColumn("is_contaminated", col("n_eval_matches") > 0)

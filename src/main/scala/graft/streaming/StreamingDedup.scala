@@ -37,11 +37,14 @@ import graft.extensions.{Dedup, IncrementalDedup}
   *    the query run continuous timeout-check batches).
   *
   * Within a micro-batch, documents are processed in `(ts, id)` order (the
-  * iterator order of `flatMapGroupsWithState` is not defined), so results are
-  * batch-composition-independent: a doc pairs against every doc that sorts
-  * before it, whether that doc arrived in an earlier batch or the same one.
-  * StreamingDedupSpec pins stream≡batch pair-set equality on a replayed
-  * corpus.
+  * iterator order of `flatMapGroupsWithState` is not defined), so the
+  * UNORDERED pair set is batch-composition-independent: a doc pairs against
+  * every doc that sorts before it, whether that doc arrived in an earlier
+  * batch or the same one. The `(doc_id, dup_of)` ORIENTATION is not: across
+  * batches it follows arrival order (a later-arriving doc is emitted as
+  * `doc_id` even if its `ts` sorts earlier than the state entry it matched),
+  * while within a batch it follows `(ts, id)`. StreamingDedupSpec accordingly
+  * pins stream≡batch equality on the unordered pair set.
   */
 object StreamingDedup {
 
