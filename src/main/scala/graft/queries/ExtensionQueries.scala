@@ -587,11 +587,12 @@ object ExtensionQueries {
       array_distinct(transform(sequence(lit(1), cnt),
         i => concat_ws(" ", slice(toks, i, lit(n)))))
     }
-    // sh materialized once, key derived from the column — the interpreted
-    // HOF shingle tree is the dominant cost here, don't run it twice per row
-    def shingleTable(n: Int): DataFrame =
-      d.select(col("doc_id"), hofShingles(n).as("sh"))
-        .withColumn("sh_key", sha2(array_join(array_sort(col("sh")), "\u0001"), 256))
+    // set-identity key WITHOUT retaining the array: the HOF tree appears once
+    // in the projection and the 64-char key is all that leaves the scan — the
+    // completeness branches never need the shingle arrays themselves
+    def shingleKeys(n: Int): DataFrame =
+      d.select(col("doc_id"),
+        sha2(array_join(array_sort(hofShingles(n)), "\u0001"), 256).as("sh_key"))
 
     // join-free: group by set key, expand in-group pairs via double
     // posexplode (group size = dup-set size, small by construction)
@@ -606,42 +607,50 @@ object ExtensionQueries {
     def pairDocs(p: DataFrame): DataFrame =
       p.select(col("id_a").as("doc_id")).union(p.select(col("id_b").as("doc_id")))
 
-    // t3 feeds three branches; persist for the derivation, RELEASE before
-    // return. The violation relations are corpus-sparse (usually empty), so
-    // they materialize eagerly inside the try — as ONE tag-column union with a
-    // SINGLE localCheckpoint, so the expensive interpreted-HOF shingle scans
-    // and the broadcast builds of all three branches co-schedule in one job
-    // against the shared t3 cache (checkpointing them one at a time serialized
-    // five jobs and tripled this audit's cost in round 5). The returned plan
-    // never references the cached shingle table.
-    val t3 = shingleTable(3).persist(StorageLevel.MEMORY_AND_DISK)
-    val violations = try {
-      val t2 = shingleTable(2)
+    // NO corpus-scale cached state. (The round-5/6 shape persisted the full
+    // shingle-array table MEMORY_AND_DISK — correct, but the array storage
+    // made this audit the one memory-pressure-sensitive query in the bench:
+    // 8 s locally vs 48 s on the loaded round-6 driver run.) The soundness
+    // branch needs arrays only for PAIR-TOUCHED docs (corpus-sparse), so
+    // those come from a broadcast semi-join and a pair-scale checkpoint; the
+    // completeness branches run on transient 64-char set keys that never
+    // outlive their scan. Violations still materialize as ONE tag-column
+    // union with a SINGLE localCheckpoint, so the two key scans and all
+    // broadcast builds co-schedule in one job (checkpointing them one at a
+    // time serialized five jobs and tripled this audit's cost in round 5).
 
-      // minhashPairs returns an eagerly-checkpointed pair set (cache-neutral)
-      val mhPairs = Dedup.minhashPairs(d, col("doc_id"), col("text"),
-        k = 32, bands = 8, threshold = 0.5).select("id_a", "id_b")
-      val shPairs = Dedup.simhashPairs(d, col("doc_id"), col("text"), maxDist = 26)
-        .select("id_a", "id_b")
+    // minhashPairs returns an eagerly-checkpointed pair set (cache-neutral)
+    val mhPairs = Dedup.minhashPairs(d, col("doc_id"), col("text"),
+      k = 32, bands = 8, threshold = 0.5).select("id_a", "id_b")
+    val shPairs = Dedup.simhashPairs(d, col("doc_id"), col("text"), maxDist = 26)
+      .select("id_a", "id_b")
 
-      // candidate-pair relations are corpus-sparse (≪ doc count) — broadcast
-      // them into the doc-scale joins
-      val withShingles = broadcast(mhPairs)
-        .join(t3.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      val mhUnsound = broadcast(withShingles)
-        .join(t3.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-        .filter(col("inter").cast("double") /
-          (size(col("sh_a")) + size(col("sh_b")) - col("inter")) < 0.4)
-      val mhMissed = identicalSetPairs(t3)
-        .join(broadcast(mhPairs), Seq("id_a", "id_b"), "left_anti")
-      val shMissed = identicalSetPairs(t2)
-        .join(broadcast(shPairs), Seq("id_a", "id_b"), "left_anti")
-      pairDocs(mhUnsound).withColumn("kind", lit("mh_sound"))
-        .unionByName(pairDocs(mhMissed).withColumn("kind", lit("mh_complete")))
-        .unionByName(pairDocs(shMissed).withColumn("kind", lit("sh_complete")))
-        .localCheckpoint()
-    } finally t3.unpersist(false)
+    // shingle arrays for pair-touched docs only: one corpus scan with the
+    // HOF evaluated on the sparse semi-join matches, checkpointed (GC-owned)
+    // at pair scale so both sides of the pair join read it without rescanning
+    val touched = pairDocs(mhPairs).distinct()
+    val sub3 = d.join(broadcast(touched), Seq("doc_id"))
+      .select(col("doc_id"), hofShingles(3).as("sh"))
+      .localCheckpoint()
+
+    // candidate-pair relations are corpus-sparse (≪ doc count) — broadcast
+    val withShingles = broadcast(mhPairs)
+      .join(broadcast(sub3.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))),
+        Seq("id_a"))
+    val mhUnsound = broadcast(withShingles)
+      .join(broadcast(sub3.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))),
+        Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .filter(col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")) < 0.4)
+    val mhMissed = identicalSetPairs(shingleKeys(3))
+      .join(broadcast(mhPairs), Seq("id_a", "id_b"), "left_anti")
+    val shMissed = identicalSetPairs(shingleKeys(2))
+      .join(broadcast(shPairs), Seq("id_a", "id_b"), "left_anti")
+    val violations = pairDocs(mhUnsound).withColumn("kind", lit("mh_sound"))
+      .unionByName(pairDocs(mhMissed).withColumn("kind", lit("mh_complete")))
+      .unionByName(pairDocs(shMissed).withColumn("kind", lit("sh_complete")))
+      .localCheckpoint()
 
     val base = d.select(col("doc_id"))
     okFlag(okFlag(okFlag(base,
