@@ -524,4 +524,57 @@ object Dedup {
       k: Int = 32, bands: Int = 8, threshold: Double = 0.5): DataFrame =
     clusterSurvivors(df, id, keep,
       minhashPairs(df, id, text, k, bands, threshold).select("id_a", "id_b"))
+
+  // ---------------------------------------------------------- line dedup --
+
+  /** Cross-document LINE dedup — the RefinedWeb/MassiveText boilerplate
+    * remover: any line whose text appears in more than `maxDocFreq` DISTINCT
+    * documents is removed from every document (all occurrences — a line that
+    * repeats across documents is navigation/footer/license boilerplate, not
+    * content worth electing a survivor for; contrast [[SpanDedup]], which
+    * keeps one canonical occurrence of duplicated SPANS). Remaining lines
+    * are reassembled in original order.
+    *
+    * `sep` is the LITERAL unit separator (split and reassembly both use it
+    * verbatim — no regex). The default `"\n"` gives classic line dedup; a
+    * single space turns the unit into the token, which makes this the
+    * document-frequency stopword/boilerplate pruner (drop tokens present in
+    * more than `maxDocFreq` documents) with identical machinery.
+    *
+    * Output: one row per input row — (id, n_lines, n_removed, text_clean);
+    * a document whose every line is boilerplate keeps an empty string.
+    *
+    * Scale shape: lines are exploded scan-side with their position; the
+    * frequency table groups on a 64-hex sha of the line (fixed-width shuffle
+    * key — the line text itself never keys a shuffle), counting DISTINCT
+    * documents so in-document repetition doesn't inflate the frequency; the
+    * line⋈frequency join is a shuffle_hash equi-join on that key (both sides
+    * are line-scale and stat-less — unhinted it would sort-merge); the
+    * reassembly is one groupBy(id) whose collect_list buffers a document's
+    * own lines, bounded by max document size like every whole-doc operator
+    * here.
+    */
+  def lineDedup(df: DataFrame, id: Column, text: Column,
+      maxDocFreq: Int = 1, sep: String = "\n"): DataFrame = {
+    require(maxDocFreq >= 1, "maxDocFreq must be at least 1")
+    require(sep.nonEmpty, "sep must be a non-empty literal separator")
+    val sepRe = java.util.regex.Pattern.quote(sep)
+    val lines = df.select(id.as("id"), posexplode(split(text, sepRe)).as(Seq("pos", "line")))
+      .withColumn("__lk", sha2(col("line"), 256))
+    val freq = lines.select(col("id"), col("__lk")).distinct()
+      .groupBy("__lk").agg(count(lit(1)).as("__docs"))
+    val kept = lines
+      .join(freq.hint("shuffle_hash"), Seq("__lk"))
+      .filter(col("__docs") <= maxDocFreq)
+      .groupBy("id")
+      .agg(count(lit(1)).as("__n_kept"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line")), sep).as("text_clean"))
+    df.select(id.as("id"), size(split(text, sepRe)).cast("long").as("n_lines"))
+      .join(kept.hint("shuffle_hash"), Seq("id"), "left")
+      .select(col("id"), col("n_lines"),
+        (col("n_lines") - coalesce(col("__n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
 }

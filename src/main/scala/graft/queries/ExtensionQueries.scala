@@ -4,8 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-import graft.extensions.{Contamination, Dedup, HeavyHitters, IncrementalDedup, Mixture, Multimodal, Sampling, Similarity, SpanDedup, TextAnalysis}
-import graft.ops.Skew
+import graft.extensions.{Contamination, Dedup, HeavyHitters, IncrementalDedup, LanguageModel, Mixture, Multimodal, Sampling, Similarity, SpanDedup, TextAnalysis}
+import graft.ops.{ShardedExport, Skew}
 
 /** North-star extension queries (dedup / similarity / text analysis /
   * multimodal — the LLM-training-data operators), each oracle-verified where
@@ -1395,6 +1395,116 @@ object ExtensionQueries {
        FROM t LEFT JOIN agg USING (doc_id)
        WHERE t.doc_id % 10 <> 0"""
 
+  // ---------------------------------------------------------------------------
+  // X47 — unigram LM quality score (extensions/LanguageModel): the
+  // CCNet-style "perplexity filter" with the corpus itself as the LM. Every
+  // per-token ln(count/total) is rounded to 6 dp and decimal-summed, so the
+  // per-doc score is aggregation-order-independent and DuckDB re-derives it
+  // exactly from the same counts.
+  // ---------------------------------------------------------------------------
+  private def x47(s: SparkSession, dir: String): DataFrame =
+    LanguageModel.unigramLogLikelihood(docs(s, dir), col("doc_id"), col("text"))
+      .withColumnRenamed("id", "doc_id")
+
+  private val x47Sql =
+    """WITH t AS (SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS tok
+           FROM documents),
+         f AS (SELECT tok, count(*) AS n FROM t GROUP BY 1),
+         tot AS (SELECT CAST(sum(n) AS DOUBLE) AS s FROM f),
+         lp AS (SELECT tok,
+                  CAST(round(ln(CAST(n AS DOUBLE) / (SELECT s FROM tot)), 6)
+                    AS DECIMAL(18,6)) AS lp
+                FROM f),
+         d AS (SELECT t.doc_id, count(*) AS n_tokens, sum(lp) AS sl
+               FROM t JOIN lp USING (tok) GROUP BY 1)
+       SELECT b.doc_id, coalesce(d.n_tokens, 0) AS n_tokens,
+              CAST(d.sl AS DOUBLE) AS sum_logprob,
+              round(CAST(d.sl AS DOUBLE) / d.n_tokens, 6) AS avg_logprob
+       FROM (SELECT doc_id FROM documents) b LEFT JOIN d USING (doc_id)"""
+
+  // ---------------------------------------------------------------------------
+  // X48 — BM25 keyword relevance (extensions/LanguageModel.bm25) for a fixed
+  // query bag: the retrieval primitive for corpus audits without an embedding
+  // index. Literal arithmetic is written identically on both sides (1.2 + 1.0,
+  // not 2.2 — the parsed constant differs from the computed sum in the last
+  // ulp) and per-term contributions are rounded + decimal-summed.
+  // ---------------------------------------------------------------------------
+  private def x48(s: SparkSession, dir: String): DataFrame =
+    LanguageModel.bm25(docs(s, dir), col("doc_id"), col("text"),
+        terms = Seq("spark", "join", "window"))
+      .withColumnRenamed("id", "doc_id")
+
+  private val x48Sql =
+    """WITH base AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+           FROM documents),
+         dl AS (SELECT doc_id, len(toks) AS dl FROM base),
+         c AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                      CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+               FROM dl),
+         tf AS (SELECT doc_id, tok, count(*) AS tf
+                FROM (SELECT doc_id, unnest(toks) AS tok FROM base)
+                WHERE tok IN ('spark', 'join', 'window') GROUP BY 1, 2),
+         idf AS (SELECT tok,
+                   ln(((SELECT n FROM c) - count(*) + 0.5) / (count(*) + 0.5) + 1.0) AS idf
+                 FROM tf GROUP BY tok),
+         contrib AS (SELECT tf.doc_id,
+                CAST(round(idf.idf * (tf.tf * (1.2 + 1.0) /
+                    (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 *
+                      (CAST(dl.dl AS DOUBLE) / (SELECT avgdl FROM c))))), 6)
+                  AS DECIMAL(18,6)) AS contr
+              FROM tf JOIN dl USING (doc_id) JOIN idf USING (tok))
+       SELECT doc_id, count(*) AS n_terms_matched, CAST(sum(contr) AS DOUBLE) AS score
+       FROM contrib GROUP BY 1"""
+
+  // ---------------------------------------------------------------------------
+  // X49 — sharded-export manifest (ops/ShardedExport): salt-keyed stable
+  // shard assignment + hash-of-hashes content digest per shard. DuckDB
+  // re-derives the exact sha-bucket AND the id-ordered digest chain, so the
+  // whole export layout (not just its counts) is oracle-checked; the file
+  // sink itself is exercised byte-for-byte in ShardedExportSpec.
+  // ---------------------------------------------------------------------------
+  private def x49(s: SparkSession, dir: String): DataFrame =
+    ShardedExport.manifest(docs(s, dir), col("doc_id"), col("text"),
+      nShards = 8, salt = "exp1")
+
+  private val x49Sql =
+    """WITH s AS (SELECT CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || 'exp1'), 1, 8)
+                    AS BIGINT) % 8 AS shard,
+                  doc_id, text
+           FROM documents)
+       SELECT shard, count(*) AS n_docs,
+              CAST(sum(length(text)) AS BIGINT) AS total_chars,
+              sha256(string_agg(sha256(text), '' ORDER BY doc_id)) AS content_sha256
+       FROM s GROUP BY 1"""
+
+  // ---------------------------------------------------------------------------
+  // X50 — document-frequency boilerplate pruning (extensions/Dedup.lineDedup
+  // with the token as the unit): drop every unit present in > maxDocFreq
+  // distinct documents, reassemble the rest in order — the RefinedWeb line
+  // dedup machinery, exercised here at token granularity because the
+  // synthetic corpus is single-line (the multi-line path is pinned by
+  // LineDedupSpec on a newline fixture).
+  // ---------------------------------------------------------------------------
+  private def x50(s: SparkSession, dir: String): DataFrame =
+    Dedup.lineDedup(docs(s, dir), col("doc_id"), col("text"),
+        maxDocFreq = 390, sep = " ")
+      .withColumnRenamed("id", "doc_id")
+
+  private val x50Sql =
+    """WITH l AS (SELECT doc_id, unnest(split(text, ' ')) AS line,
+                         generate_subscripts(split(text, ' '), 1) AS pos
+           FROM documents),
+         f AS (SELECT line, count(DISTINCT doc_id) AS docs FROM l GROUP BY 1),
+         kept AS (SELECT l.doc_id, count(*) AS n_kept,
+                string_agg(l.line, ' ' ORDER BY l.pos) AS text_clean
+              FROM l JOIN f USING (line) WHERE f.docs <= 390 GROUP BY 1)
+       SELECT d.doc_id, CAST(len(split(d.text, ' ')) AS BIGINT) AS n_lines,
+              CAST(len(split(d.text, ' ')) AS BIGINT) - coalesce(k.n_kept, 0) AS n_removed,
+              coalesce(k.text_clean, '') AS text_clean
+       FROM documents d LEFT JOIN kept k USING (doc_id)"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_dedup_exact" -> x1 _,
     "x02_dedup_ngram_jaccard" -> x2 _,
@@ -1441,7 +1551,11 @@ object ExtensionQueries {
     "x43_quantize" -> x43 _,
     "x44_outliers" -> x44 _,
     "x45_epoch_shuffle" -> x45 _,
-    "x46_neardup_decontam" -> x46 _
+    "x46_neardup_decontam" -> x46 _,
+    "x47_lm_quality" -> x47 _,
+    "x48_bm25" -> x48 _,
+    "x49_shard_manifest" -> x49 _,
+    "x50_df_prune" -> x50 _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1485,6 +1599,10 @@ object ExtensionQueries {
     "x43_quantize" -> x43Sql,
     "x44_outliers" -> x44Sql,
     "x45_epoch_shuffle" -> x45Sql,
-    "x46_neardup_decontam" -> x46Sql
+    "x46_neardup_decontam" -> x46Sql,
+    "x47_lm_quality" -> x47Sql,
+    "x48_bm25" -> x48Sql,
+    "x49_shard_manifest" -> x49Sql,
+    "x50_df_prune" -> x50Sql
   )
 }

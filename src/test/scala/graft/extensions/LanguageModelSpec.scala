@@ -1,0 +1,69 @@
+package graft.extensions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Semantics of the corpus-LM scorers on hand-computable fixtures. The
+  * engine-crossing float contract itself (round → decimal-sum) is covered by
+  * the x47/x48 oracle rows; here we pin the formulas and the edge cases the
+  * oracle can't isolate (token-less docs, unmatched docs, formula shape).
+  */
+class LanguageModelSpec extends AnyFunSuite with SparkTestSession {
+
+  private def round6(v: Double): Double =
+    BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("unigramLogLikelihood: counts, exact decimal sums, token-less doc") {
+    import spark.implicits._
+    // vocab: a ×2, b ×2, c ×1 → total 5
+    val df = Seq((1L, "a a b"), (2L, "b c"), (3L, "")).toDF("doc_id", "text")
+    val out = LanguageModel.unigramLogLikelihood(df, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    val lpA = round6(math.log(2.0 / 5.0)) // == lp(b)
+    val lpC = round6(math.log(1.0 / 5.0))
+    assert(out(1L).getLong(1) == 3)
+    assert(out(1L).getDouble(2) == BigDecimal(lpA) * 3) // 2×a + 1×b, exact
+    assert(out(1L).getDouble(3) == round6((BigDecimal(lpA) * 3).toDouble / 3))
+    assert(out(2L).getLong(1) == 2)
+    assert(out(2L).getDouble(2) == (BigDecimal(lpA) + BigDecimal(lpC)).toDouble)
+    // token-less doc stays in the output with null scores
+    assert(out(3L).getLong(1) == 0)
+    assert(out(3L).isNullAt(2) && out(3L).isNullAt(3))
+  }
+
+  test("unigramLogLikelihood: identical plans on both sides of the vocab gate") {
+    import spark.implicits._
+    val df = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val broadcastPath = LanguageModel.unigramLogLikelihood(
+      df, col("doc_id"), col("text"), maxBroadcastVocab = 1000)
+    val shufflePath = LanguageModel.unigramLogLikelihood(
+      df, col("doc_id"), col("text"), maxBroadcastVocab = 1)
+    assert(broadcastPath.except(shufflePath).isEmpty &&
+      shufflePath.except(broadcastPath).isEmpty)
+  }
+
+  test("bm25: formula, match counts, unmatched docs absent") {
+    import spark.implicits._
+    val df = Seq((1L, "x y x z"), (2L, "x q"), (3L, "q r")).toDF("doc_id", "text")
+    val out = LanguageModel.bm25(df, col("doc_id"), col("text"), Seq("x", "y"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+
+    // replicate the documented formula with the same IEEE ops
+    val (k1, b) = (1.2, 0.75)
+    val n = 3.0
+    val avgdl = 8L.toDouble / 3L.toDouble
+    def idf(dfT: Long): Double = math.log((n - dfT + 0.5) / (dfT + 0.5) + 1.0)
+    def part(tf: Long, dl: Long): Double =
+      tf * (k1 + 1.0) / (tf + k1 * ((1.0 - b) + b * (dl.toDouble / avgdl)))
+    def c(tf: Long, dl: Long, dfT: Long): BigDecimal =
+      BigDecimal(round6(idf(dfT) * part(tf, dl)))
+
+    assert(out(1L) == ((2L, (c(2, 4, 2) + c(1, 4, 1)).toDouble))) // x×2, y×1
+    assert(out(2L) == ((1L, c(1, 2, 2).toDouble)))                // x×1
+    assert(!out.contains(3L)) // no query term → not scored
+    assert(out(1L)._2 > out(2L)._2)
+  }
+}
