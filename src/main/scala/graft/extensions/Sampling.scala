@@ -95,4 +95,33 @@ object Sampling {
     }
     df.withColumn("split", assigned)
   }
+
+  /** Per-stratum TOKEN budget: keep, within each stratum (source, language,
+    * …), the deterministically-first rows whose cumulative `weight` stays
+    * within `budget` — the token-weighted refinement of a per-source doc cap
+    * (a mixture recipe says "200 B tokens of web, 50 B of code", not "N
+    * documents"). "First" = sha256(key ⊕ salt) order with `key` breaking
+    * hash ties, so the kept set is a pure function of (corpus, salt, budget)
+    * — same portable-order contract as [[epochShuffle]].
+    *
+    * Adds `cum_weight` (the running total INCLUDING the row — the kept set
+    * is `cum_weight <= budget`, so one document never straddles the budget
+    * line; the first over-budget document is dropped entirely, it doesn't
+    * slide in partially).
+    *
+    * Scale shape: one range-partitioned parallel scan
+    * ([[graft.ops.PrefixSum.withStratumCumsum]]) — a hot stratum spreads
+    * over many range partitions instead of buffering in one window task,
+    * and the driver only ever holds per-partition per-stratum totals.
+    */
+  def tokenBudgetCap(df: DataFrame, key: Column, stratum: Column,
+      weight: Column, budget: Long, salt: String = ""): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    graft.ops.PrefixSum.withStratumCumsum(
+        df.withColumn("__budget_ord",
+          sha2(concat(key.cast("string"), lit(salt)), 256)),
+        stratum, weight, "cum_weight", col("__budget_ord"), key)
+      .filter(col("cum_weight") <= budget)
+      .drop("__budget_ord")
+  }
 }

@@ -46,6 +46,60 @@ object PrefixSum {
       .drop("__v")
   }
 
+  /** Per-STRATUM inclusive running sum of `value` in `sortCols` order — the
+    * same two-pass parallel scan as [[withGlobalCumsum]], never a
+    * per-stratum window (a hot stratum would buffer its whole partition in
+    * one WindowExec task; here a stratum's rows stay spread across range
+    * partitions and only its per-partition TOTALS meet on the driver).
+    *
+    * The driver state is one `(stratum → long)` map per partition — bounded
+    * by partitions × distinct strata, the same enum-scale contract as
+    * [[graft.extensions.Mixture]]'s group collect. Strata should be
+    * enum-like (source, language, split); row-cardinality strata belong in
+    * [[withGlobalCumsum]]'s sort key instead.
+    *
+    * `sortCols` must totally order rows WITHIN each stratum (the stratum
+    * itself is prepended to the range-partitioning key, so one range
+    * partition never splits a (stratum, sortCols) tie).
+    */
+  def withStratumCumsum(df: DataFrame, stratum: Column, value: Column,
+      outCol: String, sortCols: Column*): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.withColumn("__v", value.cast("long"))
+      .withColumn("__s", stratum.cast("string"))
+      .repartitionByRange((col("__s") +: sortCols): _*)
+      .sortWithinPartitions((col("__s") +: sortCols): _*)
+    val rdd = sorted.rdd
+    val vIdx = sorted.schema.fieldIndex("__v")
+    val sIdx = sorted.schema.fieldIndex("__s")
+    val partTotals = rdd.mapPartitionsWithIndex { (i, it) =>
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { r =>
+        val s = r.getString(sIdx)
+        m.update(s, m.getOrElse(s, 0L) + r.getLong(vIdx))
+      }
+      Iterator((i, m.toMap))
+    }.collect().sortBy(_._1).map(_._2)
+    // offsets(i)(s) = total of stratum s over partitions < i
+    val offsets = partTotals.scanLeft(Map.empty[String, Long]) { (acc, m) =>
+      m.foldLeft(acc) { case (a, (k, v)) => a.updated(k, a.getOrElse(k, 0L) + v) }
+    }.init
+    val bc = spark.sparkContext.broadcast(offsets)
+    val out = rdd.mapPartitionsWithIndex { (i, it) =>
+      val base = bc.value(i)
+      val run = scala.collection.mutable.HashMap.empty[String, Long]
+      it.map { r =>
+        val s = r.getString(sIdx)
+        val nv = run.getOrElse(s, base.getOrElse(s, 0L)) + r.getLong(vIdx)
+        run.update(s, nv)
+        Row.fromSeq(r.toSeq :+ nv)
+      }
+    }
+    spark.createDataFrame(out,
+        sorted.schema.add(StructField(outCol, LongType, nullable = false)))
+      .drop("__v", "__s")
+  }
+
   /** GPT-style stream packing: rows (chunks) are concatenated into one global
     * token stream in `sortCols` order and assigned to fixed `budget`-token
     * packs by their stream START position — the sequence-packing step between

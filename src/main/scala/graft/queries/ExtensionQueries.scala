@@ -1505,6 +1505,87 @@ object ExtensionQueries {
               coalesce(k.text_clean, '') AS text_clean
        FROM documents d LEFT JOIN kept k USING (doc_id)"""
 
+  // ---------------------------------------------------------------------------
+  // X51 — per-source TOKEN budget (Sampling.tokenBudgetCap): the
+  // token-weighted mixture cap ("700 tokens of each source", not "N docs"),
+  // kept set = deterministically-first docs in sha order whose running total
+  // fits. The cum_weight column makes the whole parallel prefix scan a VALUE
+  // the oracle re-derives with a per-source window.
+  // ---------------------------------------------------------------------------
+  private def x51(s: SparkSession, dir: String): DataFrame =
+    Sampling.tokenBudgetCap(
+      docs(s, dir).select(col("doc_id"), col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens")),
+      col("doc_id"), col("source"), col("n_tokens"), budget = 700L, salt = "b1")
+
+  private val x51Sql =
+    """WITH t AS (SELECT doc_id, source,
+             CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> ''))
+               AS BIGINT) AS n_tokens,
+             sha256(CAST(doc_id AS VARCHAR) || 'b1') AS ord
+           FROM documents),
+         c AS (SELECT doc_id, source, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY source ORDER BY ord, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_weight
+             FROM t)
+       SELECT doc_id, source, n_tokens, cum_weight FROM c WHERE cum_weight <= 700"""
+
+  // ---------------------------------------------------------------------------
+  // X52 — the preprocessing funnel end-to-end: quality gate (x29 semantics) →
+  // exact-dup survivors (full-text sha, min-id keep) → per-source token
+  // budget → sharded-export manifest. One query whose 4-row manifest hash is
+  // sensitive to every upstream decision — the corpus-pipeline analogue of
+  // q27's artifact-chain check, built purely from already-oracled pieces.
+  // ---------------------------------------------------------------------------
+  private def x52(s: SparkSession, dir: String): DataFrame = {
+    val quality = docs(s, dir).filter(
+      TextAnalysis.meanWordLen(col("text")).between(3.0, 10.0) &&
+        TextAnalysis.alphaRatio(col("text")) >= 0.6 &&
+        TextAnalysis.dupLineFrac(col("text")) <= 0.3)
+    val survivors = Dedup.exact(quality, col("text"), col("doc_id"))
+    val capped = Sampling.tokenBudgetCap(
+      survivors.select(col("doc_id"), col("source"), col("text"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("__w")),
+      col("doc_id"), col("source"), col("__w"), budget = 400L, salt = "f2")
+    ShardedExport.manifest(capped, col("doc_id"), col("text"),
+      nShards = 4, salt = "f1")
+  }
+
+  private val x52Sql =
+    """WITH t AS (SELECT doc_id, source, text,
+             list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks,
+             list_filter(regexp_split_to_array(text, '\n'), x -> x <> '') AS lines
+           FROM documents),
+         q AS (SELECT doc_id, source, text, toks FROM (
+             SELECT *,
+               CASE WHEN len(toks) > 0
+                 THEN round(length(array_to_string(toks, '')) * 1.0 / len(toks), 6)
+                 ELSE 0 END AS mwl,
+               CASE WHEN length(text) > 0
+                 THEN round(len(regexp_extract_all(text, '[A-Za-z]')) * 1.0 / length(text), 6)
+                 ELSE 0 END AS ar,
+               CASE WHEN len(lines) > 0
+                 THEN round(1.0 - len(list_distinct(lines)) * 1.0 / len(lines), 6)
+                 ELSE 0 END AS dlf
+             FROM t)
+           WHERE mwl BETWEEN 3.0 AND 10.0 AND ar >= 0.6 AND dlf <= 0.3),
+         dd AS (SELECT doc_id, source, text, toks FROM q
+                QUALIFY row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) = 1),
+         c AS (SELECT doc_id, source, text,
+               sum(CAST(len(toks) AS BIGINT)) OVER (PARTITION BY source
+                 ORDER BY sha256(CAST(doc_id AS VARCHAR) || 'f2'), doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             FROM dd),
+         kept AS (SELECT doc_id, text FROM c WHERE cum <= 400),
+         s AS (SELECT CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || 'f1'), 1, 8)
+                  AS BIGINT) % 4 AS shard,
+                doc_id, text
+           FROM kept)
+       SELECT shard, count(*) AS n_docs,
+              CAST(sum(length(text)) AS BIGINT) AS total_chars,
+              sha256(string_agg(sha256(text), '' ORDER BY doc_id)) AS content_sha256
+       FROM s GROUP BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_dedup_exact" -> x1 _,
     "x02_dedup_ngram_jaccard" -> x2 _,
@@ -1555,7 +1636,9 @@ object ExtensionQueries {
     "x47_lm_quality" -> x47 _,
     "x48_bm25" -> x48 _,
     "x49_shard_manifest" -> x49 _,
-    "x50_df_prune" -> x50 _
+    "x50_df_prune" -> x50 _,
+    "x51_token_budget" -> x51 _,
+    "x52_corpus_funnel" -> x52 _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1603,6 +1686,8 @@ object ExtensionQueries {
     "x47_lm_quality" -> x47Sql,
     "x48_bm25" -> x48Sql,
     "x49_shard_manifest" -> x49Sql,
-    "x50_df_prune" -> x50Sql
+    "x50_df_prune" -> x50Sql,
+    "x51_token_budget" -> x51Sql,
+    "x52_corpus_funnel" -> x52Sql
   )
 }

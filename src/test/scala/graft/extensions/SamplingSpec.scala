@@ -74,4 +74,36 @@ class SamplingSpec extends AnyFunSuite with SparkTestSession {
     val n = out.filter(col("split").isNull).count()
     assert(math.abs(n - 7000) < 300, n.toString)
   }
+
+  test("token budget cap: per-stratum budget honored, no straddling, stable") {
+    import spark.implicits._
+    val rng = new scala.util.Random(47)
+    val rows = (1 to 600).map(i => (i.toLong, s"src${i % 3}", 1L + rng.nextInt(20)))
+    val df = rows.toDF("id", "source", "w")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sampling.tokenBudgetCap(d, col("id"), col("source"), col("w"),
+          budget = 500L, salt = "t")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toList.sorted
+
+    val out = run(df)
+    val bySrc = out.groupBy(_._2)
+    // every stratum present, every running total within budget
+    assert(bySrc.keySet == Set("src0", "src1", "src2"))
+    bySrc.values.foreach(g => assert(g.map(_._3).max <= 500L))
+    // exact kept set: independent replica of the contract — sha(id ⊕ salt)
+    // order, keep the PREFIX whose running total stays within budget (a doc
+    // past the budget line never slides in, even if it would fit)
+    def sha(s: String) = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = rows.groupBy(_._2).toList.flatMap { case (_, g) =>
+      var cum = 0L
+      g.sortBy(r => (sha(r._1.toString + "t"), r._1)).flatMap { r =>
+        cum += r._3
+        if (cum <= 500L) Some((r._1, r._2, cum)) else None
+      }
+    }.sorted
+    assert(out == expected)
+    // deterministic: identical under arbitrary repartitioning
+    assert(run(df.repartition(13)) == out)
+  }
 }

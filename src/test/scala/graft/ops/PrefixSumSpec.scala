@@ -27,6 +27,27 @@ class PrefixSumSpec extends AnyFunSuite with SparkTestSession {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("stratum cumsum == per-stratum driver scan, hot stratum included") {
+    val rng = new scala.util.Random(43)
+    // stratum "hot" holds 80% of rows — the shape a per-stratum window would
+    // buffer in one task; the parallel scan must still match the driver scan
+    val rows = (1 to 5000).map { i =>
+      val s = if (rng.nextInt(10) < 8) "hot" else s"s${rng.nextInt(4)}"
+      (i.toLong, s, rng.nextInt(100).toLong)
+    }
+    val df = spark.createDataFrame(rng.shuffle(rows)).toDF("k", "s", "v").repartition(16)
+    val got = PrefixSum.withStratumCumsum(df, col("s"), col("v"), "cum", col("k"))
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[Long]("cum")).toMap
+    val acc = scala.collection.mutable.HashMap.empty[String, Long]
+    for ((k, s, v) <- rows.sortBy(_._1)) {
+      acc(s) = acc.getOrElse(s, 0L) + v
+      assert(got(k) == acc(s), s"k=$k s=$s")
+    }
+    val plan = PrefixSum.withStratumCumsum(df, col("s"), col("v"), "cum", col("k"))
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("packStream: stream positions contiguous, packs cut at the budget") {
     val chunks = Seq(
       (1L, 0L, 10), (1L, 1L, 10), (2L, 0L, 7), (3L, 0L, 10), (3L, 1L, 3)
