@@ -53,6 +53,31 @@ class LineDedupSpec extends AnyFunSuite with SparkTestSession {
     assert(out(2L) == "yy")
   }
 
+  test("random multi-line corpora match a driver-side replica") {
+    import spark.implicits._
+    val rng = new scala.util.Random(53)
+    val pool = (1 to 30).map(i => s"line-$i")
+    val corpus = (1L to 200L).map { id =>
+      val n = 1 + rng.nextInt(8)
+      (id, Seq.fill(n)(pool(rng.nextInt(pool.size))).mkString("\n"))
+    }
+    val maxDocFreq = 3
+    val out = Dedup.lineDedup(corpus.toDF("doc_id", "text"),
+        col("doc_id"), col("text"), maxDocFreq)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+
+    val docFreq = corpus.flatMap { case (id, t) => t.split("\n", -1).distinct.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.size).toMap
+    corpus.foreach { case (id, t) =>
+      val lines = t.split("\n", -1)
+      val kept = lines.filter(l => docFreq(l) <= maxDocFreq)
+      assert(out(id) == ((lines.length.toLong,
+        (lines.length - kept.length).toLong, kept.mkString("\n"))), s"doc $id")
+    }
+  }
+
   test("token-unit mode (sep = space) prunes by document frequency") {
     import spark.implicits._
     val df = Seq((1L, "a b c"), (2L, "a d"), (3L, "a b")).toDF("doc_id", "text")
