@@ -115,6 +115,34 @@ object TextAnalysis {
       regexp_replace(c, lit(pat), lit(repl))
     }
 
+  // ------------------------------------------------- cleaning / canon --
+
+  /** Crawl-grade text cleaning — the scrub every web corpus runs before any
+    * other stage: drop control characters (except `\n`/`\t`), collapse
+    * space/tab runs to one space, squeeze 3+ blank lines to one blank line,
+    * trim. Patterns stay in the Java∩RE2 subset (same engine-portability
+    * contract as [[redactPii]]), applied in a fixed order so the result is
+    * reproducible by any regex engine. Codegen'd chain, scan-local.
+    */
+  def cleanText(text: Column): Column = {
+    val noCtl = regexp_replace(text,
+      lit("[\\x00-\\x08\\x0B-\\x1F\\x7F]"), lit(""))
+    val oneSpace = regexp_replace(noCtl, lit("[ \\t]+"), lit(" "))
+    val fewLines = regexp_replace(oneSpace, lit("\\n{3,}"), lit("\n\n"))
+    trim(fewLines)
+  }
+
+  /** Canonical form for NORMALIZED exact dedup (the CCNet/C4 trick: hash the
+    * canonical text, not the raw bytes — catches re-crawls that differ only
+    * in case, punctuation, or whitespace): lowercase, strip everything
+    * outside `[a-z0-9\s]`, collapse whitespace, trim. Same portable-pattern
+    * contract as [[cleanText]]. Feed to [[Dedup.exact]] as the key.
+    */
+  def normalizeForDedup(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), lit("[^a-z0-9\\s]"), lit("")),
+      lit("\\s+"), lit(" ")))
+
   // -------------------------------------------- gopher-style quality --
 
   /** Mean token length in characters — `length(join(tokens)) / count`, all

@@ -1586,6 +1586,47 @@ object ExtensionQueries {
               sha256(string_agg(sha256(text), '' ORDER BY doc_id)) AS content_sha256
        FROM s GROUP BY 1"""
 
+  // ---------------------------------------------------------------------------
+  // X53 — crawl-grade text cleaning + dedup canonicalization
+  // (TextAnalysis.cleanText / normalizeForDedup). The synthetic corpus is
+  // already clean, so the query manufactures deterministic crawl dirt
+  // (control chars, tab runs, blank-line stacks, punctuation) around every
+  // doc; both engines build the same dirty string and must scrub it to
+  // byte-identical results (sha-compared), pinning the regex chains to the
+  // Java∩RE2 portable subset.
+  // ---------------------------------------------------------------------------
+  private def x53(s: SparkSession, dir: String): DataFrame = {
+    val dirty = concat(lit("\u0001\u0002  "), col("text"),
+      lit("\t\t Junk!\u0007\n\n\n\nEnd. "))
+    val clean = TextAnalysis.cleanText(dirty)
+    docs(s, dir).select(col("doc_id"),
+      length(dirty).cast("long").as("n_chars_dirty"),
+      length(clean).cast("long").as("n_chars_clean"),
+      sha2(clean, 256).as("clean_sha"),
+      sha2(TextAnalysis.normalizeForDedup(dirty), 256).as("norm_sha"))
+  }
+
+  private val x53Sql =
+    """WITH t AS (SELECT doc_id,
+             chr(1) || chr(2) || '  ' || text || chr(9) || chr(9) || ' Junk!' ||
+               chr(7) || chr(10) || chr(10) || chr(10) || chr(10) || 'End. ' AS dirty
+           FROM documents),
+         c AS (SELECT doc_id, dirty,
+               trim(regexp_replace(regexp_replace(regexp_replace(dirty,
+                 '[\x00-\x08\x0B-\x1F\x7F]', '', 'g'),
+                 '[ \t]+', ' ', 'g'),
+                 '\n{3,}', chr(10) || chr(10), 'g')) AS clean,
+               trim(regexp_replace(regexp_replace(lower(dirty),
+                 '[^a-z0-9\s]', '', 'g'),
+                 '\s+', ' ', 'g')) AS norm
+             FROM t)
+       SELECT doc_id,
+              CAST(length(dirty) AS BIGINT) AS n_chars_dirty,
+              CAST(length(clean) AS BIGINT) AS n_chars_clean,
+              sha256(clean) AS clean_sha,
+              sha256(norm) AS norm_sha
+       FROM c"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_dedup_exact" -> x1 _,
     "x02_dedup_ngram_jaccard" -> x2 _,
@@ -1638,7 +1679,8 @@ object ExtensionQueries {
     "x49_shard_manifest" -> x49 _,
     "x50_df_prune" -> x50 _,
     "x51_token_budget" -> x51 _,
-    "x52_corpus_funnel" -> x52 _
+    "x52_corpus_funnel" -> x52 _,
+    "x53_text_clean" -> x53 _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1688,6 +1730,7 @@ object ExtensionQueries {
     "x49_shard_manifest" -> x49Sql,
     "x50_df_prune" -> x50Sql,
     "x51_token_budget" -> x51Sql,
-    "x52_corpus_funnel" -> x52Sql
+    "x52_corpus_funnel" -> x52Sql,
+    "x53_text_clean" -> x53Sql
   )
 }

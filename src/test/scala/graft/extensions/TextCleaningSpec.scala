@@ -1,0 +1,46 @@
+package graft.extensions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** cleanText / normalizeForDedup semantics on crawl-grade dirty fixtures —
+  * the interesting paths x53 can only reach via manufactured dirt.
+  */
+class TextCleaningSpec extends AnyFunSuite with SparkTestSession {
+
+  private def runClean(s: String): String = {
+    import spark.implicits._
+    Seq(s).toDF("t").select(TextAnalysis.cleanText(col("t"))).first().getString(0)
+  }
+
+  private def runNorm(s: String): String = {
+    import spark.implicits._
+    Seq(s).toDF("t").select(TextAnalysis.normalizeForDedup(col("t"))).first().getString(0)
+  }
+
+  test("cleanText: control chars dropped, runs collapsed, blank lines squeezed") {
+    assert(runClean("\u0001\u0002 a\t\t b \u0007c ") == "a b c")
+    assert(runClean("p1\n\n\n\n\np2") == "p1\n\np2")     // 5 newlines → 2
+    assert(runClean("p1\n\np2") == "p1\n\np2")           // 2 stay (paragraph break)
+    assert(runClean("a\u0001\u0007b") == "ab")   // control chars vanish
+    assert(runClean("a\nb") == "a\nb")                   // \n survives the ctl strip
+    assert(runClean("a\tb") == "a b")                    // ...but tab runs become a space
+  }
+
+  test("cleanText is idempotent") {
+    val nasty = "\u0000 x\t\ty \u001f\n\n\n\nz  "
+    assert(runClean(runClean(nasty)) == runClean(nasty))
+  }
+
+  test("normalizeForDedup: case/punct/whitespace variants converge") {
+    val canonical = runNorm("Hello, World!  Foo-bar.")
+    assert(canonical == "hello world foobar")
+    // re-crawl variants that must hash identically
+    assert(runNorm("hello world   foobar") == canonical)
+    assert(runNorm("HELLO WORLD\tFOOBAR") == canonical)
+    assert(runNorm("Hello; World? (foobar)") == canonical)
+    assert(runNorm(runNorm("Hello, World!  Foo-bar.")) == canonical) // idempotent
+  }
+}
