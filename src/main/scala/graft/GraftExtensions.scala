@@ -70,7 +70,13 @@ object GraftExtensions {
       new ExpressionInfo(classOf[graft.functions.BitsetIntersectCount].getName,
         "bitset_intersect_count"),
       (args: Seq[Expression]) => { arity("bitset_intersect_count", 2, args)
-        graft.functions.BitsetIntersectCount(args(0), args(1)) }))
+        graft.functions.BitsetIntersectCount(args(0), args(1)) }),
+    (FunctionIdentifier("bitset_from_positions"),
+      new ExpressionInfo(classOf[graft.functions.BitsetFromPositions].getName,
+        "bitset_from_positions"),
+      (args: Seq[Expression]) => { arity("bitset_from_positions", 2, args)
+        graft.functions.BitsetFromPositions(args(0),
+          litInt(args(1), "bitset_from_positions")) }))
 
   /** Imperative registration on an existing session (same builders as the
     * config-driven path). */

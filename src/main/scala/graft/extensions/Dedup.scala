@@ -268,16 +268,13 @@ object Dedup {
           .groupBy(col("id"), col("block"))
           .agg(collect_list(col("pos")).as("ps"))
           // ps is distinct (shingle sets are), so size(ps) IS the set size;
-          // the HOF mask build is interpreted but corpus-LINEAR (once per
-          // doc) — only the per-PAIR popcount sits on the quadratic path
+          // the mask build is the native one-pass BitsetFromPositions — the
+          // equivalent transform/aggregate/filter HOF tree ran interpreted
+          // and O(nWords × |ps|), re-scanning the positions for every word
+          // (pinned value-identical by NativeExprEquivalenceSpec)
           .select(col("id"), col("block"), size(col("ps")).as("sz"),
-            transform(sequence(lit(0), lit(nWords - 1)), w =>
-              aggregate(filter(col("ps"), p => floor(p / 64).cast("int") === w),
-                lit(0L), (acc, p) => acc.bitwiseOR(
-                  // functions.shiftleft takes only a literal shift — the SQL
-                  // form accepts a column one
-                  call_function("shiftleft", lit(1L),
-                    pmod(p, lit(64)).cast("int"))))).as("m"))
+            graft.functions.BitsetFromPositions
+              .bitsetFromPositions(col("ps"), nWords).as("m"))
         val l = masks.select(col("block"), col("id").as("id_a"),
           col("sz").as("sz_a"), col("m").as("ma"))
         val r = masks.select(col("block"), col("id").as("id_b"),

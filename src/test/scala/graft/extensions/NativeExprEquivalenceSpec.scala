@@ -249,4 +249,31 @@ class NativeExprEquivalenceSpec extends AnyFunSuite with SparkTestSession {
     assert(out(2).getLong(0) == 3 && out(2).getLong(1) == 1 && out(2).getLong(2) == 3)
     assert(out(3).getLong(0) == 3 && out(3).getLong(1) == 2 && out(3).getLong(2) == 2)
   }
+
+  test("BitsetFromPositions matches the transform/aggregate HOF mask build") {
+    import spark.implicits._
+    val rng = new scala.util.Random(59)
+    val nWords = 4
+    val rows = (1 to 300).map { i =>
+      // positions over [0, 256) incl. duplicates, empty arrays, full words
+      val n = rng.nextInt(30)
+      (i.toLong, Seq.fill(n)(rng.nextInt(64 * nWords)))
+    }
+    val df = rows.toDF("id", "ps")
+    val hof = df.select(col("id"),
+      transform(sequence(lit(0), lit(nWords - 1)), w =>
+        aggregate(filter(col("ps"), p => floor(p / 64).cast("int") === w),
+          lit(0L), (acc, p) => acc.bitwiseOR(
+            call_function("shiftleft", lit(1L),
+              pmod(p, lit(64)).cast("int"))))).as("m"))
+    val native = df.select(col("id"),
+      graft.functions.BitsetFromPositions.bitsetFromPositions(col("ps"), nWords).as("m"))
+    assert(native.exceptAll(hof).isEmpty && hof.exceptAll(native).isEmpty)
+    // empty positions -> all-zero words, not nulls
+    val empty = Seq((1L, Seq.empty[Int])).toDF("id", "ps")
+      .select(graft.functions.BitsetFromPositions
+        .bitsetFromPositions(col("ps"), nWords).as("m"))
+      .first().getSeq[Long](0)
+    assert(empty == Seq(0L, 0L, 0L, 0L))
+  }
 }
