@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
 import graft.extensions.{Contamination, Dedup, HeavyHitters, IncrementalDedup, LanguageModel, Mixture, Multimodal, Sampling, Similarity, SpanDedup, TextAnalysis}
-import graft.ops.{ShardedExport, Skew}
+import graft.ops.{ShardedExport, Skew, SnapshotDiff}
 
 /** North-star extension queries (dedup / similarity / text analysis /
   * multimodal — the LLM-training-data operators), each oracle-verified where
@@ -1627,6 +1627,45 @@ object ExtensionQueries {
               sha256(norm) AS norm_sha
        FROM c"""
 
+  // ---------------------------------------------------------------------------
+  // X54 — corpus snapshot diff (ops/SnapshotDiff): added/removed/changed/
+  // unchanged between two versions, compared by content sha so the document
+  // bytes never reach the join. Snapshot B is manufactured deterministically
+  // from the corpus (drop %17, rewrite %13, add %23 under shifted ids), so
+  // both engines derive the identical diff relation.
+  // ---------------------------------------------------------------------------
+  private def x54(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val kept = d.filter(col("doc_id") % 17 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+    val added = d.filter(col("doc_id") % 23 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"),
+        concat(lit("new "), col("text")).as("text"))
+    SnapshotDiff.diff(d, kept.unionByName(added), col("doc_id"), col("text"))
+      .withColumnRenamed("id", "doc_id")
+  }
+
+  private val x54Sql =
+    """WITH old AS (SELECT doc_id, sha256(text) AS sha_old FROM documents),
+         cur0 AS (SELECT doc_id,
+                  CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text
+                FROM documents WHERE doc_id % 17 <> 0),
+         curn AS (SELECT doc_id + 100000 AS doc_id, 'new ' || text AS text
+                FROM documents WHERE doc_id % 23 = 0),
+         cur AS (SELECT doc_id, sha256(text) AS sha_new
+               FROM (SELECT * FROM cur0 UNION ALL SELECT * FROM curn)),
+         j AS (SELECT coalesce(o.doc_id, c.doc_id) AS doc_id, o.sha_old, c.sha_new
+               FROM old o FULL OUTER JOIN cur c ON o.doc_id = c.doc_id)
+       SELECT doc_id,
+              CASE WHEN sha_old IS NULL THEN 'added'
+                   WHEN sha_new IS NULL THEN 'removed'
+                   WHEN sha_old = sha_new THEN 'unchanged'
+                   ELSE 'changed' END AS status,
+              sha_old, sha_new
+       FROM j"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_dedup_exact" -> x1 _,
     "x02_dedup_ngram_jaccard" -> x2 _,
@@ -1680,7 +1719,8 @@ object ExtensionQueries {
     "x50_df_prune" -> x50 _,
     "x51_token_budget" -> x51 _,
     "x52_corpus_funnel" -> x52 _,
-    "x53_text_clean" -> x53 _
+    "x53_text_clean" -> x53 _,
+    "x54_snapshot_diff" -> x54 _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1731,6 +1771,7 @@ object ExtensionQueries {
     "x50_df_prune" -> x50Sql,
     "x51_token_budget" -> x51Sql,
     "x52_corpus_funnel" -> x52Sql,
-    "x53_text_clean" -> x53Sql
+    "x53_text_clean" -> x53Sql,
+    "x54_snapshot_diff" -> x54Sql
   )
 }
