@@ -143,6 +143,31 @@ object TextAnalysis {
       regexp_replace(lower(text), lit("[^a-z0-9\\s]"), lit("")),
       lit("\\s+"), lit(" ")))
 
+  // ----------------------------------------------------- urls / domains --
+
+  /** All http(s) URLs in a text column (whitespace-delimited, the crawl
+    * convention). Java∩RE2 portable pattern, scan-local. */
+  def extractUrls(text: Column): Column =
+    regexp_extract_all(text, lit("https?://[^\\s]+"), lit(0))
+
+  /** Lowercased host of one URL ('' if the shape is unparsable). */
+  def urlDomain(url: Column): Column =
+    lower(regexp_extract(url, "https?://([^/\\s]+)", 1))
+
+  /** Per-document domain profile — the input to domain blocklist/allowlist
+    * decisions and per-domain caps (the first curation lever of every web
+    * corpus): (id, n_urls, domains) where `domains` is the sorted distinct
+    * host list. Scan-local; join `explode(domains)` against a broadcast
+    * blocklist to filter, or groupBy the exploded domain for corpus-level
+    * domain stats.
+    */
+  def domainProfile(df: org.apache.spark.sql.DataFrame, id: Column,
+      text: Column): org.apache.spark.sql.DataFrame = {
+    val urls = extractUrls(text)
+    df.select(id.as("id"), size(urls).cast("long").as("n_urls"),
+      array_sort(array_distinct(transform(urls, u => urlDomain(u)))).as("domains"))
+  }
+
   // -------------------------------------------- gopher-style quality --
 
   /** Mean token length in characters — `length(join(tokens)) / count`, all

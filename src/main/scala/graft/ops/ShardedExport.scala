@@ -61,7 +61,11 @@ object ShardedExport {
 
   /** Write one `shard_NNNNN.txt` per shard under `outDir` (documents in id
     * order, joined by `\n`), atomically (tmp file + rename per shard).
-    * JSONL export is this same sink with `to_json(struct(...))` as `text`.
+    * JSONL export is this same sink with `to_json(struct(...))` as `text` —
+    * which is also the mode to use when documents may CONTAIN newlines
+    * (`to_json` escapes them; raw multi-line text would make document
+    * boundaries in the file ambiguous, though the manifest stays exact
+    * either way since it hashes per-document).
     *
     * Distributed write: rows are hash-partitioned by shard and sorted within
     * partitions on (shard, id), so each task streams its shards sequentially

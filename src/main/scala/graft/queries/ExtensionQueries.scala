@@ -1666,6 +1666,37 @@ object ExtensionQueries {
               sha_old, sha_new
        FROM j"""
 
+  // ---------------------------------------------------------------------------
+  // X55 — URL/domain analysis (TextAnalysis.extractUrls/urlDomain): the
+  // per-domain corpus stats behind blocklist and per-domain-cap decisions.
+  // URLs are manufactured deterministically (the corpus has none), same
+  // pattern as x53's dirt; both engines extract and aggregate identically.
+  // ---------------------------------------------------------------------------
+  private def x55(s: SparkSession, dir: String): DataFrame = {
+    val dirty = concat(col("text"),
+      lit(" see https://example"), pmod(col("doc_id"), lit(7)).cast("string"),
+      lit(".com/p/"), col("doc_id").cast("string"),
+      lit(" and http://test.org/x"))
+    docs(s, dir)
+      .select(col("doc_id"), explode(TextAnalysis.extractUrls(dirty)).as("url"))
+      .withColumn("domain", TextAnalysis.urlDomain(col("url")))
+      .groupBy("domain")
+      .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_urls"))
+  }
+
+  private val x55Sql =
+    """WITH t AS (SELECT doc_id,
+             text || ' see https://example' || CAST(doc_id % 7 AS VARCHAR) ||
+               '.com/p/' || CAST(doc_id AS VARCHAR) || ' and http://test.org/x' AS dirty
+           FROM documents),
+         u AS (SELECT doc_id, unnest(regexp_extract_all(dirty, 'https?://[^\s]+')) AS url
+               FROM t),
+         du AS (SELECT doc_id,
+                  lower(regexp_extract(url, 'https?://([^/\s]+)', 1)) AS domain
+                FROM u)
+       SELECT domain, count(DISTINCT doc_id) AS n_docs, count(*) AS n_urls
+       FROM du GROUP BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_dedup_exact" -> x1 _,
     "x02_dedup_ngram_jaccard" -> x2 _,
@@ -1720,7 +1751,8 @@ object ExtensionQueries {
     "x51_token_budget" -> x51 _,
     "x52_corpus_funnel" -> x52 _,
     "x53_text_clean" -> x53 _,
-    "x54_snapshot_diff" -> x54 _
+    "x54_snapshot_diff" -> x54 _,
+    "x55_url_domains" -> x55 _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1772,6 +1804,7 @@ object ExtensionQueries {
     "x51_token_budget" -> x51Sql,
     "x52_corpus_funnel" -> x52Sql,
     "x53_text_clean" -> x53Sql,
-    "x54_snapshot_diff" -> x54Sql
+    "x54_snapshot_diff" -> x54Sql,
+    "x55_url_domains" -> x55Sql
   )
 }

@@ -34,6 +34,20 @@ class TextCleaningSpec extends AnyFunSuite with SparkTestSession {
     assert(runClean(runClean(nasty)) == runClean(nasty))
   }
 
+  test("extractUrls / urlDomain / domainProfile") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "see https://A.com/x and http://a.com/y plus https://b.org/z"),
+      (2L, "no urls here"),
+      (3L, "trailing https://c.net")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.domainProfile(df, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[String](2)))).toMap
+    assert(out(1L) == ((3L, Seq("a.com", "b.org")))) // case-folded, distinct, sorted
+    assert(out(2L) == ((0L, Seq.empty)))
+    assert(out(3L) == ((1L, Seq("c.net"))))
+  }
+
   test("normalizeForDedup: case/punct/whitespace variants converge") {
     val canonical = runNorm("Hello, World!  Foo-bar.")
     assert(canonical == "hello world foobar")
