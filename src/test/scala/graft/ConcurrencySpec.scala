@@ -16,8 +16,11 @@ import org.scalatest.funsuite.AnyFunSuite
 class ConcurrencySpec extends AnyFunSuite with SparkTestSession {
 
   private val dir = "/root/testdata/sf0.001"
+  // round-7 additions: x47 (vocab checkpoint + total collect), x51 (two-pass
+  // prefix scan with driver-held offsets), x52 (the whole funnel chain)
   private val picked = Seq("x02_dedup_ngram_jaccard", "x24_dedup_clusters",
-    "x36_heavy_hitters", "q21_pipeline_enrich")
+    "x36_heavy_hitters", "q21_pipeline_enrich",
+    "x47_lm_quality", "x51_token_budget", "x52_corpus_funnel")
 
   test("4 eager-internal queries concurrently == serially, twice over") {
     implicit val ec: ExecutionContext = ExecutionContext.global

@@ -214,6 +214,24 @@ class ExtensionsSpec extends AnyFunSuite with SparkTestSession {
     assert(row.getAs[Int]("n_tok") == 300000)
     assert(!row.isNullAt(row.fieldIndex("sk")) && !row.isNullAt(row.fieldIndex("fp")))
     assert(row.getAs[Double]("q") >= 0.0 && row.getAs[Double]("q") <= 1.0)
+
+    // round-7 text operators on the same pathological row: the regex chains
+    // must stay linear (no catastrophic backtracking on MB inputs) and the
+    // line machinery must survive a 100k-line document
+    val cleaned = df.select(
+        length(TextAnalysis.cleanText(col("text"))).as("c"),
+        length(TextAnalysis.normalizeForDedup(col("text"))).as("n"),
+        size(TextAnalysis.extractUrls(col("text"))).as("u"))
+      .collect().head
+    assert(cleaned.getAs[Int]("c") == mega.length) // already clean → unchanged
+    assert(cleaned.getAs[Int]("n") == mega.length) // already canonical
+    assert(cleaned.getAs[Int]("u") == 0)
+    val megaLines = df.select(col("doc_id"),
+      regexp_replace(col("text"), " ", "\n").as("text"))
+    val ld = Dedup.lineDedup(megaLines, col("doc_id"), col("text"), maxDocFreq = 1)
+      .collect().head
+    assert(ld.getAs[Long]("n_lines") == 300000)
+    assert(ld.getAs[Long]("n_removed") == 0) // one doc → every line unique-doc
   }
 
   test("ngram jaccard bitset path: word-boundary vocabularies (63..65, 129)") {
