@@ -92,17 +92,26 @@ object ShardedExport {
             StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
           w = null
         }
-        it.foreach { r =>
-          val s = r.getLong(0)
-          if (s != current) {
-            close()
-            current = s
-            tmp = Files.createTempFile(Paths.get(outDir), ".tmp-shard-", null)
-            w = Files.newBufferedWriter(tmp)
-          } else w.write("\n")
-          w.write(r.getString(2))
+        try {
+          it.foreach { r =>
+            val s = r.getLong(0)
+            if (s != current) {
+              close()
+              current = s
+              tmp = Files.createTempFile(Paths.get(outDir), ".tmp-shard-", null)
+              w = Files.newBufferedWriter(tmp)
+            } else w.write("\n")
+            w.write(r.getString(2))
+          }
+          close()
+        } catch { case e: Throwable =>
+          // a dying task must not orphan its half-written temp file in
+          // outDir — the retry opens a fresh one and the atomic rename means
+          // a partial shard is never visible under its final name
+          if (w != null) w.close()
+          if (tmp != null) Files.deleteIfExists(tmp)
+          throw e
         }
-        close()
       }
     manifest(df, id, text, nShards, salt)
   }
