@@ -34,10 +34,12 @@ case class BitsetFromPositions(child: Expression, nWords: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(IntegerType, _) | ArrayType(LongType, _) if nWords > 0 =>
+    case ArrayType(IntegerType, _) | ArrayType(LongType, _)
+        if nWords > 0 && nWords <= BitsetFromPositions.MaxWords =>
       TypeCheckResult.TypeCheckSuccess
     case _ => TypeCheckResult.TypeCheckFailure(
-      s"bitset_from_positions requires ARRAY<INT|BIGINT> and nWords > 0, got " +
+      s"bitset_from_positions requires ARRAY<INT|BIGINT> and nWords in " +
+        s"[1, ${BitsetFromPositions.MaxWords}], got " +
         s"${child.dataType.catalogString} / nWords=$nWords")
   }
 
@@ -62,6 +64,16 @@ case class BitsetFromPositions(child: Expression, nWords: Int)
 }
 
 object BitsetFromPositions {
+
+  /** Upper bound on the per-row allocation: `compute` allocates 8·nWords
+    * bytes for EVERY row, and the SQL-registered form accepts any INT
+    * literal, so an unbounded nWords lets a single careless
+    * `bitset_from_positions(ps, 100000000)` OOM executors. The internal
+    * caller ([[graft.extensions.Dedup.ngramJaccardPairs]]) never exceeds
+    * ⌈maxDictVocab/64⌉ = 64 words; 16384 words (128 KiB/row, 2^20 bits)
+    * leaves two orders of magnitude of headroom while keeping the worst
+    * case executor-safe. */
+  val MaxWords: Int = 16384
 
   /** Shared by interpreted eval and generated code. */
   def compute(ps: ArrayData, nWords: Int, elemIsLong: Boolean): ArrayData = {

@@ -18,7 +18,10 @@ import org.apache.spark.sql.types.{LongType, StructField}
   * boundaries cannot disagree between the totals job and the output job.
   *
   * Requires the sort keys to totally order the rows (unique) for a
-  * deterministic result; `value` is read as LONG.
+  * deterministic result; `value` is read as LONG, and a NULL value
+  * contributes 0 to the running sum (coalesced before the scan — a corpus
+  * with a null weight must not die with an opaque NPE deep inside an RDD
+  * task).
   */
 object PrefixSum {
 
@@ -26,7 +29,7 @@ object PrefixSum {
   def withGlobalCumsum(df: DataFrame, value: Column, outCol: String,
       sortCols: Column*): DataFrame = {
     val spark = df.sparkSession
-    val sorted = df.withColumn("__v", value.cast("long"))
+    val sorted = df.withColumn("__v", coalesce(value.cast("long"), lit(0L)))
       .repartitionByRange(sortCols: _*).sortWithinPartitions(sortCols: _*)
     val rdd = sorted.rdd
     val vIdx = sorted.schema.fieldIndex("__v")
@@ -61,12 +64,18 @@ object PrefixSum {
     * `sortCols` must totally order rows WITHIN each stratum (the stratum
     * itself is prepended to the range-partitioning key, so one range
     * partition never splits a (stratum, sortCols) tie).
+    *
+    * Nulls: a NULL `value` contributes 0 (same coalesce as
+    * [[withGlobalCumsum]]); NULL `stratum` rows form their own stratum under
+    * a NUL (`\\u0000`) sentinel (a control character that is no real
+    * source/language/split label) instead of relying on null map keys or NPE-ing
+    * mid-task.
     */
   def withStratumCumsum(df: DataFrame, stratum: Column, value: Column,
       outCol: String, sortCols: Column*): DataFrame = {
     val spark = df.sparkSession
-    val sorted = df.withColumn("__v", value.cast("long"))
-      .withColumn("__s", stratum.cast("string"))
+    val sorted = df.withColumn("__v", coalesce(value.cast("long"), lit(0L)))
+      .withColumn("__s", coalesce(stratum.cast("string"), lit("\u0000")))
       .repartitionByRange((col("__s") +: sortCols): _*)
       .sortWithinPartitions((col("__s") +: sortCols): _*)
     val rdd = sorted.rdd

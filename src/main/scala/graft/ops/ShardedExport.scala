@@ -42,14 +42,18 @@ object ShardedExport {
       .cast("long") % nShards
   }
 
-  /** Per-shard manifest: (shard, n_docs, total_chars, content_sha256) where
-    * `content_sha256 = sha256(concat of per-doc sha256(text) in id order)`.
-    * One row per NON-EMPTY shard. */
-  def manifest(df: DataFrame, id: Column, text: Column, nShards: Int,
+  /** The shared `(shard, id, text)` projection both the writer and the
+    * manifest consume. NULL text is coalesced to `""` HERE, so the two
+    * consumers cannot disagree on null handling (a raw null would NPE the
+    * writer while `sha2(null)` silently vanished from the manifest's
+    * `array_join` — two different answers for the same row). */
+  private def projected(df: DataFrame, id: Column, text: Column, nShards: Int,
       salt: String): DataFrame =
-    df.select(shardOf(id, nShards, salt).as("shard"), id.as("__id"),
-        text.as("__text"))
-      .groupBy("shard")
+    df.select(shardOf(id, nShards, salt).as("__shard"), id.as("__id"),
+      coalesce(text, lit("")).as("__text"))
+
+  private def manifestOf(proj: DataFrame): DataFrame =
+    proj.groupBy(col("__shard").as("shard"))
       .agg(count(lit(1)).as("n_docs"),
         sum(length(col("__text"))).as("total_chars"),
         sha2(array_join(
@@ -58,6 +62,14 @@ object ShardedExport {
               sha2(col("__text"), 256).as("__sha")))),
             x => x.getField("__sha")),
           ""), 256).as("content_sha256"))
+
+  /** Per-shard manifest: (shard, n_docs, total_chars, content_sha256) where
+    * `content_sha256 = sha256(concat of per-doc sha256(text) in id order)`.
+    * One row per NON-EMPTY shard. NULL text counts as `""` (the writer's
+    * convention). */
+  def manifest(df: DataFrame, id: Column, text: Column, nShards: Int,
+      salt: String): DataFrame =
+    manifestOf(projected(df, id, text, nShards, salt))
 
   /** Write one `shard_NNNNN.txt` per shard under `outDir` (documents in id
     * order, joined by `\n`), atomically (tmp file + rename per shard).
@@ -72,14 +84,31 @@ object ShardedExport {
     * — one open file at a time, no buffering of shard content. Local-fs
     * semantics in local mode; a shared filesystem on a cluster.
     *
-    * Returns the manifest (computed on the same frame) so callers can
-    * persist it next to the files.
+    * Returns the manifest, computed from the SAME materialization that
+    * produced the files: the `(shard, id, text)` projection is
+    * `localCheckpoint`ed once and drives both the write and the manifest.
+    * Without that pin, a non-deterministic input (rand-derived columns, a
+    * nondeterministic upstream recomputed after a shuffle) could hand the
+    * manifest different rows than the writer saw — silently breaking the
+    * integrity artifact this operator exists to produce. The checkpoint
+    * blocks are GC-owned (no persist left behind, per the CacheHygiene
+    * contract).
+    *
+    * Pre-existing `shard_NNNNN.txt` files in `outDir` are deleted first: a
+    * re-export with a different `nShards`/`salt`/corpus only overwrites
+    * COLLIDING names, so stale shards from the previous run would otherwise
+    * survive next to the new ones and pass a naive consumer.
     */
   def writeShardedText(df: DataFrame, id: Column, text: Column, outDir: String,
       nShards: Int, salt: String): DataFrame = {
-    Files.createDirectories(Paths.get(outDir))
-    df.select(shardOf(id, nShards, salt).as("__shard"), id.as("__id"),
-        text.as("__text"))
+    val dir = Paths.get(outDir)
+    Files.createDirectories(dir)
+    val stale = Files.list(dir)
+    try stale.filter(p => p.getFileName.toString.matches("shard_\\d{5}\\.txt"))
+      .forEach(p => Files.delete(p))
+    finally stale.close()
+    val proj = projected(df, id, text, nShards, salt).localCheckpoint()
+    proj
       .repartition(nShards, col("__shard"))
       .sortWithinPartitions("__shard", "__id")
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
@@ -113,6 +142,6 @@ object ShardedExport {
           throw e
         }
       }
-    manifest(df, id, text, nShards, salt)
+    manifestOf(proj)
   }
 }

@@ -1525,8 +1525,8 @@ object ExtensionQueries {
              sha256(CAST(doc_id AS VARCHAR) || 'b1') AS ord
            FROM documents),
          c AS (SELECT doc_id, source, n_tokens,
-               sum(n_tokens) OVER (PARTITION BY source ORDER BY ord, doc_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_weight
+               CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY ord, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_weight
              FROM t)
        SELECT doc_id, source, n_tokens, cum_weight FROM c WHERE cum_weight <= 700"""
 

@@ -276,4 +276,20 @@ class NativeExprEquivalenceSpec extends AnyFunSuite with SparkTestSession {
       .first().getSeq[Long](0)
     assert(empty == Seq(0L, 0L, 0L, 0L))
   }
+
+  test("BitsetFromPositions rejects an executor-OOM-sized nWords at analysis") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(1, 2))).toDF("id", "ps")
+    // compute() allocates 8*nWords bytes PER ROW; an unbounded SQL literal
+    // like bitset_from_positions(ps, 100000000) must fail type-check, not OOM
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(graft.functions.BitsetFromPositions
+        .bitsetFromPositions(col("ps"), 100000000).as("m")).collect()
+    }
+    assert(e.getMessage.contains("bitset_from_positions"))
+    // the documented ceiling itself still analyzes
+    df.select(graft.functions.BitsetFromPositions
+      .bitsetFromPositions(col("ps"), graft.functions.BitsetFromPositions.MaxWords)
+      .as("m")).queryExecution.analyzed
+  }
 }

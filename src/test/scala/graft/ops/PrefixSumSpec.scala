@@ -48,6 +48,22 @@ class PrefixSumSpec extends AnyFunSuite with SparkTestSession {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("null weight counts as 0, null stratum forms its own stratum (no NPE)") {
+    val df = spark.createDataFrame(Seq(
+      (1L, Some("a"), Some(5L)),
+      (2L, Some("a"), None), // null weight: contributes 0
+      (3L, Some("a"), Some(7L)),
+      (4L, None, Some(3L)), // null stratum: own group, not a crash
+      (5L, None, Some(4L))
+    )).toDF("k", "s", "v")
+    val got = PrefixSum.withStratumCumsum(df, col("s"), col("v"), "cum", col("k"))
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[Long]("cum")).toMap
+    assert(got == Map(1L -> 5L, 2L -> 5L, 3L -> 12L, 4L -> 3L, 5L -> 7L))
+    val g = PrefixSum.withGlobalCumsum(df, col("v"), "cum", col("k"))
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[Long]("cum")).toMap
+    assert(g == Map(1L -> 5L, 2L -> 5L, 3L -> 12L, 4L -> 15L, 5L -> 19L))
+  }
+
   test("packStream: stream positions contiguous, packs cut at the budget") {
     val chunks = Seq(
       (1L, 0L, 10), (1L, 1L, 10), (2L, 0L, 7), (3L, 0L, 10), (3L, 1L, 3)

@@ -87,4 +87,68 @@ class ShardedExportSpec extends AnyFunSuite with SparkTestSession {
       assert(Files.readString(Paths.get(dir, name)) == body)
     }
   }
+
+  test("re-export removes stale shard files from a previous run") {
+    val dir = Files.createTempDirectory("graft-shard-stale").toString
+    ShardedExport.writeShardedText(corpus, col("doc_id"), col("text"), dir, nShards, salt)
+    val before = Files.list(Paths.get(dir)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("shard_")).toSet
+    assert(before.size == nShards)
+    // re-export into the SAME dir with one shard: old shard_00001..4 must go
+    val m = ShardedExport.writeShardedText(corpus, col("doc_id"), col("text"), dir, 1, salt)
+      .collect()
+    val after = Files.list(Paths.get(dir)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("shard_")).toSet
+    assert(after == Set("shard_00000.txt"))
+    assert(m.length == 1 && m.head.getLong(1) == 100L)
+  }
+
+  test("null text: writer and manifest agree (both treat it as empty string)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-shard-null").toString
+    val withNull = Seq((1L, "alpha"), (2L, null: String), (3L, "gamma"))
+      .toDF("doc_id", "text")
+    val m = ShardedExport.writeShardedText(withNull, col("doc_id"), col("text"),
+      dir, 1, salt).collect()
+    assert(m.length == 1)
+    // manifest counts the null row (as "")...
+    assert(m.head.getLong(1) == 3L)
+    assert(m.head.getLong(2) == "alpha".length + "gamma".length)
+    // ...and the file contains it as an empty line, in id order
+    val body = Files.readString(Paths.get(dir, "shard_00000.txt"))
+    val expectedLines = Seq((1L, "alpha"), (2L, ""), (3L, "gamma"))
+      .sortBy { case (id, _) => (expectedShardK(id, 1), id) }.map(_._2)
+    assert(body == expectedLines.mkString("\n"))
+    // and the hash-of-hashes covers the "" doc, in id order
+    val expSha = sha256Hex(
+      Seq((1L, "alpha"), (2L, ""), (3L, "gamma")).sortBy(_._1)
+        .map(d => sha256Hex(d._2)).mkString)
+    assert(m.head.getString(3) == expSha)
+  }
+
+  test("manifest describes the bytes actually written even for nondeterministic input") {
+    val dir = Files.createTempDirectory("graft-shard-nondet").toString
+    // rand()-derived text: every re-evaluation of the frame produces different
+    // rows, so this only passes if writer and manifest share ONE materialization
+    val nondet = corpus.withColumn("text",
+      concat(col("text"), lit(" r="), rand().cast("string")))
+    val m = ShardedExport.writeShardedText(nondet, col("doc_id"), col("text"),
+        dir, nShards, salt)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    val byShard = Files.list(Paths.get(dir)).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("shard_"))
+      .map { p =>
+        val shard = p.getFileName.toString.stripPrefix("shard_").stripSuffix(".txt").toLong
+        shard -> Files.readString(p)
+      }.toMap
+    assert(byShard.keySet == m.keySet)
+    byShard.foreach { case (shard, body) =>
+      val fromFile = sha256Hex(body.split("\n", -1).map(sha256Hex).mkString)
+      assert(m(shard) == fromFile, s"manifest diverges from file bytes for shard $shard")
+    }
+  }
+
+  /** shardOf replica with explicit shard count (for the 1-shard tests). */
+  private def expectedShardK(id: Long, k: Int): Long =
+    java.lang.Long.parseLong(sha256Hex(id.toString + salt).take(8), 16) % k
 }
