@@ -75,6 +75,35 @@ object Similarity {
   def lshBucket(v: Column, nBits: Int = 12): Column =
     graft.functions.SignLshBucket.signLshBucket(v, nBits)
 
+  /** Approximate NN for an explicit query SUBSET against a corpus: same
+    * sign-LSH bucketing as the self-join [[annTopK]], but the query side is
+    * its own (small) frame, bucketed and BROADCAST — so "only score these
+    * queries" is structural, not a predicate Catalyst must push through a
+    * rank window into the bucket join. Value-identical to
+    * `annTopK(corpus, k, nBits).filter(<query-id predicate>)` when
+    * `queries ⊆ corpus` (the bucket key and scoring are the same
+    * expressions); the corpus is scanned once and never shuffled.
+    */
+  def annTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nBits: Int): DataFrame = {
+    val q = broadcast(queries.select(
+      lshBucket(col("embedding"), nBits).as("bucket"),
+      col("vec_id").as("query_id"), col("embedding").as("qv"),
+      norm(col("embedding")).as("qn")))
+    val c = corpus.select(
+      lshBucket(col("embedding"), nBits).as("bucket"),
+      col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+      norm(col("embedding")).as("cn"))
+    val scored = q.join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", simWithNorms(col("qv"), col("qn"), col("cv"), col("cn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "sim", "rank")
+  }
+
   /** Approximate NN: candidates share an LSH bucket; exact cosine re-ranks
     * within the bucket. Recall is tuned by `nBits` (fewer bits → bigger
     * buckets → higher recall, more compute). At 100 TB the bucket key is the

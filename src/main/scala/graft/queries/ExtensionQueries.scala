@@ -693,8 +693,11 @@ object ExtensionQueries {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val ivf = Similarity.ivfTopK(queries, e, k = 5, nCentroids = 16, nProbe = 4)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val lsh = Similarity.annTopK(e, k = 5, nBits = 8)
-      .filter(col("query_id") % 50 === 0)
+    // explicit query-side subset (round-7 verdict ask): scoring only the
+    // sampled queries is structural — the overload broadcasts the bucketed
+    // query frame — instead of relying on the %50 predicate being pushed
+    // through the rank window into the bucket join
+    val lsh = Similarity.annTopK(queries, e, k = 5, nBits = 8)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     val violations = try {

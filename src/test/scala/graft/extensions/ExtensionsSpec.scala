@@ -285,6 +285,28 @@ class ExtensionsSpec extends AnyFunSuite with SparkTestSession {
     assert(bf(0).getAs[Long]("neighbor_id") == 0L)
   }
 
+  test("annTopK(queries, corpus): identical to self-join + filter, subset structural") {
+    import spark.implicits._
+    val rng = new scala.util.Random(13)
+    val df = (0L until 120L).map(i => (i, Array.fill(16)(rng.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") % 10 === 0)
+    val twoSided = Similarity.annTopK(queries, df, k = 3, nBits = 5)
+    val selfJoin = Similarity.annTopK(df, k = 3, nBits = 5)
+      .filter(col("query_id") % 10 === 0)
+    assert(twoSided.exceptAll(selfJoin).isEmpty && selfJoin.exceptAll(twoSided).isEmpty)
+    // the query subset must be structural: the filtered query scan feeds a
+    // BroadcastExchange BELOW the bucket join — not a Filter above the window
+    val plan = twoSided.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("BroadcastExchange"), plan)
+    val windowPos = plan.indexOf("Window")
+    val broadcastPos = plan.indexOf("BroadcastExchange")
+    assert(windowPos >= 0 && broadcastPos >= 0)
+    assert(!plan.substring(0, windowPos).contains("% 10"),
+      "query-id predicate should not sit above the window")
+  }
+
   test("IVF recall: probed cells find the planted twin; recall vs brute force") {
     import spark.implicits._
     val rng = new scala.util.Random(11)
