@@ -668,8 +668,10 @@ object ExtensionQueries {
     *    exceeds the brute-force rank-r similarity (ANN candidates ⊆ corpus,
     *    so order statistics dominate — mathematically guaranteed; catches
     *    any divergence between the ANN and exact scoring paths)
-    *  - ivf_in_top100: every IVF hit lies in the brute-force global top-100
-    *    (probe max rank: 7 at sf0.01, 20 at sf0.1 — 5× slack). The same
+    *  - ivf_in_top50: every IVF hit lies in the brute-force global top-50
+    *    (probe max rank: 7 at sf0.01, 20 at sf0.1 — 2.5× slack; k was 100
+    *    through round 7, halved because the brute-force window is the
+    *    audit's dominant cost and the slack stays comfortable). The same
     *    containment is deliberately NOT asserted for sign-LSH: its buckets
     *    partition the corpus, and the probe shows bucket-local top-5 can sit
     *    beyond global rank 200 — that op trades recall for bucket locality.
@@ -689,7 +691,7 @@ object ExtensionQueries {
     import org.apache.spark.sql.expressions.Window
     val e = embeds(s, dir)
     val queries = e.filter(col("vec_id") % 50 === 0)
-    val brute = Similarity.bruteForceTopK(queries, e, k = 100)
+    val brute = Similarity.bruteForceTopK(queries, e, k = 50)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val ivf = Similarity.ivfTopK(queries, e, k = 5, nCentroids = 16, nProbe = 4)
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -743,7 +745,7 @@ object ExtensionQueries {
       // fix was applied there)
       domViol(lsh).withColumn("kind", lit("lsh_dominated"))
         .unionByName(domViol(ivf).withColumn("kind", lit("ivf_dominated")))
-        .unionByName(ivfOut.withColumn("kind", lit("ivf_in_top100")))
+        .unionByName(ivfOut.withColumn("kind", lit("ivf_in_top50")))
         .unionByName(offBucket.withColumn("kind", lit("lsh_in_bucket")))
         .unionByName(subopt.withColumn("kind", lit("lsh_bucket_optimal")))
         .localCheckpoint()
@@ -756,7 +758,7 @@ object ExtensionQueries {
       b.join(broadcast(viol.select(col("query_id"), lit(true).as("__bad")).distinct()),
           Seq("query_id"), "left")
         .withColumn(name, col("__bad").isNull).drop("__bad")
-    Seq("lsh_dominated", "ivf_dominated", "ivf_in_top100", "lsh_in_bucket",
+    Seq("lsh_dominated", "ivf_dominated", "ivf_in_top50", "lsh_in_bucket",
       "lsh_bucket_optimal").foldLeft(base) { (b, name) =>
       qFlag(b, violations.filter(col("kind") === name), name)
     }
@@ -764,7 +766,7 @@ object ExtensionQueries {
 
   private val x26Sql =
     """SELECT vec_id AS query_id, TRUE AS lsh_dominated, TRUE AS ivf_dominated,
-              TRUE AS ivf_in_top100, TRUE AS lsh_in_bucket,
+              TRUE AS ivf_in_top50, TRUE AS lsh_in_bucket,
               TRUE AS lsh_bucket_optimal
        FROM embeddings WHERE vec_id % 50 = 0"""
 
