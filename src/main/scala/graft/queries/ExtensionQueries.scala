@@ -1702,6 +1702,97 @@ object ExtensionQueries {
        SELECT domain, count(DISTINCT doc_id) AS n_docs, count(*) AS n_urls
        FROM du GROUP BY 1"""
 
+  // ---------------------------------------------------------------------------
+  // X56 — the FULL production funnel (round-7 verdict ask #5): quality gate ->
+  // exact-dup survivors -> NEAR-DUP cluster survivors -> per-source token
+  // budget -> sharded-export manifest. The near-dup stage is the same
+  // clusterSurvivors resolution nearDupDedup runs, fed by the exact blocked
+  // n-gram Jaccard pair generator (x24's relation) instead of minhashPairs:
+  // the oracle re-derives pair generation + transitive closure + survivor
+  // election in DuckDB (recursive CTE), which an estimator-based pair set
+  // cannot offer — minhashPairs is the at-scale drop-in for this stage and
+  // its pair relation is separately audited by x25's invariant oracle. The
+  // 4-row manifest hash is sensitive to every upstream decision, including
+  // which cluster member survives.
+  // ---------------------------------------------------------------------------
+  private def x56(s: SparkSession, dir: String): DataFrame = {
+    val quality = docs(s, dir).filter(
+      TextAnalysis.meanWordLen(col("text")).between(3.0, 10.0) &&
+        TextAnalysis.alphaRatio(col("text")) >= 0.6 &&
+        TextAnalysis.dupLineFrac(col("text")) <= 0.3)
+    val exactSurv = Dedup.exact(quality, col("text"), col("doc_id"))
+    val pairs = Dedup.ngramJaccardPairs(exactSurv, col("doc_id"), col("text"),
+      concat(col("lang"), lit("|"), (col("n_chars") / 25).cast("long")),
+      n = 1, threshold = 0.7)
+    // keep the LONGEST variant of each near-dup cluster (tie: min doc_id) —
+    // the same election x24 pins against the oracle
+    val ndSurv = Dedup.clusterSurvivors(exactSurv, col("doc_id"),
+      -col("n_chars"), pairs)
+    val capped = Sampling.tokenBudgetCap(
+      ndSurv.select(col("doc_id"), col("source"), col("text"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("__w")),
+      col("doc_id"), col("source"), col("__w"), budget = 400L, salt = "f2")
+    ShardedExport.manifest(capped, col("doc_id"), col("text"),
+      nShards = 4, salt = "f1")
+  }
+
+  private val x56Sql =
+    """WITH RECURSIVE t AS (SELECT doc_id, source, lang, n_chars, text,
+             list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks,
+             list_filter(regexp_split_to_array(text, '\n'), x -> x <> '') AS lines
+           FROM documents),
+         q AS (SELECT doc_id, source, lang, n_chars, text, toks FROM (
+             SELECT *,
+               CASE WHEN len(toks) > 0
+                 THEN round(length(array_to_string(toks, '')) * 1.0 / len(toks), 6)
+                 ELSE 0 END AS mwl,
+               CASE WHEN length(text) > 0
+                 THEN round(len(regexp_extract_all(text, '[A-Za-z]')) * 1.0 / length(text), 6)
+                 ELSE 0 END AS ar,
+               CASE WHEN len(lines) > 0
+                 THEN round(1.0 - len(list_distinct(lines)) * 1.0 / len(lines), 6)
+                 ELSE 0 END AS dlf
+             FROM t)
+           WHERE mwl BETWEEN 3.0 AND 10.0 AND ar >= 0.6 AND dlf <= 0.3),
+         dd AS (SELECT doc_id, source, lang, n_chars, text, toks FROM q
+                QUALIFY row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) = 1),
+         ts AS (SELECT doc_id, lang || '|' || CAST(n_chars // 25 AS VARCHAR) AS block,
+                list_distinct(toks) AS dtoks
+                FROM dd),
+         p AS (SELECT id_a, id_b FROM (
+             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                    round(len(list_intersect(a.dtoks, b.dtoks)) * 1.0 /
+                          (len(a.dtoks) + len(b.dtoks) - len(list_intersect(a.dtoks, b.dtoks))), 6) AS j
+             FROM ts a JOIN ts b ON a.block = b.block AND a.doc_id < b.doc_id)
+           WHERE j >= 0.7),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM p
+                   UNION SELECT id_b AS src, id_a AS dst FROM p),
+         reach(src, dst) AS (
+           SELECT src, dst FROM edges
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         comp AS (SELECT src AS doc_id, least(src, min(dst)) AS component
+                  FROM reach GROUP BY src),
+         withc AS (SELECT dd.*, coalesce(c.component, dd.doc_id) AS component
+                   FROM dd LEFT JOIN comp c ON dd.doc_id = c.doc_id),
+         surv AS (SELECT doc_id, source, text, toks FROM withc
+                  QUALIFY row_number() OVER (PARTITION BY component
+                    ORDER BY n_chars DESC, doc_id) = 1),
+         c2 AS (SELECT doc_id, source, text,
+               sum(CAST(len(toks) AS BIGINT)) OVER (PARTITION BY source
+                 ORDER BY sha256(CAST(doc_id AS VARCHAR) || 'f2'), doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             FROM surv),
+         kept AS (SELECT doc_id, text FROM c2 WHERE cum <= 400),
+         sh AS (SELECT CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || 'f1'), 1, 8)
+                  AS BIGINT) % 4 AS shard,
+                doc_id, text
+           FROM kept)
+       SELECT shard, count(*) AS n_docs,
+              CAST(sum(length(text)) AS BIGINT) AS total_chars,
+              sha256(string_agg(sha256(text), '' ORDER BY doc_id)) AS content_sha256
+       FROM sh GROUP BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_dedup_exact" -> x1 _,
     "x02_dedup_ngram_jaccard" -> x2 _,
@@ -1757,7 +1848,8 @@ object ExtensionQueries {
     "x52_corpus_funnel" -> x52 _,
     "x53_text_clean" -> x53 _,
     "x54_snapshot_diff" -> x54 _,
-    "x55_url_domains" -> x55 _
+    "x55_url_domains" -> x55 _,
+    "x56_funnel_neardup" -> x56 _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1810,6 +1902,7 @@ object ExtensionQueries {
     "x52_corpus_funnel" -> x52Sql,
     "x53_text_clean" -> x53Sql,
     "x54_snapshot_diff" -> x54Sql,
-    "x55_url_domains" -> x55Sql
+    "x55_url_domains" -> x55Sql,
+    "x56_funnel_neardup" -> x56Sql
   )
 }
