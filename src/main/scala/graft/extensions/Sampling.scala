@@ -124,4 +124,28 @@ object Sampling {
       .filter(col("cum_weight") <= budget)
       .drop("__budget_ord")
   }
+
+  /** Leakage-free train/val/test split: the unit of assignment is the
+    * NEAR-DUP CLUSTER, not the document. A row-level [[deterministicSplit]]
+    * happily puts two near-identical documents on opposite sides of the
+    * train/val line — the classic eval-contamination bug that inflates every
+    * metric downstream; here all members of a connected near-dup component
+    * hash to the same split because the split key IS the component id.
+    *
+    * `pairs` is any candidate pair relation over `id` ([[Dedup.minhashPairs]]
+    * at scale, [[Dedup.ngramJaccardPairs]] when the oracle needs to re-derive
+    * it). Singletons (docs in no pair) are their own component. Output: the
+    * input columns + `component` + `split`.
+    *
+    * Scale shape: component resolution is [[Dedup.resolveClusters]]' measured
+    * machinery (pointer-jumping components, broadcast-vs-shuffle-hash cutover
+    * on edge count); the split itself is a pure sha-bucket expression on the
+    * component id — no extra shuffle beyond the cluster tagging join.
+    */
+  def clusterAwareSplit(df: DataFrame, id: Column, pairs: DataFrame,
+      splits: Seq[(String, Double)], salt: String = ""): DataFrame =
+    deterministicSplit(
+      Dedup.resolveClusters(df, id, id, pairs)
+        .drop("cluster_size", "is_survivor"),
+      col("component"), splits, salt)
 }

@@ -287,6 +287,46 @@ object Similarity {
       .select(col("label"),
         transform(col("a"), x => x("s").cast("double")).as("proto"))
 
+  /** Per-dimension z-score standardization of an embedding column, exploded
+    * to (vec_id, dim, z) — the whitening-lite preprocessing step before
+    * distance-based curation (un-standardized dimensions with big variance
+    * silently dominate every cosine/L2 decision).
+    *
+    * Engine-reproducible by the [[labelPrototypes]] argument: the
+    * per-dimension sufficient statistics are DECIMAL sums (exact,
+    * order-independent — a double sum depends on partial-aggregation order
+    * and differs run to run), entering decimal via shortest-string; v² is
+    * squared in DOUBLE first (exact rounding, deterministic) because a
+    * decimal×decimal product would overflow precision 38 and both engines
+    * would round it differently. The z arithmetic then runs in doubles with
+    * ONE expression shape both engines evaluate identically:
+    * `(v·n − s) / sqrt(ss·n − s²)` — note no division by n anywhere until
+    * the final rounded quotient, so nothing is inexact before the sqrt.
+    * Constant dimensions (variance 0) yield z = 0.
+    *
+    * Scale shape: posexplode is scan-local; the stats aggregate map-side
+    * combines down to `dims` rows which broadcast back onto the exploded
+    * scan — the corpus itself is never shuffled. `dim` is 1-based (matching
+    * the SQL `range(1, len+1)` convention the oracles use).
+    */
+  def standardizeEmbeddings(df: DataFrame, id: Column, vec: Column): DataFrame = {
+    val ex = df.select(id.as("vec_id"), posexplode(vec).as(Seq("dim0", "v")))
+      .select(col("vec_id"), (col("dim0") + 1).cast("long").as("dim"), col("v"))
+    val stats = ex.groupBy("dim").agg(
+      count(lit(1)).as("n"),
+      sum(col("v").cast("string").cast("decimal(20,10)")).as("s"),
+      sum((col("v").cast("double") * col("v").cast("double"))
+        .cast("string").cast("decimal(38,25)")).as("ss"))
+    val nD = col("n").cast("double")
+    val sD = col("s").cast("double")
+    val ssD = col("ss").cast("double")
+    val varNum = ssD * nD - sD * sD
+    ex.join(broadcast(stats), Seq("dim"))
+      .withColumn("z", when(varNum <= 0.0, 0.0)
+        .otherwise(round((col("v").cast("double") * nD - sD) / sqrt(varNum), 6)))
+      .select("vec_id", "dim", "z")
+  }
+
   /** Every row's cosine to its own label's prototype (rounded to 6 dp for
     * engine-stable downstream thresholds). Prototypes broadcast — the corpus
     * is never shuffled. */

@@ -168,6 +168,58 @@ object TextAnalysis {
       array_sort(array_distinct(transform(urls, u => urlDomain(u)))).as("domains"))
   }
 
+  /** The dot-suffix chain of a host — `a.b.com → [a.b.com, b.com, com]` —
+    * the unit a domain blocklist actually matches on: an entry `b.com` must
+    * block every subdomain, which exact-host equality misses and a
+    * `LIKE '%b.com'` scan gets WRONG (it also hits `web.com`). Scan-local
+    * array build; empty host → empty array. */
+  def domainSuffixes(domain: Column): Column = {
+    val parts = split(domain, "\\.")
+    when(length(domain) === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(parts)),
+        i => array_join(slice(parts, i, size(parts)), ".")))
+  }
+
+  /** Blocklist verdict for a LITERAL rule set (the config-file case): pure
+    * scan-local expression, no join anywhere — `blocked_by` is the longest
+    * (most specific) matching rule, null if clean. The max is taken on
+    * (length, value) structs, NOT lexicographically — `com` sorts above
+    * `b.com` as a string but is the less specific rule. For rule sets too
+    * big to inline (the 1M-entry crawl blocklist), use
+    * [[markBlockedDomains]]. */
+  def domainBlockedBy(domain: Column, rules: Seq[String]): Column = {
+    val hit = array_intersect(domainSuffixes(domain),
+      lit(rules.toArray).cast("array<string>"))
+    when(size(hit) > 0,
+      array_max(transform(hit, s => struct(length(s).as("l"), s.as("s"))))
+        .getField("s"))
+  }
+
+  /** One row per input row + `is_blocked` / `blocked_by` (most-specific
+    * matching rule, null when clean), with `rules` as a DataFrame of one
+    * `rule` column — the at-scale path: the host's suffix chain (≤ label
+    * count, scan-local explode) inner-joins the BROADCAST rule set, the
+    * per-row verdict reduces hit rules to the longest, and verdicts fold
+    * back onto the corpus with a shuffle-hash left join on the row id
+    * (verdicts sit behind an aggregate, so an unhinted join would fall back
+    * to sort-merge — the [[graft.extensions.Dedup]] contract). The corpus
+    * is shuffled once; the rule set never is. A host's suffixes have
+    * strictly decreasing lengths, so the (length, rule) max is unique.
+    */
+  def markBlockedDomains(df: org.apache.spark.sql.DataFrame, id: Column,
+      domain: Column, rules: org.apache.spark.sql.DataFrame):
+      org.apache.spark.sql.DataFrame = {
+    val sfx = df.select(id.as("__id"), explode(domainSuffixes(domain)).as("__sfx"))
+    val verdict = sfx
+      .join(broadcast(rules.select(col("rule"))), col("__sfx") === col("rule"))
+      .groupBy(col("__id"))
+      .agg(max(struct(length(col("rule")).as("l"), col("rule").as("r"))).as("__m"))
+      .select(col("__id"), col("__m").getField("r").as("blocked_by"))
+    df.join(verdict.hint("shuffle_hash"), id === col("__id"), "left")
+      .drop("__id")
+      .withColumn("is_blocked", col("blocked_by").isNotNull)
+  }
+
   // -------------------------------------------- gopher-style quality --
 
   /** Mean token length in characters — `length(join(tokens)) / count`, all
@@ -255,4 +307,35 @@ object TextAnalysis {
     // position array + hex round-trip per window — value-identity pinned in
     // NativeExprEquivalenceSpec
     graft.functions.DocFingerprint64.docFingerprint64(text, shingleLen, maxSamples)
+
+  // --------------------------------------------------------- oov rate --
+
+  /** Per-document out-of-vocabulary rate against the corpus's own top-`topK`
+    * token vocabulary — the tokenizer-fit signal (a doc whose tokens mostly
+    * fall outside the vocabulary will shatter into long byte-fallback
+    * sequences at training time; high OOV is also a strong junk/wrong-
+    * language indicator). Vocabulary = the `topK` most frequent tokens,
+    * ties broken by token string so the boundary is deterministic.
+    *
+    * Output: one row per document WITH at least one token —
+    * (id, n_tokens, n_oov, oov_rate).
+    *
+    * Scale shape: the vocabulary is a TakeOrdered over the token-frequency
+    * aggregate (map-side combined; never a full sort) and is topK-bounded,
+    * so it broadcasts; the token explode is scan-local; the only
+    * corpus-scale shuffle is the per-doc groupBy. */
+  def oovRate(df: org.apache.spark.sql.DataFrame, id: Column, text: Column,
+      topK: Int): org.apache.spark.sql.DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val toks = df.select(id.as("id"), explode(tokens(text)).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc, col("tok").asc).limit(topK)
+      .select(col("tok"), lit(1).as("__in"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") / col("n_tokens"), 6))
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-import graft.extensions.{Contamination, Dedup, HeavyHitters, IncrementalDedup, LanguageModel, Mixture, Multimodal, Sampling, Similarity, SpanDedup, TextAnalysis}
+import graft.extensions.{Batching, Contamination, Dedup, HeavyHitters, IncrementalDedup, LanguageModel, Mixture, Multimodal, Sampling, Similarity, SpanDedup, TextAnalysis}
 import graft.ops.{ShardedExport, Skew, SnapshotDiff}
 
 /** North-star extension queries (dedup / similarity / text analysis /
@@ -1793,6 +1793,173 @@ object ExtensionQueries {
               sha256(string_agg(sha256(text), '' ORDER BY doc_id)) AS content_sha256
        FROM sh GROUP BY 1"""
 
+  // ---------------------------------------------------------------------------
+  // X57 — leakage-free cluster-aware split: near-dup components (x24's exact
+  // pair relation, so the oracle can re-derive them) are the unit of split
+  // assignment — two near-identical docs can never straddle the train/val
+  // line. The oracle replays closure + component-keyed sha-bucket split.
+  // ---------------------------------------------------------------------------
+  private def x57(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val pairs = Dedup.ngramJaccardPairs(
+      d.filter(size(TextAnalysis.tokens(col("text"))) > 0),
+      col("doc_id"), col("text"),
+      concat(col("lang"), lit("|"), (col("n_chars") / 25).cast("long")),
+      n = 1, threshold = 0.7)
+    Sampling.clusterAwareSplit(d, col("doc_id"), pairs,
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "cs1")
+      .select(col("doc_id"), col("component"), col("split"))
+  }
+
+  private val x57Sql =
+    """WITH RECURSIVE t AS (
+         SELECT doc_id, lang || '|' || CAST(n_chars // 25 AS VARCHAR) AS block,
+                list_distinct(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS toks
+         FROM documents
+         WHERE len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) > 0),
+       p AS (
+         SELECT * FROM (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  round(len(list_intersect(a.toks, b.toks)) * 1.0 /
+                        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 6) AS jaccard
+           FROM t a JOIN t b ON a.block = b.block AND a.doc_id < b.doc_id)
+         WHERE jaccard >= 0.7),
+       edges AS (SELECT id_a AS src, id_b AS dst FROM p
+                 UNION SELECT id_b AS src, id_a AS dst FROM p),
+       reach(src, dst) AS (
+         SELECT src, dst FROM edges
+         UNION
+         SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       comp AS (SELECT src AS doc_id, least(src, min(dst)) AS component
+                FROM reach GROUP BY src),
+       full_docs AS (
+         SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+         FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+       b AS (SELECT doc_id, component,
+             CAST('0x' || substr(sha256(CAST(component AS VARCHAR) || 'cs1'), 1, 8) AS BIGINT)
+               % 10000 AS bucket
+           FROM full_docs)
+       SELECT doc_id, component,
+              CASE WHEN bucket < 8000 THEN 'train'
+                   WHEN bucket < 9000 THEN 'val'
+                   WHEN bucket < 10000 THEN 'test' END AS split
+       FROM b"""
+
+  // ---------------------------------------------------------------------------
+  // X58 — domain blocklist with subdomain suffix matching: hosts are
+  // synthesized from doc_id arithmetic (x55's URL convention — the corpus has
+  // no real URLs), rules mix a parent domain and a full host so the
+  // longest-rule election is exercised; the engine's suffix-explode +
+  // broadcast-rules join must agree with the oracle's dot-anchored LIKE.
+  // ---------------------------------------------------------------------------
+  private def x58(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val domain = concat(lit("h"), pmod(col("doc_id"), lit(3)).cast("string"),
+      lit(".example"), pmod(col("doc_id"), lit(7)).cast("string"), lit(".com"))
+    val rules = Seq("example0.com", "example5.com", "h1.example5.com").toDF("rule")
+    TextAnalysis.markBlockedDomains(
+        docs(s, dir).select(col("doc_id"), domain.as("domain")),
+        col("doc_id"), col("domain"), rules)
+      .select(col("doc_id"), col("domain"), col("is_blocked"), col("blocked_by"))
+  }
+
+  private val x58Sql =
+    """WITH d AS (SELECT doc_id,
+             'h' || CAST(doc_id % 3 AS VARCHAR) || '.example' ||
+               CAST(doc_id % 7 AS VARCHAR) || '.com' AS domain
+           FROM documents),
+         r AS (SELECT * FROM (VALUES ('example0.com'), ('example5.com'),
+                              ('h1.example5.com')) AS v(rule)),
+         m AS (SELECT d.doc_id, r.rule FROM d JOIN r
+               ON d.domain = r.rule OR d.domain LIKE '%.' || r.rule),
+         v AS (SELECT doc_id, arg_max(rule, length(rule)) AS blocked_by
+               FROM m GROUP BY doc_id)
+       SELECT d.doc_id, d.domain, v.blocked_by IS NOT NULL AS is_blocked,
+              v.blocked_by
+       FROM d LEFT JOIN v USING (doc_id)"""
+
+  // ---------------------------------------------------------------------------
+  // X59 — per-dimension z-score standardization, exploded to (vec_id, dim, z).
+  // Sufficient statistics are exact decimal sums (x37's order-independence
+  // argument); the z arithmetic is ONE double expression shape shared with
+  // the oracle: (v*n - s) / sqrt(ss*n - s*s), no division before the sqrt.
+  // ---------------------------------------------------------------------------
+  private def x59(s: SparkSession, dir: String): DataFrame =
+    Similarity.standardizeEmbeddings(embeds(s, dir), col("vec_id"),
+      col("embedding"))
+
+  private val x59Sql =
+    """WITH ex AS (
+         SELECT vec_id, dim, embedding[dim] AS v
+         FROM (SELECT vec_id, embedding,
+                      unnest(range(1, len(embedding) + 1)) AS dim
+               FROM embeddings)),
+       stats AS (
+         SELECT dim, count(*) AS n,
+                sum(CAST(CAST(v AS VARCHAR) AS DECIMAL(20,10))) AS s,
+                sum(CAST(CAST(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) AS VARCHAR)
+                    AS DECIMAL(38,25))) AS ss
+         FROM ex GROUP BY dim)
+       SELECT e.vec_id, CAST(e.dim AS BIGINT) AS dim,
+              CASE WHEN CAST(ss AS DOUBLE) * n - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) <= 0
+                   THEN 0.0
+                   ELSE round((CAST(v AS DOUBLE) * n - CAST(s AS DOUBLE)) /
+                              sqrt(CAST(ss AS DOUBLE) * n -
+                                   CAST(s AS DOUBLE) * CAST(s AS DOUBLE)), 6)
+              END AS z
+       FROM ex e JOIN stats USING (dim)"""
+
+  // ---------------------------------------------------------------------------
+  // X60 — length-bucketed batch packing with per-batch padding accounting.
+  // The within-bucket sequence is the range-partitioned parallel scan (no
+  // per-bucket window — web corpora put most docs in one hot bucket); the
+  // oracle's row_number is safe at oracle scale.
+  // ---------------------------------------------------------------------------
+  private def x60(s: SparkSession, dir: String): DataFrame =
+    Batching.batchStats(
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tokens")),
+      col("doc_id"), col("n_tokens"), bucketWidth = 50, batchSize = 8)
+
+  private val x60Sql =
+    """WITH t AS (SELECT doc_id,
+             CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> ''))
+               AS BIGINT) AS n_tokens
+           FROM documents),
+         a AS (SELECT doc_id, n_tokens, n_tokens // 50 AS bucket,
+               row_number() OVER (PARTITION BY n_tokens // 50 ORDER BY doc_id) AS seq
+             FROM t),
+         b AS (SELECT bucket, (seq - 1) // 8 AS batch_id, n_tokens FROM a)
+       SELECT bucket, batch_id, count(*) AS n_docs,
+              max(n_tokens) AS max_tokens,
+              CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+              CASE WHEN max(n_tokens) = 0 THEN 0.0
+                   ELSE round(1.0 - CAST(sum(n_tokens) AS DOUBLE) /
+                              (max(n_tokens) * count(*)), 6)
+              END AS padding_frac
+       FROM b GROUP BY 1, 2"""
+
+  // ---------------------------------------------------------------------------
+  // X61 — per-doc OOV rate against the corpus top-500 vocabulary (tokenizer
+  // fit / junk signal). The vocabulary boundary is deterministic (count desc,
+  // token asc) so both engines cut the same 500 tokens.
+  // ---------------------------------------------------------------------------
+  private def x61(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.oovRate(docs(s, dir), col("doc_id"), col("text"), topK = 500)
+
+  private val x61Sql =
+    """WITH toks AS (SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS tok
+           FROM documents),
+         vocab AS (SELECT tok FROM (SELECT tok, count(*) AS c FROM toks GROUP BY tok)
+                   QUALIFY row_number() OVER (ORDER BY c DESC, tok) <= 500),
+         j AS (SELECT t.doc_id, v.tok IS NOT NULL AS inv
+               FROM toks t LEFT JOIN vocab v ON t.tok = v.tok)
+       SELECT doc_id AS id, count(*) AS n_tokens,
+              CAST(sum(CASE WHEN inv THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+              round(CAST(sum(CASE WHEN inv THEN 0 ELSE 1 END) AS DOUBLE) / count(*), 6) AS oov_rate
+       FROM j GROUP BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_dedup_exact" -> x1 _,
     "x02_dedup_ngram_jaccard" -> x2 _,
@@ -1849,7 +2016,12 @@ object ExtensionQueries {
     "x53_text_clean" -> x53 _,
     "x54_snapshot_diff" -> x54 _,
     "x55_url_domains" -> x55 _,
-    "x56_funnel_neardup" -> x56 _
+    "x56_funnel_neardup" -> x56 _,
+    "x57_cluster_split" -> x57 _,
+    "x58_domain_blocklist" -> x58 _,
+    "x59_embed_standardize" -> x59 _,
+    "x60_length_batches" -> x60 _,
+    "x61_oov_rate" -> x61 _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1903,6 +2075,11 @@ object ExtensionQueries {
     "x53_text_clean" -> x53Sql,
     "x54_snapshot_diff" -> x54Sql,
     "x55_url_domains" -> x55Sql,
-    "x56_funnel_neardup" -> x56Sql
+    "x56_funnel_neardup" -> x56Sql,
+    "x57_cluster_split" -> x57Sql,
+    "x58_domain_blocklist" -> x58Sql,
+    "x59_embed_standardize" -> x59Sql,
+    "x60_length_batches" -> x60Sql,
+    "x61_oov_rate" -> x61Sql
   )
 }
