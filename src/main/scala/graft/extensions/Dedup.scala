@@ -146,6 +146,61 @@ object Dedup {
     }
   }
 
+  /** Directional CONTAINMENT pairs — `|A∩B| / min(|A|,|B|)` over n-gram
+    * shingle sets — the quote/subset detector Jaccard structurally misses: a
+    * 50-shingle quote inside a 5000-shingle article has Jaccard ≤ 0.01 but
+    * containment 1.0. Same blocked self-join + sketch lifecycle as
+    * [[ngramJaccardPairs]] (array path; containment's asymmetric-size pairs
+    * are exactly the ones a shared dictionary bitset helps least).
+    *
+    * Blocking caveat, because it differs from the Jaccard operator: do NOT
+    * put a length band in `block` — containment pairs documents of very
+    * DIFFERENT lengths by design, so banding would drop precisely the pairs
+    * the operator exists to find. Block on language/domain-shaped keys and
+    * size them so buckets stay thousands (the same quadratic-term contract
+    * as every blocked self-join here).
+    */
+  def containmentPairs(df: DataFrame, id: Column, text: Column, block: Column,
+      n: Int = 2, threshold: Double = 0.8,
+      materialize: Boolean = true): DataFrame = {
+    withSketchCache(
+      df.select(id.as("id"), block.as("block"), shingles(text, n).as("sh")),
+      materialize) { sh =>
+      val l = sh.select(col("block"), col("id").as("id_a"), col("sh").as("sh_a"))
+      val r = sh.select(col("block"), col("id").as("id_b"), col("sh").as("sh_b"))
+      l.join(r, Seq("block"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+        .withColumn("containment", round(col("inter").cast("double") /
+          least(size(col("sh_a")), size(col("sh_b"))), 6))
+        .filter(col("containment") >= threshold)
+        .select("id_a", "id_b", "inter", "containment")
+    }
+  }
+
+  /** [[containmentPairs]] for an explicit query set against a corpus — the
+    * production shape of quote detection ("is any of these N documents
+    * quoted inside the corpus?"): the query sketch table is query-scale and
+    * BROADCASTS, the corpus is scanned once and never shuffled, and the
+    * pair count is |queries| × block-size instead of block-size². Directional
+    * output (id_a = query, id_b = corpus doc), self-pairs dropped.
+    */
+  def containmentPairsAgainst(queries: DataFrame, corpus: DataFrame,
+      id: Column, text: Column, block: Column,
+      n: Int = 2, threshold: Double = 0.8): DataFrame = {
+    val l = broadcast(queries.select(block.as("block"), id.as("id_a"),
+      shingles(text, n).as("sh_a")))
+    val r = corpus.select(block.as("block"), id.as("id_b"),
+      shingles(text, n).as("sh_b"))
+    l.join(r, Seq("block"))
+      .filter(col("id_a") =!= col("id_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("containment", round(col("inter").cast("double") /
+        least(size(col("sh_a")), size(col("sh_b"))), 6))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "inter", "containment")
+  }
+
   // -------------------------------------------------------------- simhash --
 
   /** 64-bit SimHash over token shingles, as one LONG sketch. Backed by the

@@ -51,4 +51,30 @@ object Mixture {
     df.withColumn("bucket", Sampling.hashBucket(key, salt))
       .withColumn("kept", col("bucket") < thresh)
   }
+
+  /** Up-sampling counterpart of [[sampleToMixture]] — the "repeat Wikipedia
+    * 3.2× per epoch" half of a mixture recipe, which down-sampling cannot
+    * express. Each row yields `floor(factor)` copies plus one more iff its
+    * sha-bucket falls under the fractional part, so the expected multiplier
+    * is exactly `factor` and every decision is a pure function of
+    * (key, salt) — reruns, repartitions and engines agree on the exact copy
+    * set, not just its size. Rows with `factor < 1` behave as a
+    * deterministic down-sample (kept with probability `factor`), making
+    * this a superset of per-row keep/drop.
+    *
+    * Output: the input columns + `copy` (1-based). Scale shape: one narrow
+    * `explode(sequence(...))` — scan-local row expansion, no join, no
+    * shuffle, no driver state. `factor` is any per-row Column (a literal
+    * per-source CASE, or [[temperatureWeights]]-derived).
+    */
+  def upsamplePlan(df: DataFrame, key: Column, factor: Column,
+      salt: String = ""): DataFrame = {
+    val base = floor(factor).cast("long")
+    val fracThresh = round((factor - floor(factor)) * 10000, 0).cast("long")
+    val n = base +
+      (Sampling.hashBucket(key, salt) < fracThresh).cast("long")
+    df.withColumn("copy",
+      explode(when(n >= 1L, sequence(lit(1L), n))
+        .otherwise(array().cast("array<long>"))))
+  }
 }

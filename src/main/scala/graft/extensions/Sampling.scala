@@ -125,6 +125,32 @@ object Sampling {
       .drop("__budget_ord")
   }
 
+  /** Per-stratum percentile rank — the normalization that makes one quality
+    * threshold mean the same thing across sources (a raw score cut keeps 90%
+    * of one source and 10% of another; a percentile cut keeps the same
+    * fraction everywhere). Semantics are SQL `percent_rank()` over
+    * `(value, tieBreak)` within each stratum: `(seq − 1) / (n − 1)`,
+    * 0 for singleton strata, rounded to 6 dp for engine-stable downstream
+    * thresholds. `(value, tieBreak)` must totally order rows within a
+    * stratum.
+    *
+    * Scale shape: the within-stratum sequence is
+    * [[graft.ops.PrefixSum.withStratumCumsum]]'s range-partitioned parallel
+    * scan (never a per-stratum window — a hot source would buffer its whole
+    * partition in one WindowExec task); stratum counts are an enum-scale
+    * aggregate that broadcasts back.
+    */
+  def stratumPercentRank(df: DataFrame, stratum: Column, value: Column,
+      tieBreak: Column, outCol: String = "pct_rank"): DataFrame = {
+    val seqd = graft.ops.PrefixSum.withStratumCumsum(df, stratum, lit(1L),
+      "__seq", value, tieBreak)
+    val counts = seqd.groupBy(stratum.as("__st")).agg(count(lit(1)).as("__n"))
+    seqd.join(broadcast(counts), stratum === col("__st"))
+      .withColumn(outCol, when(col("__n") === 1L, lit(0.0))
+        .otherwise(round((col("__seq") - 1L).cast("double") / (col("__n") - 1L), 6)))
+      .drop("__st", "__n", "__seq")
+  }
+
   /** Leakage-free train/val/test split: the unit of assignment is the
     * NEAR-DUP CLUSTER, not the document. A row-level [[deterministicSplit]]
     * happily puts two near-identical documents on opposite sides of the

@@ -327,6 +327,42 @@ object Similarity {
       .select("vec_id", "dim", "z")
   }
 
+  /** Johnson–Lindenstrauss random projection `inDims → outDims` with a
+    * ±1/√outDims sign matrix (Achlioptas construction) — the cheap
+    * dimensionality reduction in front of ANN/clustering when 64–1024-dim
+    * embeddings make candidate scoring the bottleneck.
+    *
+    * The sign matrix is derived from sha256 over the (outDim, inDim) index
+    * pair plus a salt — no RNG state, no driver-generated randomness to
+    * ship: any engine (the DuckDB oracle included) re-derives the identical
+    * matrix, and results are a pure function of (vector, salt). Signs enter
+    * the plan as LITERAL arrays (outDims × inDims doubles — a few KB inside
+    * the codegen'd plan, the [[ivfTopK]] centroid idiom), so projection is a
+    * scan-local native [[graft.functions.DotProduct]] per output dimension:
+    * no join, no shuffle, no UDF.
+    *
+    * Output: (vec_id, odim, value), odim 1-based, value rounded to 6 dp.
+    */
+  def randomProjection(df: DataFrame, id: Column, vec: Column,
+      inDims: Int, outDims: Int, salt: String = ""): DataFrame = {
+    require(inDims >= 1 && outDims >= 1, "dims must be positive")
+    def sign(i: Int, j: Int): Double = {
+      val hex = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s"${i}_$j$salt".getBytes("UTF-8"))
+      // first hex digit < 8 ⇔ top bit of the first byte is 0
+      if ((hex(0) & 0x80) == 0) 1.0 else -1.0
+    }
+    val root = math.sqrt(outDims.toDouble)
+    val vd = transform(vec, _.cast("double"))
+    val projected = array((1 to outDims).map { i =>
+      val row = lit(Array.tabulate(inDims)(j => sign(i, j + 1)))
+      round(graft.functions.DotProduct.dotProduct(vd, row) / root, 6)
+    }: _*)
+    df.select(id.as("vec_id"), posexplode(projected).as(Seq("odim0", "value")))
+      .select(col("vec_id"), (col("odim0") + 1).cast("long").as("odim"),
+        col("value"))
+  }
+
   /** Every row's cosine to its own label's prototype (rounded to 6 dp for
     * engine-stable downstream thresholds). Prototypes broadcast — the corpus
     * is never shuffled. */

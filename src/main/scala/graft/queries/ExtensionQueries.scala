@@ -1960,6 +1960,151 @@ object ExtensionQueries {
               round(CAST(sum(CASE WHEN inv THEN 0 ELSE 1 END) AS DOUBLE) / count(*), 6) AS oov_rate
        FROM j GROUP BY doc_id"""
 
+  // ---------------------------------------------------------------------------
+  // X62 — per-source quality percentile normalization: percent_rank of the
+  // x08 quality score within each source, computed as the range-partitioned
+  // parallel scan (never a per-source window). One threshold on pct_rank now
+  // keeps the same fraction of every source.
+  // ---------------------------------------------------------------------------
+  private def x62(s: SparkSession, dir: String): DataFrame =
+    Sampling.stratumPercentRank(
+      docs(s, dir).select(col("doc_id"), col("source"),
+        TextAnalysis.qualityScore(col("text")).as("q")),
+      col("source"), col("q"), col("doc_id"))
+
+  private val x62Sql = {
+    val allStops = TextAnalysis.StopwordProfiles.flatMap(_._2)
+      .map(w => s"'$w'").mkString("[", ",", "]")
+    s"""WITH t AS (
+         SELECT doc_id, source, CAST(length(text) AS DOUBLE) AS nc,
+           CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS DOUBLE) AS nt,
+           CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS punct,
+           CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                tk -> list_contains($allStops, tk))) AS DOUBLE) AS stops
+         FROM documents),
+       q AS (SELECT doc_id, source,
+              round(least(nc / 500.0, 1.0) * 0.4 +
+                    (CASE WHEN nt > 0 THEN least(stops / nt * 5.0, 1.0) ELSE 0.0 END) * 0.4 +
+                    (CASE WHEN nc > 0 THEN greatest(0.0, 1.0 - punct / nc * 10.0) ELSE 0.0 END) * 0.2,
+                    6) AS q
+            FROM t)
+       SELECT doc_id, source, q,
+              round(percent_rank() OVER (PARTITION BY source ORDER BY q, doc_id), 6) AS pct_rank
+       FROM q"""
+  }
+
+  // ---------------------------------------------------------------------------
+  // X63 — epoch up-sampling plan: per-source repetition factors (the "repeat
+  // wiki 3x" half of a mixture recipe) expanded into an exact copy relation;
+  // fractional copies decided by the sha-bucket, so both engines materialize
+  // the identical multiset.
+  // ---------------------------------------------------------------------------
+  private def x63(s: SparkSession, dir: String): DataFrame = {
+    val factor = when(col("source") === "src0", 2.5)
+      .when(col("source") === "src1", 0.5).otherwise(1.0)
+    Mixture.upsamplePlan(
+        docs(s, dir).select(col("doc_id"), col("source")),
+        col("doc_id"), factor, salt = "up1")
+      .select(col("doc_id"), col("source"), col("copy"))
+  }
+
+  private val x63Sql =
+    """WITH f AS (SELECT doc_id, source,
+             CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.5 ELSE 1.0 END AS fac,
+             CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || 'up1'), 1, 8) AS BIGINT)
+               % 10000 AS bucket
+           FROM documents),
+         n AS (SELECT doc_id, source,
+               CAST(floor(fac) AS BIGINT) +
+                 CASE WHEN bucket < CAST(round((fac - floor(fac)) * 10000, 0) AS BIGINT)
+                      THEN 1 ELSE 0 END AS n_copies
+             FROM f)
+       SELECT doc_id, source, unnest(range(1, n_copies + 1)) AS copy
+       FROM n WHERE n_copies >= 1"""
+
+  // ---------------------------------------------------------------------------
+  // X64 — Johnson-Lindenstrauss random projection 64 -> 16 dims. The sign
+  // matrix is sha256-derived from (odim, idim, salt), so DuckDB re-derives
+  // the identical matrix and every projected value hash-matches; the engine
+  // ships the signs as literal arrays and projects scan-locally (native dot,
+  // no join/shuffle).
+  // ---------------------------------------------------------------------------
+  private def x64(s: SparkSession, dir: String): DataFrame =
+    Similarity.randomProjection(embeds(s, dir), col("vec_id"),
+      col("embedding"), inDims = 64, outDims = 16, salt = "rp1")
+
+  private val x64Sql =
+    """WITH m AS (
+         SELECT i, list(CASE WHEN substr(sha256(CAST(i AS VARCHAR) || '_' ||
+                                    CAST(j AS VARCHAR) || 'rp1'), 1, 1)
+                             IN ('0','1','2','3','4','5','6','7')
+                        THEN 1.0 ELSE -1.0 END ORDER BY j) AS srow
+         FROM (SELECT unnest(range(1, 17)) AS i),
+              (SELECT unnest(range(1, 65)) AS j)
+         GROUP BY i)
+       SELECT e.vec_id, CAST(m.i AS BIGINT) AS odim,
+              round(list_dot_product(CAST(e.embedding AS DOUBLE[]), m.srow) /
+                    sqrt(16.0), 6) AS value
+       FROM embeddings e, m"""
+
+  // ---------------------------------------------------------------------------
+  // X65 — containment (quote/subset) detection. The synthetic corpus has no
+  // natural quote structure, so the query MANUFACTURES it (the x53/x55
+  // pattern): five 12-token quotes, each appended to the docs with
+  // doc_id % 5 = 0 (quote index = (doc_id/5) % 5); the quote docs themselves
+  // are the query set. Every quote must be found fully contained
+  // (containment 1.0) in exactly the docs that carry it — pairs Jaccard
+  // misses structurally (the quote is a sliver of the article's shingles).
+  // Query sketches broadcast; the corpus is never shuffled.
+  // ---------------------------------------------------------------------------
+  private def x65(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nQuotes = 5
+    def quoteText(k: Int): String =
+      (0 until 12).map(w => s"qq${k}w$w").mkString(" ")
+    val queries = (0 until nQuotes).map(k => (1000000L + k, quoteText(k)))
+      .toDF("doc_id", "text")
+    val quoteArr = array((0 until nQuotes).map(k => lit(quoteText(k))): _*)
+    val qidx = ((col("doc_id") / 5).cast("long") % nQuotes).cast("int") + 1
+    val corpus = docs(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 5 === 0,
+        concat(col("text"), lit(" "), element_at(quoteArr, qidx)))
+        .otherwise(col("text")).as("text"))
+    Dedup.containmentPairsAgainst(queries, corpus, col("doc_id"), col("text"),
+      lit(1), n = 2, threshold = 0.8)
+  }
+
+  private val x65Sql =
+    """WITH quotes AS (
+         SELECT k, CAST(1000000 + k AS BIGINT) AS q_id,
+                array_to_string(list_transform(range(0, 12),
+                  w -> 'qq' || CAST(k AS VARCHAR) || 'w' || CAST(w AS VARCHAR)), ' ') AS q_text
+         FROM (SELECT unnest(range(0, 5)) AS k)),
+       c AS (SELECT d.doc_id,
+              CASE WHEN d.doc_id % 5 = 0 THEN d.text || ' ' || q.q_text
+                   ELSE d.text END AS text
+             FROM documents d LEFT JOIN quotes q ON q.k = (d.doc_id // 5) % 5),
+       shq AS (SELECT q_id,
+               list_distinct(list_transform(range(1, len(toks)),
+                 i -> toks[i] || ' ' || toks[i + 1])) AS sh
+             FROM (SELECT q_id,
+                     list_filter(regexp_split_to_array(lower(q_text), '\s+'), x -> x <> '') AS toks
+                   FROM quotes)),
+       shc AS (SELECT doc_id,
+               list_distinct(list_transform(range(1, len(toks)),
+                 i -> toks[i] || ' ' || toks[i + 1])) AS sh
+             FROM (SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+                   FROM c)
+             WHERE len(toks) >= 2)
+       SELECT * FROM (
+         SELECT a.q_id AS id_a, b.doc_id AS id_b,
+                len(list_intersect(a.sh, b.sh)) AS inter,
+                round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+                      least(len(a.sh), len(b.sh)), 6) AS containment
+         FROM shq a JOIN shc b ON a.q_id <> b.doc_id)
+       WHERE containment >= 0.8"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_dedup_exact" -> x1 _,
     "x02_dedup_ngram_jaccard" -> x2 _,
@@ -2021,7 +2166,11 @@ object ExtensionQueries {
     "x58_domain_blocklist" -> x58 _,
     "x59_embed_standardize" -> x59 _,
     "x60_length_batches" -> x60 _,
-    "x61_oov_rate" -> x61 _
+    "x61_oov_rate" -> x61 _,
+    "x62_quality_pct_rank" -> x62 _,
+    "x63_upsample_plan" -> x63 _,
+    "x64_random_projection" -> x64 _,
+    "x65_containment" -> x65 _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2080,6 +2229,10 @@ object ExtensionQueries {
     "x58_domain_blocklist" -> x58Sql,
     "x59_embed_standardize" -> x59Sql,
     "x60_length_batches" -> x60Sql,
-    "x61_oov_rate" -> x61Sql
+    "x61_oov_rate" -> x61Sql,
+    "x62_quality_pct_rank" -> x62Sql,
+    "x63_upsample_plan" -> x63Sql,
+    "x64_random_projection" -> x64Sql,
+    "x65_containment" -> x65Sql
   )
 }

@@ -132,6 +132,144 @@ class CurationOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(stats((2L, 0L)) == ((1L, 25L, 25L, 0.0)))
   }
 
+  test("stratumPercentRank: percent_rank semantics, hot stratum, window-free") {
+    import spark.implicits._
+    val rng = new scala.util.Random(23)
+    // stratum "hot" holds 90% of rows; scores collide across strata
+    val rows = (1L to 2000L).map { i =>
+      val st = if (rng.nextInt(10) < 9) "hot" else s"s${rng.nextInt(3)}"
+      (i, st, (rng.nextInt(50) / 10.0))
+    }
+    val df = spark.createDataFrame(rng.shuffle(rows)).toDF("id", "st", "v")
+      .repartition(16)
+    val out = Sampling.stratumPercentRank(df, col("st"), col("v"), col("id"))
+    val got = out.collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("pct_rank")).toMap
+    rows.groupBy(_._2).foreach { case (_, members) =>
+      val ordered = members.sortBy(m => (m._3, m._1))
+      val n = ordered.size
+      ordered.zipWithIndex.foreach { case ((id, _, _), i) =>
+        val want = if (n == 1) 0.0 else math.rint(i.toDouble / (n - 1) * 1e6) / 1e6
+        assert(got(id) == want, s"id=$id")
+      }
+    }
+    val plan = out.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("stratumPercentRank: singleton stratum gets 0.0") {
+    import spark.implicits._
+    val df = Seq((1L, "a", 2.0), (2L, "b", 1.0), (3L, "b", 3.0)).toDF("id", "st", "v")
+    val got = Sampling.stratumPercentRank(df, col("st"), col("v"), col("id"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("pct_rank")).toMap
+    assert(got == Map(1L -> 0.0, 2L -> 0.0, 3L -> 1.0))
+  }
+
+  test("upsamplePlan: exact deterministic copy multiset, E[copies] = factor") {
+    import spark.implicits._
+    val df = (1L to 3000L).map(i => (i, if (i % 3 == 0) "a" else "b"))
+      .toDF("id", "src")
+    val factor = when(col("src") === "a", 2.5).otherwise(1.0)
+    val out = Mixture.upsamplePlan(df, col("id"), factor, salt = "u")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("copy")))
+    val byId = out.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    // replica of the sha-bucket decision
+    def bucket(id: Long): Long =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("SHA-256")
+          .digest((id.toString + "u").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(8), 16) % 10000
+    (1L to 3000L).foreach { id =>
+      val want =
+        if (id % 3 == 0) (if (bucket(id) < 5000) 3L else 2L)
+        else 1L
+      assert(byId.getOrElse(id, Seq()).size == want, s"id=$id")
+      assert(byId.getOrElse(id, Seq()) == (1L to want), s"copy indices id=$id")
+    }
+    // factor 2.5 over 1000 "a" ids: expect ~2500 copies, sha-balanced
+    val aCopies = out.count { case (id, _) => id % 3 == 0 }
+    assert(aCopies > 2300 && aCopies < 2700, s"aCopies=$aCopies")
+  }
+
+  test("upsamplePlan: factor < 1 behaves as deterministic down-sample") {
+    import spark.implicits._
+    val df = (1L to 2000L).map(i => (i, "x")).toDF("id", "src")
+    val out = Mixture.upsamplePlan(df, col("id"), lit(0.25), salt = "d")
+      .collect().map(_.getAs[Long]("id"))
+    assert(out.distinct.length == out.length) // at most one copy each
+    assert(out.length > 380 && out.length < 620, s"kept=${out.length}")
+  }
+
+  test("containmentPairs: finds the quote Jaccard misses; Against variant agrees") {
+    import spark.implicits._
+    val quote = "the quick brown fox jumps over the lazy dog tonight"
+    // VARIED filler (distinct bigrams) — repeated filler would collapse the
+    // article's distinct-bigram set and let Jaccard fire too
+    val filler1 = (1 to 60).map(i => s"w$i").mkString(" ")
+    val filler2 = (61 to 120).map(i => s"w$i").mkString(" ")
+    val article = filler1 + " " + quote + " " + filler2
+    val d = Seq(
+      (1L, "en", quote), // fully contained in 2
+      (2L, "en", article),
+      (3L, "en", "completely different content about something else entirely here"),
+      (4L, "de", quote) // other block: never paired with 1/2
+    ).toDF("doc_id", "lang", "text")
+    val pairs = Dedup.containmentPairs(d, col("doc_id"), col("text"),
+        col("lang"), n = 2, threshold = 0.8)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("containment")))
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+    assert(pairs.head._3 == 1.0)
+    // the same pair's Jaccard is tiny — containment is the right metric here
+    val j = Dedup.ngramJaccardPairs(d, col("doc_id"), col("text"), col("lang"),
+      n = 2, threshold = 0.5).collect()
+    assert(!j.exists(r => r.getAs[Long]("id_a") == 1L && r.getAs[Long]("id_b") == 2L))
+    // query-set variant: directional, same verdicts for query doc 1
+    val against = Dedup.containmentPairsAgainst(
+        d.filter(col("doc_id") === 1L), d,
+        col("doc_id"), col("text"), col("lang"), n = 2, threshold = 0.8)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    assert(against.toSet == Set((1L, 2L)))
+  }
+
+  test("randomProjection: deterministic sha-derived matrix, JL norm bound") {
+    import spark.implicits._
+    val rng = new scala.util.Random(29)
+    val rows = (1L to 100L).map(i => (i, Array.fill(64)(rng.nextGaussian().toFloat)))
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Similarity.randomProjection(df, col("vec_id"), col("embedding"),
+        inDims = 64, outDims = 16, salt = "t")
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("odim")) ->
+        r.getAs[Double]("value")).toMap
+    assert(out.size == 1600)
+    // driver replica of the sign matrix and projection
+    def sign(i: Int, j: Int): Double = {
+      val h = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s"${i}_${j}t".getBytes("UTF-8"))
+      if ((h(0) & 0x80) == 0) 1.0 else -1.0
+    }
+    val root = math.sqrt(16.0)
+    rows.take(10).foreach { case (id, v) =>
+      for (i <- 1 to 16) {
+        var dot = 0.0
+        for (j <- 1 to 64) dot += v(j - 1).toDouble * sign(i, j)
+        val want = math.rint(dot / root * 1e6) / 1e6
+        assert(math.abs(out((id, i.toLong)) - want) <= 1e-6, s"id=$id odim=$i")
+      }
+    }
+    // JL sanity: projected squared norms concentrate around the originals —
+    // chi²₁₆-wide per row (loose 5x individual bound), tight in the mean
+    val ratios = rows.map { case (id, v) =>
+      val orig = v.map(x => x.toDouble * x.toDouble).sum
+      val proj = (1 to 16).map(i => out((id, i.toLong))).map(z => z * z).sum
+      val ratio = proj / orig
+      assert(ratio > 0.2 && ratio < 5.0, s"id=$id ratio=$ratio")
+      ratio
+    }
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.75 && mean < 1.35, s"mean ratio $mean")
+  }
+
   test("oovRate: top-K boundary deterministic, rates exact") {
     import spark.implicits._
     val docs = Seq(
