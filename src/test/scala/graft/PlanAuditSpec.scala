@@ -74,4 +74,33 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
       .queryExecution.explainString(FormattedMode)
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("scan-local operators stay shuffle- and join-free (x63, x64)") {
+    // upsample plan and JL projection are pure row expansions/projections —
+    // any Exchange or Join appearing here means the scan-local contract broke
+    for (name <- Seq("x63_upsample_plan", "x64_random_projection")) {
+      val plan = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.explainString(FormattedMode)
+      assert(!plan.contains("Exchange"), s"$name shuffles: $plan")
+      assert(!plan.contains("Join"), s"$name joins: $plan")
+    }
+  }
+
+  test("parallel-scan operators never plan a Window (x60, x62)") {
+    // batch packing and percentile ranks are the two ops whose naive
+    // formulation is a per-stratum window — the exact single-task buffering
+    // trap PrefixSum exists to avoid
+    for (name <- Seq("x60_length_batches", "x62_quality_pct_rank")) {
+      val plan = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.explainString(FormattedMode)
+      assert(!plan.contains("Window"), s"$name windows: $plan")
+    }
+  }
+
+  test("blocklist fold-back is a broadcast + hinted hash join (x58)") {
+    val plan = SparkEntry.queries("x58_domain_blocklist")(spark, dir)
+      .queryExecution.explainString(FormattedMode)
+    assert(plan.contains("BroadcastHashJoin"), plan) // rules side
+    assert(plan.contains("ShuffledHashJoin"), plan) // verdict fold-back
+  }
 }
