@@ -118,4 +118,138 @@ object LanguageModel {
       .agg(count(lit(1)).as("n_terms_matched"),
         sum(col("__c")).cast("double").as("score"))
   }
+
+  /** DSIR-style hashed importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every document by
+    * how much more likely its tokens are under a TARGET distribution than
+    * under the raw corpus, with both bag-of-words models compressed into
+    * `nBuckets` hashed features so the model size is FIXED regardless of
+    * corpus scale. High `avg_logratio` = looks like the target (keep /
+    * up-weight when resampling toward it).
+    *
+    * Per bucket `b`: `lr_b = round(ln((ct_b+s)/(Nt+s·B)) − ln((cr_b+s)/(Nr+s·B)), 6)`
+    * (add-`s` smoothed target vs raw log-probabilities), cast DECIMAL(18,6);
+    * a document's `sum_logratio` is the exact decimal sum of its tokens'
+    * bucket scores. The bucket is the engine-portable sha primitive
+    * ([[Sampling.hashBucket]]'s trade): first 8 hex chars of sha256(token)
+    * mod `nBuckets` — the DuckDB oracle re-derives every score.
+    *
+    * Scale shape: one corpus token scan feeds two map-side-combined
+    * ≤`nBuckets`-row aggregates (the entire "model"); the score join is a
+    * BROADCAST of that fixed-size table — that is the point of hashed
+    * features — followed by one per-doc re-aggregation. No vocabulary-scale
+    * state anywhere.
+    */
+  def hashedImportanceWeights(df: DataFrame, id: Column, text: Column,
+      isTarget: Column, nBuckets: Int = 1024,
+      smoothing: Double = 0.5): DataFrame = {
+    require(nBuckets > 0 && nBuckets <= (1 << 24),
+      s"nBuckets must be in [1, 2^24], got $nBuckets")
+    require(smoothing > 0, s"smoothing must be positive, got $smoothing")
+    val bucket =
+      conv(substring(sha2(col("tok"), 256), 1, 8), 16, 10).cast("long") %
+        nBuckets.toLong
+    val toks = df
+      .select(id.as("id"), isTarget.as("__t"),
+        explode(TextAnalysis.tokens(text)).as("tok"))
+      .select(col("id"), col("__t"), bucket.as("__b"))
+    val raw = toks.groupBy("__b").agg(count(lit(1)).as("__cr"))
+    val tgt = toks.filter(col("__t")).groupBy("__b")
+      .agg(count(lit(1)).as("__ct"))
+    // bounded: two 1-row aggregates (total token counts, raw and target)
+    val row = df
+      .select(size(TextAnalysis.tokens(text)).as("__n"), isTarget.as("__t"))
+      .agg(sum(col("__n")), sum(when(col("__t"), col("__n")).otherwise(0L)))
+      .first()
+    val nr = row.getLong(0).toDouble
+    val nt = row.getLong(1).toDouble
+    val denomT = lit(nt) + lit(smoothing) * lit(nBuckets.toDouble)
+    val denomR = lit(nr) + lit(smoothing) * lit(nBuckets.toDouble)
+    val lr = raw.join(broadcast(tgt), Seq("__b"), "left")
+      .select(col("__b"),
+        round(
+          log((coalesce(col("__ct"), lit(0L)).cast("double") + lit(smoothing))
+            / denomT) -
+          log((col("__cr").cast("double") + lit(smoothing)) / denomR),
+          6).cast("decimal(18,6)").as("__lr"))
+    val perDoc = toks.join(broadcast(lr), Seq("__b"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__lr")).as("__sl"))
+    df.select(id.as("id"))
+      .join(perDoc.hint("shuffle_hash"), Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        col("__sl").cast("double").as("sum_logratio"),
+        round(col("__sl").cast("double") / col("n_tokens"), 6)
+          .as("avg_logratio"))
+  }
+
+  /** Interpolated bigram log-likelihood — the CCNet "perplexity filter" slot
+    * one Markov order up from [[unigramLogLikelihood]]: each bigram position
+    * scores `round(ln(λ·p(w|v) + (1−λ)·p(w)), 6)` where `p(w|v)` is the
+    * corpus bigram probability (count of "v w" over count of bigrams starting
+    * with `v`) and `p(w)` the unigram fallback that keeps unseen-context
+    * positions finite. Low `avg_logprob` = improbable token SEQUENCES — the
+    * signal that catches shuffled/boilerplate text a unigram model scores as
+    * perfectly typical.
+    *
+    * Output: (id, n_bigrams, sum_logprob, avg_logprob) — one row per input
+    * row; docs with fewer than two tokens keep null scores and n_bigrams = 0.
+    *
+    * Engine-stable float contract as everywhere in this file: per-bigram-TYPE
+    * contributions are rounded to 6 dp, cast DECIMAL(18,6), and decimal-summed
+    * per document; `1−λ` is written as the IEEE subtraction on BOTH engines
+    * (never the pre-computed constant — it differs in the last ulp).
+    *
+    * Scale shape: bigrams come from the native
+    * [[graft.functions.NgramWindows]] expression (scan-local, codegen'd,
+    * multiplicity-preserving); the bigram/context/unigram count
+    * relations are all vocabulary-scale, joined to each other shuffle_hash on
+    * their keys, and the corpus-stream score join is gated on the MEASURED
+    * bigram vocabulary — broadcast below `maxBroadcastVocab`, shuffle_hash
+    * equi-join above (never sort-merge; the checkpointed counts carry no
+    * stats).
+    */
+  def bigramLogLikelihood(df: DataFrame, id: Column, text: Column,
+      lambda: Double = 0.9, maxBroadcastVocab: Long = 4000000L): DataFrame = {
+    require(lambda > 0.0 && lambda <= 1.0, s"lambda must be in (0,1], got $lambda")
+    val bg = df.select(id.as("id"),
+      explode(graft.functions.NgramWindows.ngramWindows(TextAnalysis.tokens(text), 2))
+        .as("bg"))
+    val bgFreq = bg.groupBy("bg").agg(count(lit(1)).as("__cb")).localCheckpoint()
+    val nVocab = bgFreq.count()
+    // context count c(v·) = bigrams starting with v — the Markov denominator
+    val ctxFreq = bgFreq
+      .groupBy(substring_index(col("bg"), " ", 1).as("__v"))
+      .agg(sum(col("__cb")).as("__cv"))
+    val toks = df.select(explode(TextAnalysis.tokens(text)).as("tok"))
+    val uniFreq = toks.groupBy("tok").agg(count(lit(1)).as("__cu"))
+    // bounded: one scan, 1-row result (total unigram token count)
+    val total = df.select(sum(size(TextAnalysis.tokens(text))))
+      .first().getLong(0)
+    val lp = bgFreq
+      .join(ctxFreq.hint("shuffle_hash"),
+        substring_index(col("bg"), " ", 1) === col("__v"))
+      .join(uniFreq.hint("shuffle_hash"),
+        substring_index(col("bg"), " ", -1) === col("tok"))
+      .select(col("bg"),
+        round(log(
+          lit(lambda) * (col("__cb").cast("double") / col("__cv").cast("double")) +
+          (lit(1.0) - lit(lambda)) *
+            (col("__cu").cast("double") / lit(total.toDouble))),
+          6).cast("decimal(18,6)").as("__lp"))
+    val mark: DataFrame => DataFrame =
+      if (nVocab <= maxBroadcastVocab) broadcast
+      else d => d.hint("shuffle_hash")
+    val perDoc = bg.join(mark(lp), Seq("bg"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__lp")).as("__sl"))
+    df.select(id.as("id"))
+      .join(perDoc.hint("shuffle_hash"), Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("__sl").cast("double").as("sum_logprob"),
+        round(col("__sl").cast("double") / col("n_bigrams"), 6)
+          .as("avg_logprob"))
+  }
 }

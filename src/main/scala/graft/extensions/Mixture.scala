@@ -77,4 +77,46 @@ object Mixture {
       explode(when(n >= 1L, sequence(lit(1L), n))
         .otherwise(array().cast("array<long>"))))
   }
+
+  /** Temperature-scaled mixture weights (the multilingual-corpus balancing
+    * rule: sampling probability ∝ (n_g/N)^α, α < 1 flattens the head and
+    * lifts the tail — α = 1 is proportional, α = 0 uniform). Returns one row
+    * per group with the normalized weight, the expected document count under
+    * a total `budget`, and the per-group up/down-sampling factor to feed
+    * [[upsamplePlan]].
+    *
+    * Engine-stable float contract: each group's unnormalized term
+    * `round((n_g/N)^α, 6)` is cast to DECIMAL(18,6) and the normalizer is
+    * the EXACT decimal sum, so the weights are reproducible regardless of
+    * aggregation order (DuckDB re-derives them bit-for-bit). `expected_docs`
+    * floors `weight × budget` — a deterministic integer on both engines.
+    *
+    * Scale shape: the input is scanned once into an enum-scale count
+    * aggregate (one row per language/source); everything downstream is two
+    * bounded 1-row aggregates broadcast back over the ≤|groups|-row relation.
+    * The corpus itself is never shuffled.
+    */
+  def temperatureWeights(df: DataFrame, group: Column, alpha: Double,
+      budget: Long): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1], got $alpha")
+    require(budget > 0, s"budget must be positive, got $budget")
+    val counts = df.groupBy(group.as("grp"))
+      .agg(count(lit(1)).as("n_docs"))
+      .localCheckpoint() // enum-scale; one materialization feeds both aggs
+    val total = counts.agg(sum(col("n_docs")).cast("double").as("__N"))
+    val terms = counts.crossJoin(broadcast(total))
+      .withColumn("__term",
+        round(pow(col("n_docs").cast("double") / col("__N"), alpha), 6)
+          .cast("decimal(18,6)"))
+    val norm = terms.agg(sum(col("__term")).as("__S"))
+    terms.crossJoin(broadcast(norm))
+      .withColumn("weight",
+        round(col("__term").cast("double") / col("__S").cast("double"), 6))
+      .withColumn("expected_docs",
+        floor(col("weight") * lit(budget)).cast("long"))
+      .withColumn("up_factor",
+        round(col("expected_docs").cast("double") /
+          col("n_docs").cast("double"), 6))
+      .select("grp", "n_docs", "weight", "expected_docs", "up_factor")
+  }
 }

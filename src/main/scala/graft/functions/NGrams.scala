@@ -75,3 +75,69 @@ object NGrams {
     org.apache.spark.sql.GraftExpressionBridge.toColumn(
       NGrams(org.apache.spark.sql.GraftExpressionBridge.toExpression(tokens), n))
 }
+
+/** Native sliding word-`n`-gram WINDOWS: like [[NGrams]] but keeps every
+  * full window WITH multiplicity and in position order — the stream a
+  * Markov/bigram language model counts (where [[NGrams]]'s distinct,
+  * short-window-padded output is the SET a shingle sketch wants). Docs with
+  * fewer than `n` tokens yield an empty array: there is no full window to
+  * score.
+  *
+  * Column-HOF equivalent (interpreted, hence the native treatment — same
+  * measured trade as [[NGrams]]):
+  * `when(size(t) >= n, transform(sequence(1, size(t)-(n-1)),
+  * i => concat_ws(" ", slice(t, i, n)))).otherwise(array())`.
+  */
+case class NgramWindows(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"n-gram size must be >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"ngram_windows requires ARRAY<STRING>, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    NgramWindows.compute(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NgramWindows.compute($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): NgramWindows =
+    copy(child = newChild)
+
+  override def prettyName: String = "ngram_windows"
+}
+
+object NgramWindows {
+
+  private val Sep = UTF8String.fromString(" ")
+
+  /** Shared by interpreted eval and generated code. */
+  def compute(arr: ArrayData, n: Int): ArrayData = {
+    val m = arr.numElements()
+    val nWindows = m - (n - 1)
+    if (nWindows <= 0) return new GenericArrayData(new Array[AnyRef](0))
+    val out = new Array[AnyRef](nWindows)
+    val parts = new Array[UTF8String](n)
+    var s = 0
+    while (s < nWindows) {
+      var j = 0
+      while (j < n) {
+        parts(j) = if (arr.isNullAt(s + j)) null else arr.getUTF8String(s + j)
+        j += 1
+      }
+      out(s) = UTF8String.concatWs(Sep, parts: _*) // null parts skipped
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Column-API entry point. */
+  def ngramWindows(tokens: Column, n: Int): Column =
+    org.apache.spark.sql.GraftExpressionBridge.toColumn(
+      NgramWindows(org.apache.spark.sql.GraftExpressionBridge.toExpression(tokens), n))
+}

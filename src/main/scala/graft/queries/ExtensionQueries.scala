@@ -2105,6 +2105,150 @@ object ExtensionQueries {
          FROM shq a JOIN shc b ON a.q_id <> b.doc_id)
        WHERE containment >= 0.8"""
 
+  // ---------------------------------------------------------------------------
+  // X66 — DSIR-style hashed importance weights (LanguageModel
+  // .hashedImportanceWeights): target = English docs, raw = whole corpus,
+  // 1024 sha-hashed buckets. The fixed-size bucket model broadcasts; DuckDB
+  // re-derives every bucket, both smoothed log-probs, and the exact decimal
+  // per-doc sums.
+  // ---------------------------------------------------------------------------
+  private def x66(s: SparkSession, dir: String): DataFrame =
+    LanguageModel.hashedImportanceWeights(docs(s, dir), col("doc_id"),
+        col("text"), col("lang") === "en", nBuckets = 1024, smoothing = 0.5)
+      .withColumnRenamed("id", "doc_id")
+
+  private val x66Sql =
+    """WITH t AS (SELECT doc_id, lang = 'en' AS tgt,
+             unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS tok
+           FROM documents),
+         b AS (SELECT doc_id, tgt,
+                 CAST('0x' || substr(sha256(tok), 1, 8) AS BIGINT) % 1024 AS bk
+               FROM t),
+         raw AS (SELECT bk, count(*) AS cr FROM b GROUP BY 1),
+         tgtc AS (SELECT bk, count(*) AS ct FROM b WHERE tgt GROUP BY 1),
+         tot AS (SELECT CAST(count(*) AS DOUBLE) AS nr,
+                        CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS DOUBLE) AS nt
+                 FROM b),
+         lr AS (SELECT raw.bk,
+                  CAST(round(ln((CAST(coalesce(tgtc.ct, 0) AS DOUBLE) + 0.5) /
+                                ((SELECT nt FROM tot) + 0.5 * 1024)) -
+                             ln((CAST(raw.cr AS DOUBLE) + 0.5) /
+                                ((SELECT nr FROM tot) + 0.5 * 1024)), 6)
+                    AS DECIMAL(18,6)) AS lr
+                FROM raw LEFT JOIN tgtc ON raw.bk = tgtc.bk),
+         d AS (SELECT b.doc_id, count(*) AS n_tokens, sum(lr.lr) AS sl
+               FROM b JOIN lr ON b.bk = lr.bk GROUP BY 1)
+       SELECT base.doc_id, coalesce(d.n_tokens, 0) AS n_tokens,
+              CAST(d.sl AS DOUBLE) AS sum_logratio,
+              round(CAST(d.sl AS DOUBLE) / d.n_tokens, 6) AS avg_logratio
+       FROM (SELECT doc_id FROM documents) base LEFT JOIN d USING (doc_id)"""
+
+  // ---------------------------------------------------------------------------
+  // X67 — interpolated bigram LM scoring (LanguageModel.bigramLogLikelihood,
+  // λ = 0.9): the sequence-aware upgrade of x47's unigram filter. Bigram
+  // windows come from the native NgramWindows expression; DuckDB rebuilds the
+  // identical windows positionally and re-derives every interpolated
+  // probability. 1−λ is the IEEE subtraction on BOTH engines.
+  // ---------------------------------------------------------------------------
+  private def x67(s: SparkSession, dir: String): DataFrame =
+    LanguageModel.bigramLogLikelihood(docs(s, dir), col("doc_id"), col("text"),
+        lambda = 0.9)
+      .withColumnRenamed("id", "doc_id")
+
+  private val x67Sql =
+    """WITH base AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+           FROM documents),
+         bg AS (SELECT doc_id,
+                  unnest(list_transform(range(1, len(toks)),
+                    i -> toks[i] || ' ' || toks[i + 1])) AS bg
+                FROM base WHERE len(toks) >= 2),
+         bf AS (SELECT bg, count(*) AS cb FROM bg GROUP BY 1),
+         cf AS (SELECT split_part(bg, ' ', 1) AS v, sum(cb) AS cv FROM bf GROUP BY 1),
+         uf AS (SELECT tok, count(*) AS cu
+                FROM (SELECT unnest(toks) AS tok FROM base) GROUP BY 1),
+         tot AS (SELECT CAST(sum(len(toks)) AS DOUBLE) AS s FROM base),
+         lp AS (SELECT bf.bg,
+                  CAST(round(ln(0.9 * (CAST(bf.cb AS DOUBLE) / CAST(cf.cv AS DOUBLE)) +
+                                (1.0 - 0.9) * (CAST(uf.cu AS DOUBLE) / (SELECT s FROM tot))), 6)
+                    AS DECIMAL(18,6)) AS lp
+                FROM bf JOIN cf ON split_part(bf.bg, ' ', 1) = cf.v
+                        JOIN uf ON split_part(bf.bg, ' ', 2) = uf.tok),
+         d AS (SELECT bg.doc_id, count(*) AS n_bigrams, sum(lp.lp) AS sl
+               FROM bg JOIN lp USING (bg) GROUP BY 1)
+       SELECT b.doc_id, coalesce(d.n_bigrams, 0) AS n_bigrams,
+              CAST(d.sl AS DOUBLE) AS sum_logprob,
+              round(CAST(d.sl AS DOUBLE) / d.n_bigrams, 6) AS avg_logprob
+       FROM (SELECT doc_id FROM documents) b LEFT JOIN d USING (doc_id)"""
+
+  // ---------------------------------------------------------------------------
+  // X68 — token-distribution entropy (native TokenEntropy): concentration
+  // quality signal in integer micro-nats — scan-local, zero shuffle; the
+  // oracle recomputes the per-type rounded contributions via explode/groupBy
+  // and must land on the SAME integers (order-independent by construction).
+  // ---------------------------------------------------------------------------
+  private def x68(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        graft.functions.TokenEntropy
+          .tokenEntropy(TextAnalysis.tokens(col("text"))).as("e"))
+      .select(col("doc_id"), col("e.n_tokens").as("n_tokens"),
+        col("e.n_types").as("n_types"),
+        col("e.entropy_micros").as("entropy_micros"))
+      .withColumn("norm_entropy",
+        when(col("n_types") > 1,
+          round((col("entropy_micros").cast("double") / lit(1000000.0)) /
+            log(col("n_types").cast("double")), 6))
+          .otherwise(lit(0.0)))
+
+  private val x68Sql =
+    """WITH t AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+           FROM documents),
+         c AS (SELECT doc_id, tok, count(*) AS c
+               FROM (SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY 1, 2),
+         m AS (SELECT doc_id, len(toks) AS m FROM t),
+         e AS (SELECT c.doc_id, count(*) AS n_types,
+                 sum(CAST(round(-(CAST(c.c AS DOUBLE) / m.m) *
+                       ln(CAST(c.c AS DOUBLE) / m.m) * 1000000, 0) AS BIGINT)) AS micros
+               FROM c JOIN m USING (doc_id) GROUP BY 1)
+       SELECT m.doc_id, CAST(m.m AS BIGINT) AS n_tokens,
+              coalesce(e.n_types, 0) AS n_types,
+              coalesce(e.micros, 0) AS entropy_micros,
+              CASE WHEN e.n_types > 1
+                   THEN round((CAST(e.micros AS DOUBLE) / 1000000.0) /
+                              ln(CAST(e.n_types AS DOUBLE)), 6)
+                   ELSE 0.0 END AS norm_entropy
+       FROM m LEFT JOIN e USING (doc_id)"""
+
+  // ---------------------------------------------------------------------------
+  // X69 — temperature-scaled mixture weights (Mixture.temperatureWeights,
+  // α = 0.5, budget 100k): the per-source sampling-weight table feeding
+  // upsamplePlan (x63). Enum-scale output; DuckDB re-derives the decimal
+  // normalizer and the floored expected counts exactly.
+  // ---------------------------------------------------------------------------
+  private def x69(s: SparkSession, dir: String): DataFrame =
+    Mixture.temperatureWeights(docs(s, dir), col("source"), alpha = 0.5,
+        budget = 100000L)
+      .withColumnRenamed("grp", "source")
+
+  private val x69Sql =
+    """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+         t AS (SELECT source, n_docs,
+                 CAST(round(pow(CAST(n_docs AS DOUBLE) /
+                       (SELECT CAST(sum(n_docs) AS DOUBLE) FROM c), 0.5), 6)
+                   AS DECIMAL(18,6)) AS term
+               FROM c),
+         w AS (SELECT source, n_docs,
+                 round(CAST(term AS DOUBLE) /
+                       CAST((SELECT sum(term) FROM t) AS DOUBLE), 6) AS weight
+               FROM t)
+       SELECT source, n_docs, weight,
+              CAST(floor(weight * 100000) AS BIGINT) AS expected_docs,
+              round(CAST(CAST(floor(weight * 100000) AS BIGINT) AS DOUBLE) /
+                    CAST(n_docs AS DOUBLE), 6) AS up_factor
+       FROM w"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_dedup_exact" -> x1 _,
     "x02_dedup_ngram_jaccard" -> x2 _,
@@ -2170,7 +2314,11 @@ object ExtensionQueries {
     "x62_quality_pct_rank" -> x62 _,
     "x63_upsample_plan" -> x63 _,
     "x64_random_projection" -> x64 _,
-    "x65_containment" -> x65 _
+    "x65_containment" -> x65 _,
+    "x66_importance_weights" -> x66 _,
+    "x67_bigram_lm" -> x67 _,
+    "x68_token_entropy" -> x68 _,
+    "x69_temperature_mix" -> x69 _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2233,6 +2381,10 @@ object ExtensionQueries {
     "x62_quality_pct_rank" -> x62Sql,
     "x63_upsample_plan" -> x63Sql,
     "x64_random_projection" -> x64Sql,
-    "x65_containment" -> x65Sql
+    "x65_containment" -> x65Sql,
+    "x66_importance_weights" -> x66Sql,
+    "x67_bigram_lm" -> x67Sql,
+    "x68_token_entropy" -> x68Sql,
+    "x69_temperature_mix" -> x69Sql
   )
 }

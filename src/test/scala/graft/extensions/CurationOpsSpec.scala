@@ -285,4 +285,42 @@ class CurationOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(out(2L) == ((3L, 1L, math.rint(1.0 / 3 * 1e6) / 1e6)))
     assert(!out.contains(3L)) // token-less docs are not rated
   }
+
+  private def round6(v: Double): Double =
+    BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("temperatureWeights: α=0.5 flattens, exact decimal normalizer") {
+    import spark.implicits._
+    // 8 "a" docs, 2 "b" docs
+    val df = (1L to 10L).map(i => (i, if (i <= 8) "a" else "b")).toDF("id", "g")
+    val out = Mixture.temperatureWeights(df, col("g"), alpha = 0.5,
+        budget = 100L)
+      .collect().map(r => r.getAs[String]("grp") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Double]("weight"),
+          r.getAs[Long]("expected_docs"), r.getAs[Double]("up_factor")))).toMap
+
+    // replica with the same IEEE ops + decimal normalizer
+    val termA = BigDecimal(round6(math.pow(8.0 / 10.0, 0.5)))
+    val termB = BigDecimal(round6(math.pow(2.0 / 10.0, 0.5)))
+    val s = (termA + termB).toDouble
+    val wA = round6(termA.toDouble / s)
+    val wB = round6(termB.toDouble / s)
+    assert(out("a") == ((8L, wA, math.floor(wA * 100L).toLong,
+      round6(math.floor(wA * 100L) / 8.0))))
+    assert(out("b") == ((2L, wB, math.floor(wB * 100L).toLong,
+      round6(math.floor(wB * 100L) / 2.0))))
+    // α < 1 lifts the tail above its raw share and keeps the order
+    assert(wB > 0.2 && wA < 0.8 && wA > wB)
+  }
+
+  test("temperatureWeights: α=1 is proportional, α=0 is uniform") {
+    import spark.implicits._
+    val df = (1L to 10L).map(i => (i, if (i <= 8) "a" else "b")).toDF("id", "g")
+    val prop = Mixture.temperatureWeights(df, col("g"), 1.0, 100L)
+      .collect().map(r => r.getAs[String]("grp") -> r.getAs[Double]("weight")).toMap
+    assert(prop("a") == 0.8 && prop("b") == 0.2)
+    val unif = Mixture.temperatureWeights(df, col("g"), 0.0, 100L)
+      .collect().map(r => r.getAs[String]("grp") -> r.getAs[Double]("weight")).toMap
+    assert(unif("a") == 0.5 && unif("b") == 0.5)
+  }
 }

@@ -66,4 +66,59 @@ class LanguageModelSpec extends AnyFunSuite with SparkTestSession {
     assert(!out.contains(3L)) // no query term → not scored
     assert(out(1L)._2 > out(2L)._2)
   }
+
+  test("bigramLogLikelihood: formula, short docs, interpolation weights") {
+    import spark.implicits._
+    // bigrams: doc1 "a b","b a"; doc2 "b a"; doc3 none (single token)
+    val df = Seq((1L, "a b a"), (2L, "b a"), (3L, "x")).toDF("doc_id", "text")
+    val out = LanguageModel.bigramLogLikelihood(df, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    // corpus: c("a b")=1, c("b a")=2; ctx a·=1, b·=2; unigrams a:3 b:2 x:1 / 6
+    val lam = 0.9
+    val lpAB = round6(math.log(lam * (1.0 / 1.0) + (1.0 - lam) * (2.0 / 6.0)))
+    val lpBA = round6(math.log(lam * (2.0 / 2.0) + (1.0 - lam) * (3.0 / 6.0)))
+    assert(out(1L).getLong(1) == 2)
+    assert(out(1L).getDouble(2) == (BigDecimal(lpAB) + BigDecimal(lpBA)).toDouble)
+    assert(out(1L).getDouble(3) ==
+      round6((BigDecimal(lpAB) + BigDecimal(lpBA)).toDouble / 2))
+    assert(out(2L).getLong(1) == 1)
+    assert(out(2L).getDouble(2) == BigDecimal(lpBA).toDouble)
+    // single-token doc: no full window — present, unscored
+    assert(out(3L).getLong(1) == 0)
+    assert(out(3L).isNullAt(2) && out(3L).isNullAt(3))
+  }
+
+  test("bigramLogLikelihood: identical plans on both sides of the vocab gate") {
+    import spark.implicits._
+    val df = Seq((1L, "a b a"), (2L, "b a b")).toDF("doc_id", "text")
+    val broadcastPath = LanguageModel.bigramLogLikelihood(
+      df, col("doc_id"), col("text"), maxBroadcastVocab = 1000)
+    val shufflePath = LanguageModel.bigramLogLikelihood(
+      df, col("doc_id"), col("text"), maxBroadcastVocab = 1)
+    assert(broadcastPath.except(shufflePath).isEmpty &&
+      shufflePath.except(broadcastPath).isEmpty)
+  }
+
+  test("hashedImportanceWeights: target-typical docs score higher, edges hold") {
+    import spark.implicits._
+    // "xx"-tokens live only in target docs, "yy" only in raw-side docs
+    val df = Seq(
+      (1L, "xx1 xx2 xx1", true), (2L, "xx1 xx3", true),
+      (3L, "yy1 yy2 yy1", false), (4L, "yy3 yy1", false),
+      (5L, "", false)).toDF("doc_id", "text", "tgt")
+    val out = LanguageModel.hashedImportanceWeights(
+        df, col("doc_id"), col("text"), col("tgt"), nBuckets = 64)
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    assert(out.size == 5)
+    assert(out(1L).getLong(1) == 3 && out(3L).getLong(1) == 3)
+    // token-less doc stays with null scores
+    assert(out(5L).getLong(1) == 0 && out(5L).isNullAt(2) && out(5L).isNullAt(3))
+    // target-only vocabulary must out-score raw-only vocabulary
+    assert(out(1L).getDouble(3) > out(3L).getDouble(3))
+    assert(out(2L).getDouble(3) > out(4L).getDouble(3))
+    // a doc's sum is its per-token decimal sum: avg × n round-trips
+    assert(out(1L).getDouble(3) == round6(out(1L).getDouble(2) / 3))
+  }
 }

@@ -108,6 +108,67 @@ class NativeExprEquivalenceSpec extends AnyFunSuite with SparkTestSession {
     assert(mismatches == 0)
   }
 
+  private def hofWindows(text: org.apache.spark.sql.Column, n: Int) = {
+    val toks = TextAnalysis.tokens(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  test("NgramWindows matches the HOF window formulation for n=1,2,3") {
+    for (n <- Seq(1, 2, 3)) {
+      val mismatches = docs
+        .select(graft.functions.NgramWindows
+            .ngramWindows(TextAnalysis.tokens(col("text")), n).as("native"),
+          hofWindows(col("text"), n).as("hof"))
+        .filter(col("native") =!= col("hof"))
+        .count()
+      assert(mismatches == 0, s"n=$n")
+    }
+  }
+
+  test("NgramWindows edge cases: multiplicity kept, short docs empty") {
+    val rows = spark.createDataFrame(Seq(
+      Tuple1(""), Tuple1("one"), Tuple1("a b a b a"))).toDF("text")
+    val out = rows.select(graft.functions.NgramWindows
+        .ngramWindows(TextAnalysis.tokens(col("text")), 2).as("w"))
+      .collect().map(_.getSeq[String](0))
+    assert(out(0) == Seq.empty && out(1) == Seq.empty)
+    // every position window, repeats preserved (where NGrams would dedupe)
+    assert(out(2) == Seq("a b", "b a", "a b", "b a"))
+  }
+
+  test("TokenEntropy matches the explode/groupBy replica on corpus text") {
+    val base = docs.select(monotonically_increasing_id().as("rid"), col("text"))
+      .unionAll(spark.createDataFrame(Seq(
+        (-1L, ""), (-2L, "same same same"), (-3L, "one"),
+        (-4L, "a b c d"))).toDF("rid", "text"))
+    val native = base.select(col("rid"),
+      graft.functions.TokenEntropy.tokenEntropy(TextAnalysis.tokens(col("text"))).as("e"))
+    // replica: per-(doc, type) counts, contributions rounded to integer
+    // micro-nats with the same IEEE shape, integer-summed per doc
+    val toks = base.select(col("rid"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+    val m = base.select(col("rid"), size(TextAnalysis.tokens(col("text"))).as("m"))
+    val c = toks.groupBy("rid", "tok").agg(count(lit(1)).as("c"))
+    val p = col("c").cast("double") / col("m").cast("double")
+    val replica = m.join(
+        c.join(m, Seq("rid"))
+          .groupBy("rid")
+          .agg(count(lit(1)).as("n_types"),
+            sum(round(-p * log(p) * lit(1000000.0), 0).cast("long")).as("micros")),
+        Seq("rid"), "left")
+      .select(col("rid"), col("m").cast("long").as("n_tokens"),
+        coalesce(col("n_types"), lit(0L)).as("n_types"),
+        coalesce(col("micros"), lit(0L)).as("micros"))
+    val mismatches = native
+      .select(col("rid"), col("e.n_tokens").as("n_tokens"),
+        col("e.n_types").as("n_types"), col("e.entropy_micros").as("micros"))
+      .except(replica)
+      .count()
+    assert(mismatches == 0)
+  }
+
   test("DocFingerprint64 matches the HOF formulation on corpus text + edges") {
     def hofFingerprint(text: org.apache.spark.sql.Column, shingleLen: Int, maxSamples: Int) = {
       val n = greatest(length(text) - (shingleLen - 1), lit(1))
