@@ -252,4 +252,49 @@ object LanguageModel {
         round(col("__sl").cast("double") / col("n_bigrams"), 6)
           .as("avg_logprob"))
   }
+
+  /** Per-document top-`k` keywords by smoothed tf-idf
+    * (`tf · (ln((1+N)/(1+df)) + 1)`, the sklearn smoothing so every term —
+    * even corpus-universal ones — keeps a positive weight): the
+    * no-embedding-needed document descriptor for corpus browsing, cluster
+    * labeling, and topic drift checks between snapshots.
+    *
+    * Scores are rounded to 6 dp BEFORE ranking so the (tfidf desc, term asc)
+    * order is identical across engines; `rank` is a dense per-document
+    * row_number over that order.
+    *
+    * Output: (id, term, tf, tfidf, rank), rank ≤ k.
+    *
+    * Scale shape: tf is one (doc, term) map-side-combined aggregate of the
+    * exploded scan; document frequency aggregates THE TF RELATION (term-
+    * sparse, never the raw token stream); N comes from one bounded 1-row
+    * count; the idf relation is vocabulary-sized and joins under the same
+    * measured broadcast-vs-shuffle_hash gate as [[unigramLogLikelihood]].
+    * The ranking window partitions by document — bounded by per-doc distinct
+    * terms, never a global sort.
+    */
+  def tfIdfTopTerms(df: DataFrame, id: Column, text: Column, k: Int,
+      maxBroadcastVocab: Long = 4000000L): DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    val tf = df.select(id.as("id"), explode(TextAnalysis.tokens(text)).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = false)
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("__df")).localCheckpoint()
+    val nVocab = dfreq.count()
+    // bounded: 1-row corpus size for the idf numerator
+    val nDocs = df.select(count(lit(1))).first().getLong(0)
+    val idf = dfreq.select(col("term"),
+      (log((lit(1.0) + lit(nDocs.toDouble)) / (lit(1.0) + col("__df").cast("double")))
+        + lit(1.0)).as("__idf"))
+    val mark: DataFrame => DataFrame =
+      if (nVocab <= maxBroadcastVocab) broadcast
+      else d => d.hint("shuffle_hash")
+    val scored = tf.join(mark(idf), Seq("term"))
+      .withColumn("tfidf", round(col("tf").cast("double") * col("__idf"), 6))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("id", "term", "tf", "tfidf", "rank")
+  }
 }

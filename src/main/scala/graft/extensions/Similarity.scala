@@ -375,4 +375,37 @@ object Similarity {
       .select(col("id"), col("label"),
         round(cosine(col("__v"), col("proto")), 6).as("sim"))
   }
+
+  /** Full SemDeDup (Abbas et al. 2023): embedding-space near-duplicate
+    * DEDUP, not just the pair relation — [[nearDupPairs]] candidates within
+    * a blocking key (label here; an LSH bucket or IVF cell at scale) →
+    * connected components → ONE survivor per semantic cluster. The election
+    * is the paper's: within a duplicate cluster, KEEP the row with the
+    * LOWEST cosine to its block's prototype (the most diverse exemplar —
+    * near-centroid copies are the redundant ones), ties to the lower id.
+    *
+    * Composition: the prototype keep-key comes from [[labelPrototypes]]
+    * (DECIMAL-exact sums, broadcast back — the corpus is never shuffled for
+    * it) and the cluster machinery is [[graft.extensions.Dedup.resolveClusters]]
+    * (pointer-jumping components, measured window↔groupBy skew gate), so
+    * this operator inherits every scale property already proven for the
+    * text near-dup path. The only corpus-scale movement is the blocked
+    * pair self-join — identical shape to x11's.
+    *
+    * Output: every input row + `component`, `proto_sim`, `cluster_size`,
+    * `is_survivor`.
+    */
+  def semanticDedup(df: DataFrame, block: Column, threshold: Double): DataFrame = {
+    val protos = labelPrototypes(df, block, col("embedding"))
+      .withColumnRenamed("label", "__block")
+    val withKeep = df
+      .withColumn("__block", block)
+      .join(broadcast(protos), Seq("__block"))
+      .withColumn("proto_sim",
+        round(cosine(transform(col("embedding"), _.cast("double")), col("proto")), 6))
+      .drop("proto")
+    val pairs = nearDupPairs(df, block, threshold).select("id_a", "id_b")
+    Dedup.resolveClusters(withKeep, col("vec_id"), col("proto_sim"), pairs)
+      .drop("__block")
+  }
 }

@@ -338,4 +338,56 @@ object TextAnalysis {
       .withColumn("oov_rate",
         round(col("n_oov").cast("double") / col("n_tokens"), 6))
   }
+
+  /** Gopher/C4-style heuristic filter rules (Rae et al. 2021 §A1.1;
+    * Raffel et al. 2020 §2.2) as per-document boolean flags plus the overall
+    * verdict — the rule-based first stage of every web-corpus funnel, kept
+    * separate from the continuous [[qualityScore]] so pipelines can report
+    * WHICH rule rejected a document, not just a low score.
+    *
+    * Every ratio threshold is evaluated in INTEGER cross-multiplied form
+    * (`bullets·10 ≤ lines·9` instead of `bullets/lines ≤ 0.9`) — bit-stable
+    * across engines, no float division anywhere:
+    *  - `r_word_count`: 50 ≤ words ≤ 100000 (Gopher)
+    *  - `r_mean_word_len`: 3 ≤ non-space chars / words ≤ 10 (Gopher)
+    *  - `r_symbol_ratio`: (#`#` + #`…`) · 10 < words (Gopher, < 0.1)
+    *  - `r_bullet_ratio`: bullet-started lines · 10 ≤ lines · 9 (Gopher)
+    *  - `r_ellipsis_ratio`: `…`/`...`-ended lines · 10 ≤ lines · 3 (Gopher)
+    *  - `r_alpha_ratio`: tokens containing a letter · 10 ≥ tokens · 8 (Gopher)
+    *  - `r_terminal_punct`: lines ending in `.!?"'` · 2 ≥ lines (C4-ish)
+    *  - `r_no_lorem`: no `lorem ipsum` (C4)
+    *  - `r_no_brace`: no `{` (C4)
+    * Token-less documents fail every ratio rule. `passes` = AND of all nine.
+    *
+    * Scale shape: pure scan-local Column arithmetic — string/HOF expressions
+    * only, no explode, no shuffle, no state; the flags travel with the row
+    * into whatever funnel stage consumes them.
+    */
+  def heuristicRules(text: Column): Column = {
+    val words = tokenCountWs(text).cast("long")
+    val nsChars = length(regexp_replace(text, "\\s+", "")).cast("long")
+    val lines = filter(split(text, "\n"), l => trim(l) =!= "")
+    val nLines = size(lines).cast("long")
+    val bullets = size(filter(lines, l => trim(l).rlike("^[-*•]"))).cast("long")
+    val ellipsis = size(filter(lines,
+      l => trim(l).rlike("(\\.\\.\\.|…)$"))).cast("long")
+    val terminal = size(filter(lines,
+      l => trim(l).rlike("[.!?\"']$"))).cast("long")
+    val alphaToks = size(filter(tokens(text), t => t.rlike("[a-z]"))).cast("long")
+    val symbols = ((length(text) - length(regexp_replace(text, "#", ""))) +
+      (length(text) - length(regexp_replace(text, "…", "")))).cast("long")
+    val lower_ = lower(text)
+    struct(
+      words.as("n_words"),
+      (words >= 50L && words <= 100000L).as("r_word_count"),
+      (words > 0L && nsChars >= words * 3L && nsChars <= words * 10L)
+        .as("r_mean_word_len"),
+      (words > 0L && symbols * 10L < words).as("r_symbol_ratio"),
+      (nLines > 0L && bullets * 10L <= nLines * 9L).as("r_bullet_ratio"),
+      (nLines > 0L && ellipsis * 10L <= nLines * 3L).as("r_ellipsis_ratio"),
+      (words > 0L && alphaToks * 10L >= words * 8L).as("r_alpha_ratio"),
+      (nLines > 0L && terminal * 2L >= nLines).as("r_terminal_punct"),
+      (!lower_.contains("lorem ipsum")).as("r_no_lorem"),
+      (!lower_.contains("{")).as("r_no_brace"))
+  }
 }

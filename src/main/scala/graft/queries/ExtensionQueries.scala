@@ -2249,6 +2249,186 @@ object ExtensionQueries {
                     CAST(n_docs AS DOUBLE), 6) AS up_factor
        FROM w"""
 
+  // ---------------------------------------------------------------------------
+  // X70 — full SemDeDup (Similarity.semanticDedup): x11's embedding near-dup
+  // pairs → connected components → one survivor per semantic cluster, elected
+  // as the row with the LOWEST prototype cosine (most diverse exemplar; ties
+  // to the lower id). The oracle re-derives the pairs (x11), the transitive
+  // closure (x24's recursive CTE), the DECIMAL-exact prototypes (x37), and
+  // the election, all from scratch.
+  // ---------------------------------------------------------------------------
+  private def x70(s: SparkSession, dir: String): DataFrame =
+    Similarity.semanticDedup(embeds(s, dir), col("label"), threshold = 0.3)
+      .select(col("vec_id"), col("label"), col("proto_sim"), col("component"),
+        col("cluster_size"), col("is_survivor"))
+
+  private val x70Sql =
+    """WITH RECURSIVE e AS (
+         SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       p AS (
+         SELECT * FROM (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                  round(CASE WHEN list_dot_product(a.v,a.v) = 0 OR list_dot_product(b.v,b.v) = 0 THEN 0
+                        ELSE list_dot_product(a.v,b.v) /
+                             (sqrt(list_dot_product(a.v,a.v)) * sqrt(list_dot_product(b.v,b.v))) END, 6) AS sim
+           FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+         WHERE sim >= 0.3),
+       edges AS (SELECT id_a AS src, id_b AS dst FROM p
+                 UNION SELECT id_b AS src, id_a AS dst FROM p),
+       reach(src, dst) AS (
+         SELECT src, dst FROM edges
+         UNION
+         SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src),
+       comp AS (SELECT src AS vec_id, least(src, min(dst)) AS component
+                FROM reach GROUP BY src),
+       ex AS (
+         SELECT vec_id, label, dim,
+                CAST(CAST(embedding[dim] AS VARCHAR) AS DECIMAL(20,10)) AS vd
+         FROM (SELECT vec_id, label, embedding,
+                      unnest(range(1, len(embedding) + 1)) AS dim
+               FROM embeddings)),
+       cent AS (SELECT label, dim, sum(vd) AS sv FROM ex GROUP BY 1, 2),
+       cvec AS (SELECT label, array_agg(CAST(sv AS DOUBLE) ORDER BY dim) AS proto
+                FROM cent GROUP BY 1),
+       ps AS (
+         SELECT emb.vec_id, emb.label,
+                round(CASE WHEN list_dot_product(CAST(emb.embedding AS DOUBLE[]),
+                                                 CAST(emb.embedding AS DOUBLE[])) = 0
+                            OR list_dot_product(c.proto, c.proto) = 0 THEN 0
+                      ELSE list_dot_product(CAST(emb.embedding AS DOUBLE[]), c.proto) /
+                           (sqrt(list_dot_product(CAST(emb.embedding AS DOUBLE[]),
+                                                  CAST(emb.embedding AS DOUBLE[]))) *
+                            sqrt(list_dot_product(c.proto, c.proto))) END, 6) AS proto_sim
+         FROM embeddings emb JOIN cvec c USING (label)),
+       tagged AS (
+         SELECT ps.vec_id, ps.label, ps.proto_sim,
+                coalesce(comp.component, ps.vec_id) AS component
+         FROM ps LEFT JOIN comp USING (vec_id))
+       SELECT vec_id, label, proto_sim, component,
+              count(*) OVER (PARTITION BY component) AS cluster_size,
+              row_number() OVER (PARTITION BY component
+                ORDER BY proto_sim, vec_id) = 1 AS is_survivor
+       FROM tagged"""
+
+  // ---------------------------------------------------------------------------
+  // X71 — per-document top-5 tf-idf keywords (LanguageModel.tfIdfTopTerms,
+  // sklearn-smoothed idf). Scores rounded to 6 dp BEFORE the (tfidf desc,
+  // term asc) ranking so the order is engine-identical.
+  // ---------------------------------------------------------------------------
+  private def x71(s: SparkSession, dir: String): DataFrame =
+    LanguageModel.tfIdfTopTerms(docs(s, dir), col("doc_id"), col("text"), k = 5)
+      .select(col("id").as("doc_id"), col("term"), col("tf"),
+        col("tfidf"), col("rank").cast("long").as("rank"))
+
+  private val x71Sql =
+    """WITH t AS (SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+         dfr AS (SELECT term, count(*) AS dfreq FROM tf GROUP BY 1),
+         n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+         s AS (SELECT tf.doc_id, tf.term, tf.tf,
+                 round(CAST(tf.tf AS DOUBLE) *
+                       (ln((1.0 + (SELECT nd FROM n)) / (1.0 + CAST(dfr.dfreq AS DOUBLE))) + 1.0),
+                       6) AS tfidf
+               FROM tf JOIN dfr USING (term))
+       SELECT doc_id, term, tf, tfidf, rank FROM (
+         SELECT *, row_number() OVER (PARTITION BY doc_id
+                     ORDER BY tfidf DESC, term) AS rank
+         FROM s)
+       WHERE rank <= 5"""
+
+  // ---------------------------------------------------------------------------
+  // X72 — Gopher/C4 heuristic filter rules (TextAnalysis.heuristicRules):
+  // nine per-document boolean flags + the AND verdict. Every ratio threshold
+  // is integer cross-multiplied on both sides — no float division anywhere,
+  // bit-stable by construction.
+  // ---------------------------------------------------------------------------
+  private def x72(s: SparkSession, dir: String): DataFrame = {
+    val r = col("__r")
+    val flags = Seq("r_word_count", "r_mean_word_len", "r_symbol_ratio",
+      "r_bullet_ratio", "r_ellipsis_ratio", "r_alpha_ratio",
+      "r_terminal_punct", "r_no_lorem", "r_no_brace")
+    docs(s, dir)
+      .withColumn("__r", TextAnalysis.heuristicRules(col("text")))
+      .select(col("doc_id") +: r.getField("n_words").as("n_words") +:
+        flags.map(f => r.getField(f).as(f)) :+
+        flags.map(f => r.getField(f)).reduce(_ && _).as("passes"): _*)
+  }
+
+  private val x72Sql =
+    """WITH b AS (
+         SELECT doc_id,
+                CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS BIGINT) AS words,
+                CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS ns_chars,
+                CAST(len(list_filter(string_split(text, chr(10)), l -> trim(l) <> '')) AS BIGINT) AS n_lines,
+                CAST(len(list_filter(string_split(text, chr(10)),
+                      l -> trim(l) <> '' AND regexp_matches(trim(l), '^[-*•]'))) AS BIGINT) AS bullets,
+                CAST(len(list_filter(string_split(text, chr(10)),
+                      l -> trim(l) <> '' AND regexp_matches(trim(l), '(\.\.\.|…)$'))) AS BIGINT) AS ellipsis,
+                CAST(len(list_filter(string_split(text, chr(10)),
+                      l -> trim(l) <> '' AND regexp_matches(trim(l), '[.!?"'']$'))) AS BIGINT) AS terminal,
+                CAST(len(list_filter(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> ''),
+                      t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS alpha_toks,
+                CAST((length(text) - length(replace(text, '#', ''))) +
+                     (length(text) - length(replace(text, '…', ''))) AS BIGINT) AS symbols,
+                contains(lower(text), 'lorem ipsum') AS has_lorem,
+                contains(lower(text), '{') AS has_brace
+         FROM documents)
+       SELECT doc_id, words AS n_words,
+              words >= 50 AND words <= 100000 AS r_word_count,
+              words > 0 AND ns_chars >= words * 3 AND ns_chars <= words * 10 AS r_mean_word_len,
+              words > 0 AND symbols * 10 < words AS r_symbol_ratio,
+              n_lines > 0 AND bullets * 10 <= n_lines * 9 AS r_bullet_ratio,
+              n_lines > 0 AND ellipsis * 10 <= n_lines * 3 AS r_ellipsis_ratio,
+              words > 0 AND alpha_toks * 10 >= words * 8 AS r_alpha_ratio,
+              n_lines > 0 AND terminal * 2 >= n_lines AS r_terminal_punct,
+              NOT has_lorem AS r_no_lorem,
+              NOT has_brace AS r_no_brace,
+              (words >= 50 AND words <= 100000)
+                AND (words > 0 AND ns_chars >= words * 3 AND ns_chars <= words * 10)
+                AND (words > 0 AND symbols * 10 < words)
+                AND (n_lines > 0 AND bullets * 10 <= n_lines * 9)
+                AND (n_lines > 0 AND ellipsis * 10 <= n_lines * 3)
+                AND (words > 0 AND alpha_toks * 10 >= words * 8)
+                AND (n_lines > 0 AND terminal * 2 >= n_lines)
+                AND NOT has_lorem AND NOT has_brace AS passes
+       FROM b"""
+
+  // ---------------------------------------------------------------------------
+  // X73 — per-user session table (ops/Sessionize, 30-min gap): unlike x16
+  // (the built-in session_window aggregated per event_type), this
+  // materializes session IDENTITY — 1-based per-user session_idx, epoch-µs
+  // bounds, floor-second duration, distinct-type composition. All gap and
+  // duration arithmetic is integer microseconds; DuckDB truncates the
+  // parquet ns timestamps to µs exactly like the engine's `div 1000`.
+  // ---------------------------------------------------------------------------
+  private def x73(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sessionize.sessions(ParityQueries.events(s, dir),
+        col("user_id"), col("ts"), col("event_id"), gapSeconds = 1800L,
+        col("event_type"), col("value"))
+      .withColumnRenamed("key", "user_id")
+
+  private val x73Sql =
+    """WITH o AS (
+         SELECT user_id, event_id, event_type, "value",
+                epoch_us(CAST(ts AS TIMESTAMP)) AS us
+         FROM events),
+       f AS (
+         SELECT *, CASE WHEN lag(us) OVER w IS NULL
+                          OR us - lag(us) OVER w > 1800 * 1000000 THEN 1 ELSE 0 END AS new_s
+         FROM o WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+       sess AS (
+         SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+         FROM f)
+       SELECT user_id, session_idx, count(*) AS n_events,
+              min(us) AS start_us, max(us) AS end_us,
+              (max(us) - min(us)) // 1000000 AS duration_s,
+              count(DISTINCT event_type) AS n_event_types,
+              round(sum("value"), 4) AS sum_value
+       FROM sess GROUP BY 1, 2"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_dedup_exact" -> x1 _,
     "x02_dedup_ngram_jaccard" -> x2 _,
@@ -2318,7 +2498,11 @@ object ExtensionQueries {
     "x66_importance_weights" -> x66 _,
     "x67_bigram_lm" -> x67 _,
     "x68_token_entropy" -> x68 _,
-    "x69_temperature_mix" -> x69 _
+    "x69_temperature_mix" -> x69 _,
+    "x70_semantic_dedup" -> x70 _,
+    "x71_tfidf_keywords" -> x71 _,
+    "x72_heuristic_rules" -> x72 _,
+    "x73_user_sessions" -> x73 _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2385,6 +2569,10 @@ object ExtensionQueries {
     "x66_importance_weights" -> x66Sql,
     "x67_bigram_lm" -> x67Sql,
     "x68_token_entropy" -> x68Sql,
-    "x69_temperature_mix" -> x69Sql
+    "x69_temperature_mix" -> x69Sql,
+    "x70_semantic_dedup" -> x70Sql,
+    "x71_tfidf_keywords" -> x71Sql,
+    "x72_heuristic_rules" -> x72Sql,
+    "x73_user_sessions" -> x73Sql
   )
 }

@@ -121,4 +121,33 @@ class LanguageModelSpec extends AnyFunSuite with SparkTestSession {
     // a doc's sum is its per-token decimal sum: avg × n round-trips
     assert(out(1L).getDouble(3) == round6(out(1L).getDouble(2) / 3))
   }
+
+  test("tfIdfTopTerms: sklearn-smoothed formula, rank order, k cap") {
+    import spark.implicits._
+    val df = Seq((1L, "a a b"), (2L, "a c"), (3L, "b")).toDF("doc_id", "text")
+    val out = LanguageModel.tfIdfTopTerms(df, col("doc_id"), col("text"), k = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getInt(4))).toMap
+    def tfidf(tf: Long, dfreq: Long): Double =
+      round6(tf * (math.log(4.0 / (1.0 + dfreq)) + 1.0)) // N = 3 docs
+    // doc 1: a (tf 2, df 2) beats b (tf 1, df 2)
+    assert(out((1L, "a")) == ((2L, tfidf(2, 2), 1)))
+    assert(out((1L, "b")) == ((1L, tfidf(1, 2), 2)))
+    // doc 2: c is rarer (df 1) than a (df 2) → c ranks first
+    assert(out((2L, "c"))._3 == 1 && out((2L, "a"))._3 == 2)
+    assert(out((2L, "c"))._2 == tfidf(1, 1))
+    assert(out((3L, "b")) == ((1L, tfidf(1, 2), 1)))
+    assert(out.size == 5) // k=2 cap: no doc emits more than 2 terms
+  }
+
+  test("tfIdfTopTerms: equal tfidf ties break by term; empty docs emit nothing") {
+    import spark.implicits._
+    val df = Seq((1L, "z q"), (2L, ""), (3L, "z q")).toDF("doc_id", "text")
+    val out = LanguageModel.tfIdfTopTerms(df, col("doc_id"), col("text"), k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(4)) -> r.getString(1)).toMap
+    // z and q have identical (tf, df) → identical tfidf → term asc order
+    assert(out((1L, 1)) == "q" && out((1L, 2)) == "z")
+    assert(out((3L, 1)) == "q" && out((3L, 2)) == "z")
+    assert(!out.keySet.exists(_._1 == 2L))
+  }
 }
