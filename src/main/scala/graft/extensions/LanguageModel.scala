@@ -297,4 +297,58 @@ object LanguageModel {
       .filter(col("rank") <= k)
       .select("id", "term", "tf", "tfidf", "rank")
   }
+
+  /** Corpus-wide top-`topK` collocations by pointwise mutual information:
+    * adjacent bigrams occurring ≥ `minCount` times, scored
+    * `pmi = ln((c_ab/N_bi) / ((c_a/N_uni)·(c_b/N_uni)))` — the classic
+    * collocation extractor (Church & Hanks 1990) for fixed-phrase detection,
+    * tokenizer-merge candidates, and templated-text diagnosis (a corpus
+    * whose top PMI list is navigation chrome is a boilerplate problem).
+    *
+    * `minCount` is the standard PMI sparsity guard: a hapax bigram of two
+    * hapax unigrams scores ln(N_uni²/N_bi) — spectacular and meaningless.
+    * Scores are rounded to 6 dp and the (pmi desc, bigram asc) order is
+    * total, so the top-k boundary is engine-deterministic.
+    *
+    * Output: (bigram, n_pair, n_left, n_right, pmi), the top `topK` rows.
+    *
+    * Scale shape: bigrams come from the native codegen'd
+    * [[graft.functions.NgramWindows]] scan; both count relations are
+    * vocabulary-scale and join shuffle_hash on the token (stat-less
+    * checkpoints would sort-merge unhinted); corpus totals are two bounded
+    * 1-row aggregates of the SAME scan shape; the global top-k is a
+    * TakeOrdered over the minCount-filtered (hence sparse) scored relation —
+    * no single-partition window, no full sort.
+    */
+  def pmiCollocations(df: DataFrame, text: Column, minCount: Long = 5L,
+      topK: Int = 100): DataFrame = {
+    require(minCount >= 1, "minCount must be at least 1")
+    require(topK >= 1, "topK must be at least 1")
+    val bg = df.select(
+      explode(graft.functions.NgramWindows.ngramWindows(TextAnalysis.tokens(text), 2))
+        .as("bigram"))
+    val bgFreq = bg.groupBy("bigram").agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+    val uniFreq = df.select(explode(TextAnalysis.tokens(text)).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("__cu"))
+    // bounded: two 1-row corpus totals (tokens; adjacent-bigram positions)
+    val totals = df.select(
+        sum(size(TextAnalysis.tokens(text))).as("u"),
+        sum(greatest(size(TextAnalysis.tokens(text)) - 1, lit(0))).as("b"))
+      .first()
+    val nUni = totals.getLong(0).toDouble
+    val nBi = totals.getLong(1).toDouble
+    bgFreq
+      .join(uniFreq.hint("shuffle_hash").select(col("tok"), col("__cu").as("n_left")),
+        substring_index(col("bigram"), " ", 1) === col("tok")).drop("tok")
+      .join(uniFreq.hint("shuffle_hash").select(col("tok"), col("__cu").as("n_right")),
+        substring_index(col("bigram"), " ", -1) === col("tok")).drop("tok")
+      .withColumn("pmi", round(log(
+        (col("n_pair").cast("double") / lit(nBi)) /
+          ((col("n_left").cast("double") / lit(nUni)) *
+           (col("n_right").cast("double") / lit(nUni)))), 6))
+      .orderBy(col("pmi").desc, col("bigram").asc)
+      .limit(topK)
+      .select("bigram", "n_pair", "n_left", "n_right", "pmi")
+  }
 }

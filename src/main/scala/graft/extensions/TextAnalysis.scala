@@ -390,4 +390,70 @@ object TextAnalysis {
       (!lower_.contains("lorem ipsum")).as("r_no_lorem"),
       (!lower_.contains("{")).as("r_no_brace"))
   }
+
+  /** Per-LINE language agreement with the document-level [[languageId]] —
+    * the mixed-language detector: a document whose body is English but whose
+    * boilerplate third is French passes doc-level lang-ID and still poisons
+    * a monolingual corpus. Units are non-blank lines; each gets the same
+    * stopword-argmax verdict as the document.
+    *
+    * Output per row: `doc_lang`, `n_units`, `n_match` (units agreeing with
+    * `doc_lang`), `n_und` (units with no stopword evidence),
+    * `consistency` = n_match/n_units rounded to 6 dp (0 for line-less docs),
+    * `is_mixed` — integer cross-multiplied `n_match·5 < n_units·4`
+    * (consistency < 0.8, no float compare) over documents with ≥ 2 units.
+    *
+    * Scale shape: entirely scan-local — the line split, per-line language
+    * ladder, and agreement counts are all array HOFs over the row's own
+    * text (bounded by document size, like every whole-doc operator here);
+    * no explode, no join, no shuffle of any kind.
+    */
+  def langConsistency(df: org.apache.spark.sql.DataFrame, id: Column,
+      text: Column): org.apache.spark.sql.DataFrame = {
+    val docLang = languageId(text)
+    val lineArr = filter(split(text, "\n"), l => trim(l) =!= "")
+    val langs = transform(lineArr, l => languageId(l))
+    df.select(id.as("id"), docLang.as("doc_lang"),
+        size(lineArr).cast("long").as("n_units"),
+        size(filter(langs, lg => lg === docLang)).cast("long").as("n_match"),
+        size(filter(langs, lg => lg === "und")).cast("long").as("n_und"))
+      .withColumn("consistency",
+        when(col("n_units") > 0,
+          round(col("n_match").cast("double") / col("n_units").cast("double"), 6))
+          .otherwise(0.0))
+      .withColumn("is_mixed",
+        col("n_units") >= 2L && col("n_match") * 5L < col("n_units") * 4L)
+  }
+
+  /** Per-group rule-pass profile over [[heuristicRules]]: docs, passes,
+    * pass rate, and the 95% Wilson LOWER bound on the pass rate — the
+    * ranking statistic that does not reward tiny sources for lucky small
+    * samples (a 3/3 source must rank below a 9500/10000 source). The bound
+    * uses the standard z = 1.96 closed form; every input is an exact
+    * integer count, so the double math is deterministic, and both the rate
+    * and the bound are rounded to 6 dp.
+    *
+    * Scale shape: rule flags are scan-local Columns; the profile is ONE
+    * map-side-combinable groupBy on the group key — enum-scale output, no
+    * join, no window, nothing quadratic.
+    */
+  def ruleProfile(df: org.apache.spark.sql.DataFrame, group: Column,
+      text: Column): org.apache.spark.sql.DataFrame = {
+    val r = heuristicRules(text)
+    val flagNames = Seq("r_word_count", "r_mean_word_len", "r_symbol_ratio",
+      "r_bullet_ratio", "r_ellipsis_ratio", "r_alpha_ratio",
+      "r_terminal_punct", "r_no_lorem", "r_no_brace")
+    val passes = flagNames.map(f => r.getField(f)).reduce(_ && _)
+    val agg = df.select(group.as("group"), when(passes, 1L).otherwise(0L).as("__p"))
+      .groupBy("group").agg(count(lit(1)).as("n_docs"), sum(col("__p")).as("n_pass"))
+    val n = col("n_docs").cast("double")
+    val p = col("n_pass").cast("double") / n
+    val z2 = lit(1.96) * lit(1.96)
+    val lower = (p + z2 / (lit(2.0) * n) -
+      lit(1.96) * sqrt(p * (lit(1.0) - p) / n + z2 / (lit(4.0) * n * n))) /
+      (lit(1.0) + z2 / n)
+    agg.select(col("group"), col("n_docs"), col("n_pass"),
+      round(p, 6).as("pass_rate"),
+      round(lower, 6).as("wilson_lower"))
+  }
 }

@@ -2429,6 +2429,190 @@ object ExtensionQueries {
               round(sum("value"), 4) AS sum_value
        FROM sess GROUP BY 1, 2"""
 
+  // ---------------------------------------------------------------------------
+  // X74 — PMI collocations (LanguageModel.pmiCollocations, minCount 5,
+  // top 100): corpus-wide fixed-phrase extraction. The (pmi desc, bigram)
+  // order is total after 6-dp rounding, so the top-k boundary is
+  // engine-deterministic; DuckDB re-derives every count and the same
+  // division shape.
+  // ---------------------------------------------------------------------------
+  private def x74(s: SparkSession, dir: String): DataFrame =
+    LanguageModel.pmiCollocations(docs(s, dir), col("text"), minCount = 5L,
+      topK = 100)
+
+  private val x74Sql =
+    """WITH base AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+           FROM documents),
+         bg AS (SELECT unnest(list_transform(range(1, len(toks)),
+                  i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+                FROM base WHERE len(toks) >= 2),
+         bf AS (SELECT bigram, count(*) AS n_pair FROM bg GROUP BY 1
+                HAVING count(*) >= 5),
+         uf AS (SELECT tok, count(*) AS cu
+                FROM (SELECT unnest(toks) AS tok FROM base) GROUP BY 1),
+         tot AS (SELECT CAST(sum(len(toks)) AS DOUBLE) AS nuni,
+                        CAST(sum(greatest(len(toks) - 1, 0)) AS DOUBLE) AS nbi
+                 FROM base)
+       SELECT bf.bigram, bf.n_pair, l.cu AS n_left, r.cu AS n_right,
+              round(ln((CAST(bf.n_pair AS DOUBLE) / (SELECT nbi FROM tot)) /
+                       ((CAST(l.cu AS DOUBLE) / (SELECT nuni FROM tot)) *
+                        (CAST(r.cu AS DOUBLE) / (SELECT nuni FROM tot)))), 6) AS pmi
+       FROM bf
+       JOIN uf l ON split_part(bf.bigram, ' ', 1) = l.tok
+       JOIN uf r ON split_part(bf.bigram, ' ', 2) = r.tok
+       ORDER BY pmi DESC, bf.bigram
+       LIMIT 100"""
+
+  // ---------------------------------------------------------------------------
+  // X75 — per-line language agreement (TextAnalysis.langConsistency): the
+  // mixed-language detector. Scan-local HOFs on the engine side; the oracle
+  // re-runs the x07 stopword ladder per line via unnest + join.
+  // ---------------------------------------------------------------------------
+  private def x75(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.langConsistency(docs(s, dir), col("doc_id"), col("text"))
+      .withColumnRenamed("id", "doc_id")
+
+  private val x75Sql =
+    """WITH langof AS (
+         SELECT doc_id, line_no, line,
+           CASE WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                WHEN s_es > 0 AND s_es >= s_fr THEN 'es'
+                WHEN s_fr > 0 THEN 'fr'
+                ELSE 'und' END AS lang
+         FROM (
+           SELECT doc_id, line_no, line,
+             len(list_filter(toks, t -> list_contains(['the','and','of','to','a','is','in','it','that','for'], t))) AS s_en,
+             len(list_filter(toks, t -> list_contains(['el','la','de','que','y','en','un','es','los','del'], t))) AS s_es,
+             len(list_filter(toks, t -> list_contains(['le','la','de','et','un','est','en','du','les','des'], t))) AS s_fr
+           FROM (
+             SELECT doc_id, line_no, line,
+               list_filter(regexp_split_to_array(lower(line), '\s+'), x -> x <> '') AS toks
+             FROM (
+               SELECT doc_id,
+                 generate_subscripts(list_filter(string_split(text, chr(10)), l -> trim(l) <> ''), 1) AS line_no,
+                 unnest(list_filter(string_split(text, chr(10)), l -> trim(l) <> '')) AS line
+               FROM documents)))),
+       doclang AS (
+         SELECT doc_id,
+           CASE WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                WHEN s_es > 0 AND s_es >= s_fr THEN 'es'
+                WHEN s_fr > 0 THEN 'fr'
+                ELSE 'und' END AS doc_lang
+         FROM (
+           SELECT doc_id,
+             len(list_filter(toks, t -> list_contains(['the','and','of','to','a','is','in','it','that','for'], t))) AS s_en,
+             len(list_filter(toks, t -> list_contains(['el','la','de','que','y','en','un','es','los','del'], t))) AS s_es,
+             len(list_filter(toks, t -> list_contains(['le','la','de','et','un','est','en','du','les','des'], t))) AS s_fr
+           FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+                 FROM documents))),
+       agg AS (
+         SELECT l.doc_id, count(*) AS n_units,
+                sum(CASE WHEN l.lang = d.doc_lang THEN 1 ELSE 0 END) AS n_match,
+                sum(CASE WHEN l.lang = 'und' THEN 1 ELSE 0 END) AS n_und
+         FROM langof l JOIN doclang d USING (doc_id) GROUP BY 1)
+       SELECT d.doc_id, d.doc_lang,
+              coalesce(a.n_units, 0) AS n_units,
+              coalesce(a.n_match, 0) AS n_match,
+              coalesce(a.n_und, 0) AS n_und,
+              CASE WHEN coalesce(a.n_units, 0) > 0
+                   THEN round(CAST(a.n_match AS DOUBLE) / CAST(a.n_units AS DOUBLE), 6)
+                   ELSE 0.0 END AS consistency,
+              coalesce(a.n_units, 0) >= 2 AND
+                coalesce(a.n_match, 0) * 5 < coalesce(a.n_units, 0) * 4 AS is_mixed
+       FROM doclang d LEFT JOIN agg a USING (doc_id)"""
+
+  // ---------------------------------------------------------------------------
+  // X76 — per-source heuristic-rule profile with the 95% Wilson lower bound
+  // (TextAnalysis.ruleProfile): the curation dashboard row that ranks
+  // sources by filter pass rate without rewarding lucky small samples. The
+  // Wilson expression is written with the identical operation shape on both
+  // engines (1.96·1.96 as a product, never 3.8416).
+  // ---------------------------------------------------------------------------
+  private def x76(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.ruleProfile(docs(s, dir), col("source"), col("text"))
+      .withColumnRenamed("group", "source")
+
+  private val x76Sql =
+    """WITH b AS (
+         SELECT source,
+                CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS BIGINT) AS words,
+                CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS ns_chars,
+                CAST(len(list_filter(string_split(text, chr(10)), l -> trim(l) <> '')) AS BIGINT) AS n_lines,
+                CAST(len(list_filter(string_split(text, chr(10)),
+                      l -> trim(l) <> '' AND regexp_matches(trim(l), '^[-*•]'))) AS BIGINT) AS bullets,
+                CAST(len(list_filter(string_split(text, chr(10)),
+                      l -> trim(l) <> '' AND regexp_matches(trim(l), '(\.\.\.|…)$'))) AS BIGINT) AS ellipsis,
+                CAST(len(list_filter(string_split(text, chr(10)),
+                      l -> trim(l) <> '' AND regexp_matches(trim(l), '[.!?"'']$'))) AS BIGINT) AS terminal,
+                CAST(len(list_filter(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> ''),
+                      t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS alpha_toks,
+                CAST((length(text) - length(replace(text, '#', ''))) +
+                     (length(text) - length(replace(text, '…', ''))) AS BIGINT) AS symbols,
+                contains(lower(text), 'lorem ipsum') AS has_lorem,
+                contains(lower(text), '{') AS has_brace
+         FROM documents),
+       p AS (
+         SELECT source,
+                CASE WHEN (words >= 50 AND words <= 100000)
+                      AND (words > 0 AND ns_chars >= words * 3 AND ns_chars <= words * 10)
+                      AND (words > 0 AND symbols * 10 < words)
+                      AND (n_lines > 0 AND bullets * 10 <= n_lines * 9)
+                      AND (n_lines > 0 AND ellipsis * 10 <= n_lines * 3)
+                      AND (words > 0 AND alpha_toks * 10 >= words * 8)
+                      AND (n_lines > 0 AND terminal * 2 >= n_lines)
+                      AND NOT has_lorem AND NOT has_brace
+                     THEN 1 ELSE 0 END AS pass
+         FROM b),
+       agg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                      CAST(sum(pass) AS BIGINT) AS n_pass
+               FROM p GROUP BY 1)
+       SELECT source, n_docs, n_pass,
+              round(CAST(n_pass AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS pass_rate,
+              round(
+                (CAST(n_pass AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                  + (1.96 * 1.96) / (2.0 * CAST(n_docs AS DOUBLE))
+                  - 1.96 * sqrt((CAST(n_pass AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                      * (1.0 - CAST(n_pass AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                      / CAST(n_docs AS DOUBLE)
+                    + (1.96 * 1.96) / (4.0 * CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE))))
+                / (1.0 + (1.96 * 1.96) / CAST(n_docs AS DOUBLE)), 6) AS wilson_lower
+       FROM agg"""
+
+  // ---------------------------------------------------------------------------
+  // X77 — event funnel view → click → purchase within 24 h (ops/Funnel):
+  // greedy-earliest ordered-sequence matching, one min-aggregate + hinted
+  // hash join per step on the step-sparse stream. All times epoch-µs
+  // integers (DuckDB ns→µs truncation ≡ the engine, per x73).
+  // ---------------------------------------------------------------------------
+  private def x77(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Funnel.funnel(ParityQueries.events(s, dir), col("user_id"),
+        col("ts"), col("event_type"), Seq("view", "click", "purchase"),
+        horizonSeconds = Some(86400L))
+      .withColumnRenamed("key", "user_id")
+
+  private val x77Sql =
+    """WITH se AS (
+         SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type
+         FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+       s1 AS (SELECT user_id, min(us) AS t1 FROM se
+              WHERE event_type = 'view' GROUP BY 1),
+       s2 AS (SELECT se.user_id, min(us) AS t2
+              FROM se JOIN s1 USING (user_id)
+              WHERE event_type = 'click' AND us > t1
+                AND us <= t1 + CAST(86400 AS BIGINT) * 1000000 GROUP BY 1),
+       s3 AS (SELECT se.user_id, min(us) AS t3
+              FROM se JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+              WHERE event_type = 'purchase' AND us > t2
+                AND us <= t1 + CAST(86400 AS BIGINT) * 1000000 GROUP BY 1)
+       SELECT s1.user_id, t1, t2, t3,
+              CAST(CASE WHEN t3 IS NOT NULL THEN 3
+                        WHEN t2 IS NOT NULL THEN 2
+                        ELSE 1 END AS BIGINT) AS steps_completed,
+              t3 IS NOT NULL AS completed
+       FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_dedup_exact" -> x1 _,
     "x02_dedup_ngram_jaccard" -> x2 _,
@@ -2502,7 +2686,11 @@ object ExtensionQueries {
     "x70_semantic_dedup" -> x70 _,
     "x71_tfidf_keywords" -> x71 _,
     "x72_heuristic_rules" -> x72 _,
-    "x73_user_sessions" -> x73 _
+    "x73_user_sessions" -> x73 _,
+    "x74_pmi_collocations" -> x74 _,
+    "x75_lang_consistency" -> x75 _,
+    "x76_source_rule_profile" -> x76 _,
+    "x77_event_funnel" -> x77 _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2573,6 +2761,10 @@ object ExtensionQueries {
     "x70_semantic_dedup" -> x70Sql,
     "x71_tfidf_keywords" -> x71Sql,
     "x72_heuristic_rules" -> x72Sql,
-    "x73_user_sessions" -> x73Sql
+    "x73_user_sessions" -> x73Sql,
+    "x74_pmi_collocations" -> x74Sql,
+    "x75_lang_consistency" -> x75Sql,
+    "x76_source_rule_profile" -> x76Sql,
+    "x77_event_funnel" -> x77Sql
   )
 }

@@ -62,6 +62,46 @@ class HeuristicRulesSpec extends AnyFunSuite with SparkTestSession {
     assert(flags(goodText)("r_alpha_ratio") == true)
   }
 
+  test("ruleProfile: exact counts and Wilson bound properties per group") {
+    import spark.implicits._
+    val df = (Seq.fill(8)("s1" -> goodText) ++ Seq("s1" -> "short fail") ++
+      Seq.fill(3)("s2" -> goodText))
+      .zipWithIndex.map { case ((src, t), i) => (i.toLong, src, t) }
+      .toDF("doc_id", "source", "text")
+    val out = TextAnalysis.ruleProfile(df, col("source"), col("text"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("s1").getLong(1) == 9 && out("s1").getLong(2) == 8)
+    assert(out("s2").getLong(1) == 3 && out("s2").getLong(2) == 3)
+    // Wilson lower bound is below the rate, in [0,1], and the smaller
+    // perfect sample (3/3) ranks BELOW the larger near-perfect one (8/9)
+    for (r <- out.values) {
+      assert(r.getDouble(4) < r.getDouble(3) || r.getDouble(3) == 0.0)
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+    }
+    assert(out("s2").getDouble(4) < out("s1").getDouble(4),
+      s"3/3 must rank below 8/9: ${out("s2").getDouble(4)} vs ${out("s1").getDouble(4)}")
+  }
+
+  test("langConsistency: mixed-language docs are flagged, pure docs are not") {
+    import spark.implicits._
+    val en = "the cat is in the hat and it is fine for now."
+    val fr = "le chat est dans le sac et il est la du les des."
+    val df = Seq(
+      (1L, Seq(en, en, en, en, en).mkString("\n")),         // pure en
+      (2L, Seq(en, en, fr, fr, fr).mkString("\n")),         // 40% match → mixed
+      (3L, ""),                                             // no units
+      (4L, en)                                              // single line
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.langConsistency(df, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getString(1) == "en" && out(1L).getLong(3) == 5 &&
+      !out(1L).getBoolean(6) && out(1L).getDouble(5) == 1.0)
+    assert(out(2L).getBoolean(6), "40% line agreement must flag as mixed")
+    assert(out(3L).getLong(2) == 0 && out(3L).getDouble(5) == 0.0 &&
+      !out(3L).getBoolean(6))
+    assert(!out(4L).getBoolean(6), "single-unit docs are never 'mixed'")
+  }
+
   test("empty / whitespace-only documents fail all ratio rules") {
     for (t <- Seq("", "   \n  \n")) {
       val f = flags(t)

@@ -150,4 +150,30 @@ class LanguageModelSpec extends AnyFunSuite with SparkTestSession {
     assert(out((3L, 1)) == "q" && out((3L, 2)) == "z")
     assert(!out.keySet.exists(_._1 == 2L))
   }
+
+  test("pmiCollocations: formula, minCount guard, topK order") {
+    import spark.implicits._
+    // "x y" appears 3×, "y z" twice, plus filler tokens to pad the totals
+    val df = Seq(
+      (1L, "x y f1 f2"), (2L, "x y f3 f4"), (3L, "x y f5 f6"),
+      (4L, "y z f7 f8"), (5L, "y z f9 f10")).toDF("doc_id", "text")
+    val all = LanguageModel.pmiCollocations(df, col("text"), minCount = 2L,
+      topK = 10).collect()
+    val byBg = all.map(r => r.getString(0) -> r).toMap
+    // only the two repeated bigrams survive minCount = 2
+    assert(byBg.keySet == Set("x y", "y z"))
+    val nUni = 20.0; val nBi = 15.0
+    def pmi(cab: Long, ca: Long, cb: Long): Double =
+      round6(math.log((cab / nBi) / ((ca / nUni) * (cb / nUni))))
+    assert(byBg("x y").getLong(1) == 3 && byBg("x y").getLong(2) == 3 &&
+      byBg("x y").getLong(3) == 5)
+    assert(byBg("x y").getDouble(4) == pmi(3, 3, 5))
+    assert(byBg("y z").getDouble(4) == pmi(2, 5, 2))
+    // output is ordered (pmi desc, bigram asc)
+    val pmis = all.map(_.getDouble(4)).toSeq
+    assert(pmis == pmis.sorted.reverse)
+    // topK caps the output
+    assert(LanguageModel.pmiCollocations(df, col("text"), minCount = 1L,
+      topK = 3).count() == 3)
+  }
 }
