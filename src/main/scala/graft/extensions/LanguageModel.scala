@@ -351,4 +351,47 @@ object LanguageModel {
       .limit(topK)
       .select("bigram", "n_pair", "n_left", "n_right", "pmi")
   }
+
+  /** Per-group unigram KL divergence from the corpus distribution,
+    * `KL(group ‖ corpus) = Σ_t p_t·ln(p_t/q_t)` — the domain-shift meter: a
+    * source whose vocabulary distribution sits far from the corpus mix is
+    * the one to re-weight (or investigate) before training. No smoothing is
+    * needed: every group token is by construction in the corpus, so q > 0
+    * wherever p > 0.
+    *
+    * Engine-reproducible by the [[graft.functions.TokenEntropy]] integer
+    * idiom: each term's contribution is rounded to integer MICRO-nats and
+    * the per-group sum is an exact BIGINT — no float-accumulation order
+    * anywhere (a double sum of 10⁵ tiny terms differs run to run; the
+    * micro-nat sum cannot). `kl` is the exact quotient micros/10⁶.
+    *
+    * Output: (group, n_tokens, n_types, kl_micros, kl).
+    *
+    * Scale shape: ONE token scan builds the (group, token) counts; the
+    * corpus counts are a SECOND aggregate of that same relation (never a
+    * second scan); group totals are enum-scale and broadcast; the
+    * group⋈corpus count join is shuffle_hash on the token (vocab-scale,
+    * stat-less). Nothing quadratic, no corpus-scale collect.
+    */
+  def vocabDivergence(df: DataFrame, group: Column, text: Column): DataFrame = {
+    val gf = df.select(group.as("group"), explode(TextAnalysis.tokens(text)).as("tok"))
+      .groupBy("group", "tok").agg(count(lit(1)).as("__cg"))
+      .localCheckpoint(eager = false)
+    val cf = gf.groupBy("tok").agg(sum(col("__cg")).as("__c"))
+    val gTot = gf.groupBy("group").agg(sum(col("__cg")).as("__ng"),
+      count(lit(1)).as("n_types"))
+    // bounded: 1-row corpus token total
+    val total = df.select(sum(size(TextAnalysis.tokens(text))))
+      .first().getLong(0)
+    val p = col("__cg").cast("double") / col("__ng").cast("double")
+    val q = col("__c").cast("double") / lit(total.toDouble)
+    gf.join(cf.hint("shuffle_hash"), Seq("tok"))
+      .join(broadcast(gTot.select(col("group"), col("__ng"))), Seq("group"))
+      .withColumn("__micros", round(p * log(p / q) * lit(1000000.0), 0).cast("long"))
+      .groupBy("group").agg(sum(col("__micros")).as("kl_micros"))
+      .join(broadcast(gTot), Seq("group"))
+      .select(col("group"), col("__ng").as("n_tokens"), col("n_types"),
+        col("kl_micros"),
+        (col("kl_micros").cast("double") / lit(1000000.0)).as("kl"))
+  }
 }

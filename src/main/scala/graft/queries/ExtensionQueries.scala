@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-import graft.extensions.{Batching, Contamination, Dedup, HeavyHitters, IncrementalDedup, LanguageModel, Mixture, Multimodal, Sampling, Similarity, SpanDedup, TextAnalysis}
+import graft.extensions.{Batching, Contamination, Dedup, Ensemble, HeavyHitters, IncrementalDedup, LanguageModel, Mixture, Multimodal, Sampling, Similarity, SpanDedup, TextAnalysis}
 import graft.ops.{ShardedExport, Skew, SnapshotDiff}
 
 /** North-star extension queries (dedup / similarity / text analysis /
@@ -2613,6 +2613,142 @@ object ExtensionQueries {
               t3 IS NOT NULL AS completed
        FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)"""
 
+  // ---------------------------------------------------------------------------
+  // X78 — per-source unigram KL divergence from the corpus mix
+  // (LanguageModel.vocabDivergence): the domain-shift meter. Contributions
+  // are integer micro-nats (the x68 idiom) so the per-source sum is exact.
+  // ---------------------------------------------------------------------------
+  private def x78(s: SparkSession, dir: String): DataFrame =
+    LanguageModel.vocabDivergence(docs(s, dir), col("source"), col("text"))
+      .withColumnRenamed("group", "source")
+
+  private val x78Sql =
+    """WITH t AS (SELECT source,
+             unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS tok
+           FROM documents),
+         gf AS (SELECT source, tok, count(*) AS cg FROM t GROUP BY 1, 2),
+         cf AS (SELECT tok, CAST(sum(cg) AS BIGINT) AS c FROM gf GROUP BY 1),
+         gt AS (SELECT source, CAST(sum(cg) AS BIGINT) AS ng,
+                       count(*) AS n_types
+                FROM gf GROUP BY 1),
+         tot AS (SELECT CAST(sum(cg) AS DOUBLE) AS nn FROM gf),
+         m AS (SELECT gf.source,
+                 CAST(round(
+                   (CAST(cg AS DOUBLE) / CAST(ng AS DOUBLE)) *
+                   ln((CAST(cg AS DOUBLE) / CAST(ng AS DOUBLE)) /
+                      (CAST(c AS DOUBLE) / (SELECT nn FROM tot))) * 1000000.0,
+                   0) AS BIGINT) AS micros
+               FROM gf JOIN cf USING (tok) JOIN gt USING (source)),
+         k AS (SELECT source, CAST(sum(micros) AS BIGINT) AS kl_micros
+               FROM m GROUP BY 1)
+       SELECT gt.source, gt.ng AS n_tokens, gt.n_types, k.kl_micros,
+              CAST(k.kl_micros AS DOUBLE) / 1000000.0 AS kl
+       FROM gt JOIN k USING (source)"""
+
+  // ---------------------------------------------------------------------------
+  // X79 — cohort retention triangle (ops/Cohorts.retention): users cohorted
+  // by first active epoch-day, cells count distinct users active at each
+  // day offset. Integer epoch-day arithmetic only — no calendar functions.
+  // ---------------------------------------------------------------------------
+  private def x79(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Cohorts.retention(ParityQueries.events(s, dir), col("user_id"),
+      col("ts"))
+
+  private val x79Sql =
+    """WITH ud AS (SELECT DISTINCT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+           FROM events),
+         ch AS (SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY 1),
+         cells AS (SELECT cohort_day, day - cohort_day AS day_offset,
+                          count(DISTINCT user_id) AS n_users
+                   FROM ud JOIN ch USING (user_id) GROUP BY 1, 2),
+         sz AS (SELECT cohort_day, n_users AS cohort_size FROM cells
+                WHERE day_offset = 0)
+       SELECT c.cohort_day, c.day_offset, c.n_users, s.cohort_size,
+              round(CAST(c.n_users AS DOUBLE) / CAST(s.cohort_size AS DOUBLE), 6)
+                AS retention
+       FROM cells c JOIN sz s USING (cohort_day)"""
+
+  // ---------------------------------------------------------------------------
+  // X80 — rank-ensemble quality (Ensemble.rankEnsemble): heuristic quality,
+  // unigram LM likelihood, and normalized token entropy each become a global
+  // percent rank (the x62 parallel-scan machinery, ties by doc_id) and the
+  // ensemble is their 6-dp-rounded mean. Token-less docs enter with sentinel
+  // signals (quality 0, lm −999, entropy 0) and sink to the bottom ranks.
+  // ---------------------------------------------------------------------------
+  private def x80(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val lm = LanguageModel.unigramLogLikelihood(d, col("doc_id"), col("text"))
+      .select(col("id").as("doc_id"),
+        coalesce(col("avg_logprob"), lit(-999.0)).as("lm"))
+    val base = d.select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        graft.functions.TokenEntropy
+          .tokenEntropy(TextAnalysis.tokens(col("text"))).as("e"))
+      .withColumn("ent",
+        when(col("e.n_types") > 1,
+          round((col("e.entropy_micros").cast("double") / lit(1000000.0)) /
+            log(col("e.n_types").cast("double")), 6))
+          .otherwise(lit(0.0)))
+      .drop("e")
+      .join(lm.hint("shuffle_hash"), Seq("doc_id"))
+    Ensemble.rankEnsemble(base, col("doc_id"),
+        Seq("quality" -> col("quality"), "lm" -> col("lm"), "ent" -> col("ent")))
+      .withColumnRenamed("id", "doc_id")
+  }
+
+  private val x80Sql = {
+    val allStops = TextAnalysis.StopwordProfiles.flatMap(_._2)
+      .map(w => s"'$w'").mkString("[", ",", "]")
+    s"""WITH t AS (
+         SELECT doc_id, CAST(length(text) AS DOUBLE) AS nc,
+           list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks,
+           CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS punct
+         FROM documents),
+       q AS (SELECT doc_id,
+              round(least(nc / 500.0, 1.0) * 0.4 +
+                    (CASE WHEN len(toks) > 0 THEN least(
+                       CAST(len(list_filter(toks, tk -> list_contains($allStops, tk))) AS DOUBLE)
+                         / CAST(len(toks) AS DOUBLE) * 5.0, 1.0) ELSE 0.0 END) * 0.4 +
+                    (CASE WHEN nc > 0 THEN greatest(0.0, 1.0 - punct / nc * 10.0) ELSE 0.0 END) * 0.2,
+                    6) AS quality
+             FROM t),
+       tk AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+       f AS (SELECT tok, count(*) AS n FROM tk GROUP BY 1),
+       tot AS (SELECT CAST(sum(n) AS DOUBLE) AS s FROM f),
+       lp AS (SELECT tok,
+                CAST(round(ln(CAST(n AS DOUBLE) / (SELECT s FROM tot)), 6)
+                  AS DECIMAL(18,6)) AS lp
+              FROM f),
+       d AS (SELECT tk.doc_id, count(*) AS n_tokens, sum(lp) AS sl
+             FROM tk JOIN lp USING (tok) GROUP BY 1),
+       lm AS (SELECT t.doc_id,
+                coalesce(round(CAST(d.sl AS DOUBLE) / d.n_tokens, 6), -999.0) AS lm
+              FROM t LEFT JOIN d USING (doc_id)),
+       tc AS (SELECT doc_id, tok, count(*) AS c FROM tk GROUP BY 1, 2),
+       ml AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS m FROM t),
+       ent0 AS (SELECT tc.doc_id, count(*) AS n_types,
+                  sum(CAST(round(-(CAST(tc.c AS DOUBLE) / ml.m) *
+                        ln(CAST(tc.c AS DOUBLE) / ml.m) * 1000000, 0) AS BIGINT)) AS micros
+                FROM tc JOIN ml USING (doc_id) GROUP BY 1),
+       ent AS (SELECT ml.doc_id,
+                 CASE WHEN ent0.n_types > 1
+                      THEN round((CAST(ent0.micros AS DOUBLE) / 1000000.0) /
+                                 ln(CAST(ent0.n_types AS DOUBLE)), 6)
+                      ELSE 0.0 END AS ent
+               FROM ml LEFT JOIN ent0 USING (doc_id)),
+       sig AS (SELECT q.doc_id, q.quality, lm.lm, ent.ent
+               FROM q JOIN lm USING (doc_id) JOIN ent USING (doc_id)),
+       r AS (SELECT doc_id, quality, lm, ent,
+               round(percent_rank() OVER (ORDER BY quality, doc_id), 6) AS pct_quality,
+               round(percent_rank() OVER (ORDER BY lm, doc_id), 6) AS pct_lm,
+               round(percent_rank() OVER (ORDER BY ent, doc_id), 6) AS pct_ent
+             FROM sig)
+       SELECT doc_id, pct_quality, pct_lm, pct_ent,
+              round((pct_quality + pct_lm + pct_ent) / 3.0, 6) AS ensemble
+       FROM r"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_dedup_exact" -> x1 _,
     "x02_dedup_ngram_jaccard" -> x2 _,
@@ -2690,7 +2826,10 @@ object ExtensionQueries {
     "x74_pmi_collocations" -> x74 _,
     "x75_lang_consistency" -> x75 _,
     "x76_source_rule_profile" -> x76 _,
-    "x77_event_funnel" -> x77 _
+    "x77_event_funnel" -> x77 _,
+    "x78_vocab_divergence" -> x78 _,
+    "x79_retention_cohorts" -> x79 _,
+    "x80_quality_ensemble" -> x80 _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2765,6 +2904,9 @@ object ExtensionQueries {
     "x74_pmi_collocations" -> x74Sql,
     "x75_lang_consistency" -> x75Sql,
     "x76_source_rule_profile" -> x76Sql,
-    "x77_event_funnel" -> x77Sql
+    "x77_event_funnel" -> x77Sql,
+    "x78_vocab_divergence" -> x78Sql,
+    "x79_retention_cohorts" -> x79Sql,
+    "x80_quality_ensemble" -> x80Sql
   )
 }
