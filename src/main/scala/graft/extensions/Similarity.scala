@@ -376,10 +376,44 @@ object Similarity {
         round(cosine(col("__v"), col("proto")), 6).as("sim"))
   }
 
+  /** Engine-REDERIVABLE sign-LSH bucket: bit i is the sign of the rounded
+    * dot product with a ±1 hyperplane whose components come from
+    * sha256(`i_j·salt`) — the [[randomProjection]] matrix, not
+    * [[lshBucket]]'s xxhash planes. The difference is the point: any SQL
+    * engine can recompute THIS bucket exactly (the x64 oracle already
+    * builds the identical matrix), so operators blocked on it stay
+    * hash-comparable end to end, where the xxhash bucket forces rows-only
+    * checks. Signs are taken on the 6-dp-ROUNDED projection, the same
+    * doubles both engines already agree on.
+    *
+    * Scan-local: hyperplanes are plan literals (nBits × inDims doubles),
+    * each row costs nBits native dot products — no join, no shuffle, no
+    * driver state.
+    */
+  def jlSignBucket(vec: Column, inDims: Int, nBits: Int,
+      salt: String = ""): Column = {
+    require(nBits >= 1 && nBits <= 62, s"nBits must be in [1, 62], got $nBits")
+    require(inDims >= 1, "inDims must be positive")
+    def sign(i: Int, j: Int): Double = {
+      val hex = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s"${i}_$j$salt".getBytes("UTF-8"))
+      if ((hex(0) & 0x80) == 0) 1.0 else -1.0
+    }
+    val vd = transform(vec, _.cast("double"))
+    (1 to nBits).map { i =>
+      val row = lit(Array.tabulate(inDims)(j => sign(i, j + 1)))
+      when(round(graft.functions.DotProduct.dotProduct(vd, row), 6) >= 0.0,
+        lit(1L << (i - 1))).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
   /** Full SemDeDup (Abbas et al. 2023): embedding-space near-duplicate
     * DEDUP, not just the pair relation — [[nearDupPairs]] candidates within
-    * a blocking key (label here; an LSH bucket or IVF cell at scale) →
-    * connected components → ONE survivor per semantic cluster. The election
+    * a blocking key → connected components → ONE survivor per semantic
+    * cluster. At scale the block should include an LSH sub-bucket
+    * ([[jlSignBucket]] keeps the oracle exact; the paper's k-means cells
+    * are the engine-specific alternative) — a label-only block makes the
+    * pair stage quadratic in label population. The election
     * is the paper's: within a duplicate cluster, KEEP the row with the
     * LOWEST cosine to its block's prototype (the most diverse exemplar —
     * near-centroid copies are the redundant ones), ties to the lower id.

@@ -391,6 +391,24 @@ object TextAnalysis {
       (!lower_.contains("{")).as("r_no_brace"))
   }
 
+  /** Compression-ratio quality signal (RefinedWeb-style): UTF-8 bytes,
+    * deflate(level 6) bytes, and their 6-dp ratio via the native
+    * [[graft.functions.DeflateStats]] expression. Low ratio = templated /
+    * repetitive text; ratio near (or above) 1 = noise. Deflate exists in no
+    * SQL engine, so queries over this signal are rows-only by contract with
+    * an invariant twin (x82) pinning codec soundness bounds.
+    */
+  def compressionRatio(text: Column): Column = {
+    val s = graft.functions.DeflateStats.deflateStats(text)
+    struct(
+      s.getField("n_bytes").as("n_bytes"),
+      s.getField("n_deflate").as("n_deflate"),
+      when(s.getField("n_bytes") > 0,
+        round(s.getField("n_deflate").cast("double") /
+          s.getField("n_bytes").cast("double"), 6))
+        .otherwise(0.0).as("ratio"))
+  }
+
   /** Per-LINE language agreement with the document-level [[languageId]] —
     * the mixed-language detector: a document whose body is English but whose
     * boilerplate third is French passes doc-level lang-ID and still poisons

@@ -2250,28 +2250,53 @@ object ExtensionQueries {
        FROM w"""
 
   // ---------------------------------------------------------------------------
-  // X70 — full SemDeDup (Similarity.semanticDedup): x11's embedding near-dup
-  // pairs → connected components → one survivor per semantic cluster, elected
-  // as the row with the LOWEST prototype cosine (most diverse exemplar; ties
-  // to the lower id). The oracle re-derives the pairs (x11), the transitive
-  // closure (x24's recursive CTE), the DECIMAL-exact prototypes (x37), and
-  // the election, all from scratch.
+  // X70 — full SemDeDup (Similarity.semanticDedup): embedding near-dup pairs
+  // blocked on (label, 3-bit jlSignBucket) — the at-scale sub-bucketed shape,
+  // NOT quadratic in label population, and still hash-comparable because the
+  // sha-derived sign matrix is the x64 oracle's — → connected components →
+  // one survivor per semantic cluster, elected as the row with the LOWEST
+  // prototype cosine (most diverse exemplar; ties to the lower id). The
+  // oracle re-derives the buckets, pairs, transitive closure (x24's
+  // recursive CTE), DECIMAL-exact per-block prototypes (x37), and the
+  // election, all from scratch.
   // ---------------------------------------------------------------------------
   private def x70(s: SparkSession, dir: String): DataFrame =
-    Similarity.semanticDedup(embeds(s, dir), col("label"), threshold = 0.3)
+    Similarity.semanticDedup(embeds(s, dir),
+        concat(col("label").cast("string"), lit("|"),
+          Similarity.jlSignBucket(col("embedding"), inDims = 64, nBits = 3,
+            salt = "sem1").cast("string")),
+        threshold = 0.3)
       .select(col("vec_id"), col("label"), col("proto_sim"), col("component"),
         col("cluster_size"), col("is_survivor"))
 
   private val x70Sql =
-    """WITH RECURSIVE e AS (
-         SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    """WITH RECURSIVE m AS (
+         SELECT i, list(CASE WHEN substr(sha256(CAST(i AS VARCHAR) || '_' ||
+                                    CAST(j AS VARCHAR) || 'sem1'), 1, 1)
+                             IN ('0','1','2','3','4','5','6','7')
+                        THEN 1.0 ELSE -1.0 END ORDER BY j) AS srow
+         FROM (SELECT unnest(range(1, 4)) AS i),
+              (SELECT unnest(range(1, 65)) AS j)
+         GROUP BY i),
+       e AS (
+         SELECT vec_id, label,
+                CAST(label AS VARCHAR) || '|' || CAST(
+                  (CASE WHEN round(list_dot_product(CAST(embedding AS DOUBLE[]),
+                         (SELECT srow FROM m WHERE i = 1)), 6) >= 0 THEN 1 ELSE 0 END)
+                + (CASE WHEN round(list_dot_product(CAST(embedding AS DOUBLE[]),
+                         (SELECT srow FROM m WHERE i = 2)), 6) >= 0 THEN 2 ELSE 0 END)
+                + (CASE WHEN round(list_dot_product(CAST(embedding AS DOUBLE[]),
+                         (SELECT srow FROM m WHERE i = 3)), 6) >= 0 THEN 4 ELSE 0 END)
+                  AS VARCHAR) AS blk,
+                CAST(embedding AS DOUBLE[]) AS v
+         FROM embeddings),
        p AS (
          SELECT * FROM (
            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                   round(CASE WHEN list_dot_product(a.v,a.v) = 0 OR list_dot_product(b.v,b.v) = 0 THEN 0
                         ELSE list_dot_product(a.v,b.v) /
                              (sqrt(list_dot_product(a.v,a.v)) * sqrt(list_dot_product(b.v,b.v))) END, 6) AS sim
-           FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+           FROM e a JOIN e b ON a.blk = b.blk AND a.vec_id < b.vec_id)
          WHERE sim >= 0.3),
        edges AS (SELECT id_a AS src, id_b AS dst FROM p
                  UNION SELECT id_b AS src, id_a AS dst FROM p),
@@ -2282,24 +2307,23 @@ object ExtensionQueries {
        comp AS (SELECT src AS vec_id, least(src, min(dst)) AS component
                 FROM reach GROUP BY src),
        ex AS (
-         SELECT vec_id, label, dim,
-                CAST(CAST(embedding[dim] AS VARCHAR) AS DECIMAL(20,10)) AS vd
-         FROM (SELECT vec_id, label, embedding,
+         SELECT emb.vec_id, e.blk, emb.dim,
+                CAST(CAST(emb.v[emb.dim] AS VARCHAR) AS DECIMAL(20,10)) AS vd
+         FROM (SELECT vec_id, embedding AS v,
                       unnest(range(1, len(embedding) + 1)) AS dim
-               FROM embeddings)),
-       cent AS (SELECT label, dim, sum(vd) AS sv FROM ex GROUP BY 1, 2),
-       cvec AS (SELECT label, array_agg(CAST(sv AS DOUBLE) ORDER BY dim) AS proto
+               FROM embeddings) emb
+         JOIN e ON emb.vec_id = e.vec_id),
+       cent AS (SELECT blk, dim, sum(vd) AS sv FROM ex GROUP BY 1, 2),
+       cvec AS (SELECT blk, array_agg(CAST(sv AS DOUBLE) ORDER BY dim) AS proto
                 FROM cent GROUP BY 1),
        ps AS (
-         SELECT emb.vec_id, emb.label,
-                round(CASE WHEN list_dot_product(CAST(emb.embedding AS DOUBLE[]),
-                                                 CAST(emb.embedding AS DOUBLE[])) = 0
+         SELECT e.vec_id, e.label,
+                round(CASE WHEN list_dot_product(e.v, e.v) = 0
                             OR list_dot_product(c.proto, c.proto) = 0 THEN 0
-                      ELSE list_dot_product(CAST(emb.embedding AS DOUBLE[]), c.proto) /
-                           (sqrt(list_dot_product(CAST(emb.embedding AS DOUBLE[]),
-                                                  CAST(emb.embedding AS DOUBLE[]))) *
+                      ELSE list_dot_product(e.v, c.proto) /
+                           (sqrt(list_dot_product(e.v, e.v)) *
                             sqrt(list_dot_product(c.proto, c.proto))) END, 6) AS proto_sim
-         FROM embeddings emb JOIN cvec c USING (label)),
+         FROM e JOIN cvec c USING (blk)),
        tagged AS (
          SELECT ps.vec_id, ps.label, ps.proto_sim,
                 coalesce(comp.component, ps.vec_id) AS component
@@ -2749,6 +2773,47 @@ object ExtensionQueries {
        FROM r"""
   }
 
+  // ---------------------------------------------------------------------------
+  // X81 — compression-ratio quality signal (TextAnalysis.compressionRatio /
+  // native DeflateStats): ROWS-ONLY by contract — no SQL engine exposes
+  // deflate — with codec-soundness invariants asserted by x82.
+  // ---------------------------------------------------------------------------
+  private def x81(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        TextAnalysis.compressionRatio(col("text")).as("c"))
+      .select(col("doc_id"), col("c.n_bytes").as("n_bytes"),
+        col("c.n_deflate").as("n_deflate"), col("c.ratio").as("ratio"))
+
+  // ---------------------------------------------------------------------------
+  // X82 — x81's oracle-checked INVARIANT twin (the x25/x26 pattern): per-doc
+  // codec-soundness booleans the DuckDB oracle asserts as literal TRUE.
+  //  - ok_bound: 0 < deflate ≤ bytes + 64 + bytes/1024 (stored-block ceiling)
+  //  - ok_super: deflate(text‖text) ≤ 2·deflate(text) + 128 (subadditivity
+  //    with header/block slack)
+  //  - ok_window: for 64 B ≤ bytes ≤ 30 000 B (inside the 32 KB LZ77
+  //    window), the SECOND copy of the text must compress away:
+  //    deflate(text‖text) ≤ deflate(text) + bytes/4 + 64; vacuous outside
+  // ---------------------------------------------------------------------------
+  private def x82(s: SparkSession, dir: String): DataFrame = {
+    val d1 = graft.functions.DeflateStats.deflateStats(col("text"))
+    val d2 = graft.functions.DeflateStats.deflateStats(concat(col("text"), col("text")))
+    docs(s, dir)
+      .select(col("doc_id"), d1.as("c1"), d2.as("c2"))
+      .select(col("doc_id"),
+        (col("c1.n_deflate") > 0L &&
+          col("c1.n_deflate") <= col("c1.n_bytes") + lit(64L) +
+            col("c1.n_bytes") / lit(1024L)).as("ok_bound"),
+        (col("c2.n_deflate") <= col("c1.n_deflate") * 2L + lit(128L)).as("ok_super"),
+        (col("c1.n_bytes") < 64L || col("c1.n_bytes") > 30000L ||
+          col("c2.n_deflate") <= col("c1.n_deflate") +
+            col("c1.n_bytes") / lit(4L) + lit(64L)).as("ok_window"))
+  }
+
+  private val x82Sql =
+    """SELECT doc_id, TRUE AS ok_bound, TRUE AS ok_super, TRUE AS ok_window
+       FROM documents"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_dedup_exact" -> x1 _,
     "x02_dedup_ngram_jaccard" -> x2 _,
@@ -2829,7 +2894,9 @@ object ExtensionQueries {
     "x77_event_funnel" -> x77 _,
     "x78_vocab_divergence" -> x78 _,
     "x79_retention_cohorts" -> x79 _,
-    "x80_quality_ensemble" -> x80 _
+    "x80_quality_ensemble" -> x80 _,
+    "x81_compression" -> x81 _,
+    "x82_compression_invariants" -> x82 _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2907,6 +2974,7 @@ object ExtensionQueries {
     "x77_event_funnel" -> x77Sql,
     "x78_vocab_divergence" -> x78Sql,
     "x79_retention_cohorts" -> x79Sql,
-    "x80_quality_ensemble" -> x80Sql
+    "x80_quality_ensemble" -> x80Sql,
+    "x82_compression_invariants" -> x82Sql
   )
 }
