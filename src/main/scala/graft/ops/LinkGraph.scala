@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Link-graph centrality (PageRank) over an explicit edge relation — the
+  * classic crawl-curation signal: a domain/page's stationary visit
+  * probability under the random-surfer model, used to prioritize crawl
+  * frontiers and to weight web sources by authority before training-mix
+  * decisions.
+  *
+  * Engine-reproducible by the repo's integer idiom (TokenEntropy,
+  * vocabDivergence): rank is carried as a BIGINT in `scale` units and every
+  * division is integral, so the K-iteration fixpoint is bit-identical in any
+  * engine that replays the same operation shape — the x83 oracle re-derives
+  * all K iterations in DuckDB and hash-matches every rank.
+  *
+  * Scale design (the 100 TB story): the canonical distributed PageRank —
+  * per iteration one rank⋈degree join, one contribution shuffle keyed by
+  * `dst`, one join-back to the node set, all hash-joins hinted (the
+  * iterated relations carry no stats, so Spark would silently fall back to
+  * sort-merge). Lineage is truncated every round with a lazy
+  * `localCheckpoint` (GC-owned blocks, CacheHygieneSpec-clean) — without it
+  * the plan doubles per iteration and the optimizer re-plans the whole
+  * history each round. Dangling mass stays IN-PLAN as a broadcast 1-row
+  * aggregate (no per-iteration driver action); the only driver-side scalar
+  * is the node count, read once.
+  */
+object LinkGraph {
+
+  /** PageRank over `nodes`/`edges`, `iterations` rounds of the power method.
+    *
+    * Per round, with integral division throughout:
+    * {{{
+    *   contrib(src->dst) = rank(src) div out_deg(src)
+    *   dangling          = sum of rank over nodes with no out-edges
+    *   rank'(v) = ((100-dampingPct) * (scale div N)) div 100
+    *            + (dampingPct * (in_sum(v) + dangling div N)) div 100
+    * }}}
+    * Self-loops are dropped and parallel edges collapsed before degree
+    * counting. Truncation loses a few micro-units of total mass per round
+    * (bounded by N + out-degree sum) — the price of a bit-stable fixpoint.
+    *
+    * Returns one row per node: `node_id`, `out_deg` (0 for dangling nodes),
+    * `rank_micro` (BIGINT, `scale` units).
+    */
+  def pageRank(nodes: DataFrame, id: Column, edges: DataFrame,
+      src: Column, dst: Column, iterations: Int = 5, dampingPct: Int = 85,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(iterations >= 1 && iterations <= 64,
+      s"iterations must be in [1,64], got $iterations")
+    require(dampingPct >= 0 && dampingPct <= 100,
+      s"dampingPct must be in [0,100], got $dampingPct")
+    require(scale >= 1000000L, s"scale must be at least 1e6, got $scale")
+    val n = nodes.select(id.cast("long").as("id"))
+    // the one driver-side scalar: node count (a single long, any corpus)
+    val nCount = n.count()
+    require(nCount > 0, "pageRank needs a non-empty node set")
+    val e = edges.select(src.cast("long").as("src"), dst.cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val outDeg = e.groupBy("src").agg(count(lit(1)).as("out_deg"))
+    val degById = outDeg.withColumnRenamed("src", "id")
+    val base = scale / nCount                        // positive: floor == trunc
+    val baseTerm = ((100L - dampingPct) * base) / 100L
+    var ranks = n.withColumn("rank", lit(base))
+    for (_ <- 1 to iterations) {
+      val withDeg = ranks.join(degById.hint("shuffle_hash"), Seq("id"), "left")
+      // dangling mass: in-plan 1-row aggregate, broadcast below — no action
+      val dangling = withDeg.filter(col("out_deg").isNull)
+        .agg(coalesce(sum(col("rank")), lit(0L)).as("__dang"))
+      val inSums = withDeg.filter(col("out_deg").isNotNull)
+        .join(e.hint("shuffle_hash"), col("id") === col("src"))
+        .select(col("dst"), expr("rank div out_deg").as("__contrib"))
+        .groupBy("dst").agg(sum(col("__contrib")).as("in_sum"))
+      ranks = n
+        .join(inSums.withColumnRenamed("dst", "id").hint("shuffle_hash"),
+          Seq("id"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("id"),
+          (lit(baseTerm) +
+            expr(s"($dampingPct * (coalesce(in_sum, 0L) + (__dang div $nCount))) div 100")
+          ).as("rank"))
+        .localCheckpoint(eager = false)              // truncate per-round lineage
+    }
+    ranks
+      .join(degById.hint("shuffle_hash"), Seq("id"), "left")
+      .select(col("id").as("node_id"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        col("rank").as("rank_micro"))
+  }
+}

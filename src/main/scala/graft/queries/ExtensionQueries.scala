@@ -2814,6 +2814,60 @@ object ExtensionQueries {
     """SELECT doc_id, TRUE AS ok_bound, TRUE AS ok_super, TRUE AS ok_window
        FROM documents"""
 
+  // ---------------------------------------------------------------------------
+  // X83 — link-graph PageRank (LinkGraph.pageRank): the crawl-authority
+  // signal behind source weighting. The corpus has no hyperlinks, so the
+  // graph is manufactured deterministically (the x53/x55 pattern): page
+  // doc_id links to (doc_id*31 + j*97) mod N for j in 1..3 — doc_ids are
+  // contiguous from 0, so every target exists; node 0's self-loop case and
+  // collapsed parallel edges are exercised by construction. Integer
+  // micro-rank arithmetic makes all 5 power iterations HASH-comparable: the
+  // oracle replays every round as a DuckDB CTE chain (built by the same
+  // Scala loop count, so Spark and SQL can't drift on K).
+  // ---------------------------------------------------------------------------
+  private val x83Iters = 5
+
+  private def x83(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val nRow = d.agg((max(col("doc_id")) + 1L).as("__n"))
+    val edges = d.select(col("doc_id"))
+      .crossJoin(broadcast(nRow))
+      .select(col("doc_id").as("src"),
+        explode(array((1 to 3).map(j =>
+          pmod(col("doc_id") * 31L + lit(j * 97L), col("__n"))): _*)).as("dst"))
+    graft.ops.LinkGraph.pageRank(d, col("doc_id"), edges,
+      col("src"), col("dst"), iterations = x83Iters)
+  }
+
+  private val x83Sql: String = {
+    val iters = (1 to x83Iters).map { i =>
+      val p = i - 1
+      s"""d$i AS (SELECT coalesce(CAST(sum(rank) AS BIGINT), 0) AS dang
+            FROM r$p LEFT JOIN deg ON r$p.id = deg.src WHERE deg.out_deg IS NULL),
+          c$i AS (SELECT e.dst, CAST(sum(r.rank // deg.out_deg) AS BIGINT) AS in_sum
+            FROM r$p r JOIN deg ON r.id = deg.src JOIN e ON e.src = r.id
+            GROUP BY 1),
+          r$i AS (SELECT nd.id,
+              (SELECT (15 * (1000000000000 // n)) // 100 FROM nn)
+                + (85 * (coalesce(c.in_sum, 0)
+                         + (SELECT dang FROM d$i) // (SELECT n FROM nn))) // 100
+                AS rank
+            FROM nodes nd LEFT JOIN c$i c ON nd.id = c.dst)"""
+    }.mkString(",\n          ")
+    s"""WITH nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
+         nodes AS (SELECT doc_id AS id FROM documents),
+         e AS (SELECT DISTINCT src, dst FROM (
+                 SELECT doc_id AS src, (doc_id*31 + j*97) % (SELECT n FROM nn) AS dst
+                 FROM documents, (SELECT unnest([1, 2, 3]) AS j))
+               WHERE src <> dst),
+         deg AS (SELECT src, count(*) AS out_deg FROM e GROUP BY 1),
+         r0 AS (SELECT id, (SELECT 1000000000000 // n FROM nn) AS rank FROM nodes),
+         $iters
+       SELECT r.id AS node_id, coalesce(deg.out_deg, 0) AS out_deg,
+              r.rank AS rank_micro
+       FROM r$x83Iters r LEFT JOIN deg ON r.id = deg.src"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_dedup_exact" -> x1 _,
     "x02_dedup_ngram_jaccard" -> x2 _,
@@ -2896,7 +2950,8 @@ object ExtensionQueries {
     "x79_retention_cohorts" -> x79 _,
     "x80_quality_ensemble" -> x80 _,
     "x81_compression" -> x81 _,
-    "x82_compression_invariants" -> x82 _
+    "x82_compression_invariants" -> x82 _,
+    "x83_pagerank" -> x83 _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2975,6 +3030,7 @@ object ExtensionQueries {
     "x78_vocab_divergence" -> x78Sql,
     "x79_retention_cohorts" -> x79Sql,
     "x80_quality_ensemble" -> x80Sql,
-    "x82_compression_invariants" -> x82Sql
+    "x82_compression_invariants" -> x82Sql,
+    "x83_pagerank" -> x83Sql
   )
 }
