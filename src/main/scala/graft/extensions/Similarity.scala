@@ -138,18 +138,21 @@ object Similarity {
     * data-sized movement is the cell-keyed join — same single-shuffle profile
     * as [[annTopK]], with recall tuned by `nProbe` instead of bit width.
     */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      nCentroids: Int = 16, nProbe: Int = 2, seed: Long = 42L,
-      maxTrainRows: Int = 100000, maxIter: Int = 8): DataFrame = {
+  /** Coarse k-means centroids from a BOUNDED sample — the shared quantizer
+    * behind [[ivfTopK]] and [[topicClusters]]. At 100 TB, training on
+    * everything would be a full extra pass for centroid digits that don't
+    * change the recall/probe (or topic-boundary) trade-off; a `maxTrainRows`
+    * sample with few iterations is the standard coarse-quantizer recipe.
+    * Deterministic for fixed (input order, seed, sample size) — callers that
+    * refit with identical params (the x87 audit) get identical centroids.
+    */
+  def fitCentroids(corpus: DataFrame, vec: Column, nCentroids: Int,
+      seed: Long = 42L, maxTrainRows: Int = 100000, maxIter: Int = 8)
+      : Seq[Seq[Double]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
-    val feat = corpus.select(
-      array_to_vector(col("embedding").cast("array<double>")).as("features"))
-    // a coarse quantizer needs neither the full corpus nor convergence:
-    // train on a bounded sample with few iterations (at 100 TB, training on
-    // everything would be a full extra pass for centroid digits that don't
-    // change the recall/probe trade-off)
+    val feat = corpus.select(array_to_vector(vec.cast("array<double>")).as("features"))
     // persist the training sample: k-means is iterative and would otherwise
     // re-scan (and re-convert) the input once per iteration
     val train = feat.limit(maxTrainRows)
@@ -159,6 +162,14 @@ object Similarity {
         .setMaxIter(maxIter)
         .fit(train)
     } finally train.unpersist(false)
+    model.clusterCenters.toSeq.map(_.toArray.toSeq)
+  }
+
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 2, seed: Long = 42L,
+      maxTrainRows: Int = 100000, maxIter: Int = 8): DataFrame = {
+    val centroidSeqsFit = fitCentroids(corpus, col("embedding"), nCentroids,
+      seed, maxTrainRows, maxIter)
 
     // Cell assignment is a pure expression over the centroid LITERALS (a few
     // KB shipped inside the plan as a codegen reference object): per-row
@@ -169,7 +180,7 @@ object Similarity {
     // array_sort(zip_with(...)) form pinned in NativeExprEquivalenceSpec):
     // the HOF tree ran interpreted per corpus row — the last interpreted
     // hot-path expression in the engine.
-    val centroidSeqs = model.clusterCenters.toSeq.map(_.toArray.toSeq)
+    val centroidSeqs = centroidSeqsFit
     def nearestCells(v: Column, n: Int): Column =
       graft.functions.NearestCells.nearestCells(v, centroidSeqs, n)
 
@@ -189,6 +200,38 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "sim", "rank")
+  }
+
+  /** Topic clustering: every vector assigned to its nearest coarse k-means
+    * centroid — the corpus-segmentation primitive behind topic-balanced
+    * mixtures, per-topic quality cuts, and cluster-stratified dedup
+    * (SemDeDup-style pipelines run exactly this before their within-cluster
+    * pair stage).
+    *
+    * Output, one row per input: (id, cluster ∈ [0, nClusters), dist2 =
+    * squared L2 distance to the assigned centroid — the per-row inertia
+    * contribution).
+    *
+    * Scale shape: centroids come from [[fitCentroids]]'s bounded sample;
+    * assignment is the same literal-centroid narrow map as [[ivfTopK]] (no
+    * corpus shuffle, no model join); dist2 needs the assigned centroid's
+    * coordinates, which arrive via a BROADCAST join against the
+    * nClusters-row centroid relation — the corpus never moves.
+    */
+  def topicClusters(df: DataFrame, id: Column, vec: Column, nClusters: Int = 16,
+      seed: Long = 42L, maxTrainRows: Int = 100000, maxIter: Int = 8): DataFrame = {
+    val cents = fitCentroids(df, vec, nClusters, seed, maxTrainRows, maxIter)
+    val centDf = df.sparkSession
+      .createDataFrame(cents.zipWithIndex.map { case (c, i) => (i, c) })
+      .toDF("cluster", "centroid")
+    df.select(id.as("id"), vec.cast("array<double>").as("__v"))
+      .withColumn("cluster", element_at(
+        graft.functions.NearestCells.nearestCells(col("__v"), cents, 1), 1))
+      .join(broadcast(centDf), Seq("cluster"))
+      .select(col("id"), col("cluster"),
+        aggregate(zip_with(col("__v"), col("centroid"),
+            (x, c) => (x - c) * (x - c)),
+          lit(0.0), (acc, d) => acc + d).as("dist2"))
   }
 
   /** Embedding near-duplicate pairs: cosine ≥ threshold within a blocking key

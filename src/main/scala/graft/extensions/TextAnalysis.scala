@@ -154,6 +154,43 @@ object TextAnalysis {
   def urlDomain(url: Column): Column =
     lower(regexp_extract(url, "https?://([^/\\s]+)", 1))
 
+  /** Canonical URL — the crawl-dedup normalization that merges cosmetic
+    * variants of one page before URL-level dedup (the first, cheapest dedup
+    * pass of a web pipeline: no content read, just key normalization):
+    *
+    *   - fragment dropped (`#...` never reaches the server);
+    *   - scheme and host lowercased, default ports `:80`/`:443` and a
+    *     leading `www.` stripped;
+    *   - trailing path slashes stripped (path case is PRESERVED — paths are
+    *     case-sensitive);
+    *   - query params: tracking params dropped (`utm_*`, `fbclid`, `gclid`,
+    *     `msclkid`, `ref`), the rest sorted so param order is irrelevant.
+    *
+    * Non-`http(s)` inputs pass through unchanged (identity fallback, same
+    * contract as [[urlDomain]]'s '' — never null). Pure scan-local
+    * expression chain; every step is Java∩RE2 portable, so the oracle
+    * re-derives it verbatim.
+    */
+  def canonicalUrl(url: Column): Column = {
+    val u = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(u, "^(https?)://", 1))
+    val host = regexp_replace(
+      regexp_replace(lower(regexp_extract(u, "^https?://([^/?#]+)", 1)),
+        ":(80|443)$", ""),
+      "^www\\.", "")
+    val path = regexp_replace(
+      regexp_extract(u, "^https?://[^/?#]+([^?#]*)", 1), "/+$", "")
+    val params = org.apache.spark.sql.functions.filter(
+      split(regexp_extract(u, "\\?([^#]*)", 1), "&"),
+      p => p =!= "" &&
+        !p.rlike("^(utm_[^=]*|fbclid|gclid|msclkid|ref)(=.*)?$"))
+    val q = array_join(array_sort(params), "&")
+    when(url.rlike("^https?://"),
+      concat(scheme, lit("://"), host, path,
+        when(q =!= "", concat(lit("?"), q)).otherwise(lit(""))))
+      .otherwise(url)
+  }
+
   /** Per-document domain profile — the input to domain blocklist/allowlist
     * decisions and per-domain caps (the first curation lever of every web
     * corpus): (id, n_urls, domains) where `domains` is the sorted distinct
@@ -473,5 +510,48 @@ object TextAnalysis {
     agg.select(col("group"), col("n_docs"), col("n_pass"),
       round(p, 6).as("pass_rate"),
       round(lower, 6).as("wilson_lower"))
+  }
+
+  /** Winnowing fingerprint set (MOSS scheme): distinct minima of every
+    * `w`-wide window over the doc's `k`-char shingle hashes, sorted
+    * ascending — see [[graft.functions.WinnowFingerprints]] for the
+    * guarantee and the native one-pass implementation. */
+  def winnowFingerprints(text: Column, k: Int = 8, w: Int = 4,
+      maxGrams: Int = 2048): Column =
+    graft.functions.WinnowFingerprints.winnowFingerprints(text, k, w, maxGrams)
+
+  /** Per-document winnowing overlap profile — the plagiarism/boilerplate
+    * detection primitive: every shared run of ≥ `k + w − 1` chars between
+    * two docs is guaranteed to surface as a shared fingerprint, so
+    * `n_shared` is a sound screen for copied passages (0 shared ⇒ no such
+    * run survived selection).
+    *
+    * Output, one row per doc with ≥ 1 fingerprint (i.e. ≥ `k` chars):
+    * (id, n_fp, n_shared = fingerprints also selected by ≥ 1 other doc,
+    * fp_digest = sha256 of the comma-joined sorted fingerprint list — a
+    * stable identity for snapshot diffing).
+    *
+    * Scale shape: fingerprinting is scan-local (native expression, ≤
+    * `maxGrams` digests/row); the only corpus-scale exchanges are the
+    * fingerprint-frequency groupBy and the two hinted hash joins back on
+    * fp/id — fingerprint counts never broadcast (the fp relation is
+    * corpus-sized). Nothing quadratic: docs never pair with docs.
+    */
+  def winnowProfile(df: org.apache.spark.sql.DataFrame, id: Column,
+      text: Column, k: Int = 8, w: Int = 4, maxGrams: Int = 2048)
+      : org.apache.spark.sql.DataFrame = {
+    val fps = df
+      .select(id.as("id"), winnowFingerprints(text, k, w, maxGrams).as("fps"))
+      .filter(size(col("fps")) >= 1)
+    val perDoc = fps.select(col("id"),
+      sha2(array_join(transform(col("fps"), _.cast("string")), ","), 256)
+        .as("fp_digest"))
+    val sel = fps.select(col("id"), explode(col("fps")).as("fp"))
+    val cnt = sel.groupBy("fp").agg(count(lit(1)).as("__ndocs"))
+    val shared = sel.join(cnt.hint("shuffle_hash"), Seq("fp"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_fp"),
+        sum(when(col("__ndocs") >= 2L, 1L).otherwise(0L)).as("n_shared"))
+    shared.join(perDoc.hint("shuffle_hash"), Seq("id"))
   }
 }

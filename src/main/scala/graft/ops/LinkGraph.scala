@@ -89,4 +89,78 @@ object LinkGraph {
         coalesce(col("out_deg"), lit(0L)).as("out_deg"),
         col("rank").as("rank_micro"))
   }
+
+  /** HITS hubs/authorities over `nodes`/`edges`, `iterations` rounds —
+    * PageRank's companion crawl signal: a page can matter as a DIRECTORY
+    * (hub: links to many authorities) without being an authority itself,
+    * which is exactly the distinction crawl-frontier and source-weighting
+    * decisions need (boost authorities into the training mix, use hubs only
+    * for discovery).
+    *
+    * Integer variant of the Kleinberg update, sum-normalized instead of
+    * L2-normalized (no sqrt — every step is integral division, so the
+    * K-round fixpoint is bit-identical in any engine; the x88 oracle
+    * replays it as a DuckDB CTE chain):
+    * {{{
+    *   a_raw(v) = Σ_{u→v} h(u);  a(v) = a_raw(v) div max(Σ a_raw div scale, 1)
+    *   h_raw(u) = Σ_{u→v} a(v);  h(u) = h_raw(u) div max(Σ h_raw div scale, 1)
+    * }}}
+    * Total mass stays ≈ `scale` each half-round, so with Σh ≤ ~scale the
+    * raw sums are bounded by maxDeg·scale — 64-bit-safe for max degree
+    * < 2^63/scale (~9·10^6 at the default scale; validate edges upstream
+    * for denser graphs).
+    *
+    * Same scale shape as [[pageRank]]: per half-round one contribution
+    * shuffle keyed by the receiving endpoint, hinted hash joins (iterated
+    * relations carry no stats), in-plan broadcast 1-row normalizers, lazy
+    * `localCheckpoint` lineage truncation per round. Self-loops dropped,
+    * parallel edges collapsed. Nodes with no in/out edges hold score 0
+    * after round 1.
+    *
+    * Returns one row per node: `node_id`, `hub_micro`, `auth_micro`.
+    */
+  def hits(nodes: DataFrame, id: Column, edges: DataFrame,
+      src: Column, dst: Column, iterations: Int = 5,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(iterations >= 1 && iterations <= 64,
+      s"iterations must be in [1,64], got $iterations")
+    require(scale >= 1000000L, s"scale must be at least 1e6, got $scale")
+    val n = nodes.select(id.cast("long").as("id"))
+    val nCount = n.count()
+    require(nCount > 0, "hits needs a non-empty node set")
+    val e = edges.select(src.cast("long").as("src"), dst.cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(eager = false)  // e is scanned 2× per round
+    val base = scale / nCount
+    var hubs = n.withColumn("h", lit(base))
+    var auths = n.withColumn("a", lit(base))
+    for (_ <- 1 to iterations) {
+      val aRaw = n
+        .join(e.join(hubs.hint("shuffle_hash"), col("src") === col("id"))
+          .groupBy("dst").agg(sum(col("h")).as("__raw"))
+          .withColumnRenamed("dst", "id").hint("shuffle_hash"),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col("__raw"), lit(0L)).as("__raw"))
+      val aNorm = aRaw.agg(
+        greatest(expr(s"sum(__raw) div $scale"), lit(1L)).as("__div"))
+      auths = aRaw.crossJoin(broadcast(aNorm))
+        .select(col("id"), expr("__raw div __div").as("a"))
+        .localCheckpoint(eager = false)
+      val hRaw = n
+        .join(e.join(auths.hint("shuffle_hash"), col("dst") === col("id"))
+          .groupBy("src").agg(sum(col("a")).as("__raw"))
+          .withColumnRenamed("src", "id").hint("shuffle_hash"),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col("__raw"), lit(0L)).as("__raw"))
+      val hNorm = hRaw.agg(
+        greatest(expr(s"sum(__raw) div $scale"), lit(1L)).as("__div"))
+      hubs = hRaw.crossJoin(broadcast(hNorm))
+        .select(col("id"), expr("__raw div __div").as("h"))
+        .localCheckpoint(eager = false)
+    }
+    hubs.join(auths.hint("shuffle_hash"), Seq("id"))
+      .select(col("id").as("node_id"), col("h").as("hub_micro"),
+        col("a").as("auth_micro"))
+  }
 }

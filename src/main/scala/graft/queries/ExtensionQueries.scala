@@ -2868,6 +2868,220 @@ object ExtensionQueries {
        FROM r$x83Iters r LEFT JOIN deg ON r.id = deg.src"""
   }
 
+  // ---------------------------------------------------------------------------
+  // X84 — winnowing fingerprints (TextAnalysis.winnowProfile): the MOSS
+  // selection scheme over 8-char shingle hashes, window w=4 — every shared
+  // run of ≥ 11 chars between two docs is guaranteed a shared fingerprint.
+  // The oracle replays selection relationally: per-position 48-bit sha256
+  // prefixes, full-window minima via a ROWS frame, distinct per doc, then
+  // the same shared-count join and sorted-digest the operator computes.
+  // ---------------------------------------------------------------------------
+  private def x84(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.winnowProfile(docs(s, dir), col("doc_id"), col("text"))
+      .withColumnRenamed("id", "doc_id")
+
+  private val x84Sql =
+    """WITH d AS (SELECT doc_id, text,
+             least(greatest(length(text) - 7, 0), 2048) AS n FROM documents),
+         pos AS (SELECT doc_id, n, unnest(generate_series(1, n)) AS p, text
+                 FROM d WHERE n >= 1),
+         v AS (SELECT doc_id, n, p,
+                 CAST('0x' || substr(sha256(substr(text, CAST(p AS INT), 8)), 1, 12)
+                   AS BIGINT) AS val
+               FROM pos),
+         m AS (SELECT doc_id, n, p,
+                 min(val) OVER (PARTITION BY doc_id ORDER BY p
+                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+               FROM v),
+         sel AS (SELECT DISTINCT doc_id, wmin AS fp
+                 FROM m WHERE p <= n - least(4, n) + 1),
+         cnt AS (SELECT fp, count(*) AS ndocs FROM sel GROUP BY 1),
+         agg AS (SELECT s.doc_id, count(*) AS n_fp,
+                   CAST(sum(CASE WHEN c.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_shared
+                 FROM sel s JOIN cnt c USING (fp) GROUP BY 1),
+         dig AS (SELECT doc_id,
+                   sha256(array_to_string(list_sort(list(fp)), ',')) AS fp_digest
+                 FROM sel GROUP BY doc_id)
+       SELECT a.doc_id, a.n_fp, a.n_shared, d2.fp_digest
+       FROM agg a JOIN dig d2 USING (doc_id)"""
+
+  // ---------------------------------------------------------------------------
+  // X85 — URL canonicalization (TextAnalysis.canonicalUrl): the key
+  // normalization behind URL-level crawl dedup. Four variants of each doc's
+  // page are manufactured (the x55 convention): a tracking-params +
+  // WWW/:443/trailing-slash/fragment variant, the clean form, an http/:80
+  // param-reordered variant, and a non-URL string exercising the identity
+  // fallback. Variants 1–2 must collapse to ONE canonical; the http variant
+  // and the fallback stay distinct — so n_canonical pins every rule at once.
+  // ---------------------------------------------------------------------------
+  private def x85(s: SparkSession, dir: String): DataFrame = {
+    val k = pmod(col("doc_id"), lit(7)).cast("string")
+    val id = col("doc_id").cast("string")
+    val variants = array(
+      concat(lit("https://WWW.Example"), k, lit(".com:443/p/"), id,
+        lit("/?utm_source=feed&b=2&a=1#frag")),
+      concat(lit("https://example"), k, lit(".com/p/"), id, lit("?a=1&b=2")),
+      concat(lit("http://example"), k, lit(".com:80/p/"), id,
+        lit("?b=2&a=1&gclid=xyz")),
+      concat(lit("not a url "), id))
+    docs(s, dir)
+      .select(col("doc_id"), explode(variants).as("url"))
+      .select(col("doc_id"), TextAnalysis.canonicalUrl(col("url")).as("canon"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_raw"),
+        countDistinct(col("canon")).as("n_canonical"),
+        min(col("canon")).as("canonical_sample"))
+  }
+
+  private val x85Sql =
+    """WITH t AS (SELECT doc_id, CAST(doc_id % 7 AS VARCHAR) AS k,
+             CAST(doc_id AS VARCHAR) AS i FROM documents),
+         v AS (SELECT doc_id, unnest([
+             'https://WWW.Example' || k || '.com:443/p/' || i || '/?utm_source=feed&b=2&a=1#frag',
+             'https://example' || k || '.com/p/' || i || '?a=1&b=2',
+             'http://example' || k || '.com:80/p/' || i || '?b=2&a=1&gclid=xyz',
+             'not a url ' || i]) AS url
+           FROM t),
+         s AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS u FROM v),
+         c AS (SELECT doc_id,
+             CASE WHEN regexp_matches(url, '^https?://') THEN
+               lower(regexp_extract(u, '^(https?)://', 1)) || '://' ||
+               regexp_replace(regexp_replace(
+                 lower(regexp_extract(u, '^https?://([^/?#]+)', 1)),
+                 ':(80|443)$', ''), '^www\.', '') ||
+               regexp_replace(regexp_extract(u, '^https?://[^/?#]+([^?#]*)', 1),
+                 '/+$', '') ||
+               CASE WHEN q <> '' THEN '?' || q ELSE '' END
+             ELSE url END AS canon
+           FROM (SELECT doc_id, url, u,
+                   array_to_string(list_sort(list_filter(
+                     string_split(regexp_extract(u, '\?([^#]*)', 1), '&'),
+                     p -> p <> '' AND NOT regexp_matches(p,
+                       '^(utm_[^=]*|fbclid|gclid|msclkid|ref)(=.*)?$'))), '&') AS q
+                 FROM s))
+       SELECT doc_id, count(*) AS n_raw,
+              count(DISTINCT canon) AS n_canonical,
+              min(canon) AS canonical_sample
+       FROM c GROUP BY 1"""
+
+  // ---------------------------------------------------------------------------
+  // X86 — topic clustering (Similarity.topicClusters): corpus-wide coarse
+  // k-means segmentation, summarized per cluster. Like the other
+  // estimator-backed queries (x03/x06/x13) the centroid fit is not
+  // SQL-expressible, so this row is rows-only BY CONTRACT and x87 is its
+  // oracle-checked invariant twin.
+  // ---------------------------------------------------------------------------
+  private def x86(s: SparkSession, dir: String): DataFrame =
+    Similarity.topicClusters(embeds(s, dir), col("vec_id"), col("embedding"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum(col("dist2")), 6).as("inertia"),
+        min(col("id")).as("sample_vec"))
+
+  // ---------------------------------------------------------------------------
+  // X87 — topic-cluster invariant audit (x86's oracle twin, the x25/x26/x27
+  // pattern): refits the SAME bounded-sample k-means (deterministic for fixed
+  // seed/sample), then re-derives every assignment through the INTERPRETED
+  // HOF argmin over the centroid literals (the independent formulation
+  // NativeExprEquivalenceSpec pins against NearestCells), checks the
+  // distance bookkeeping to 1e-6, and balances cluster sizes against the
+  // corpus count in-plan. Any FALSE flag hash-fails against the all-TRUE
+  // oracle.
+  // ---------------------------------------------------------------------------
+  private def x87(s: SparkSession, dir: String): DataFrame = {
+    val e = embeds(s, dir)
+    val nK = 16
+    val assign = Similarity.topicClusters(e, col("vec_id"), col("embedding"), nK)
+    val cents = Similarity.fitCentroids(e, col("embedding"), nK)
+    val centroidsLit = typedLit(cents)
+    val normsLit = typedLit(cents.map(c => c.map(x => x * x).sum))
+    val v = col("__v")
+    val hofCell = element_at(transform(array_sort(zip_with(
+      zip_with(centroidsLit, normsLit,
+        (cvec, n2) => n2 - lit(2.0) * graft.functions.DotProduct.dotProduct(v, cvec)),
+      sequence(lit(0), lit(nK - 1)),
+      (d, i) => struct(d.as("d"), i.as("cell")))), p => p("cell")), 1)
+    val vv = aggregate(v, lit(0.0), (acc, x) => acc + x * x)
+    val cTerm = element_at(zip_with(centroidsLit, normsLit,
+      (cvec, n2) => n2 - lit(2.0) * graft.functions.DotProduct.dotProduct(v, cvec)),
+      col("cluster") + 1)
+    val sizes = assign.groupBy("cluster").agg(count(lit(1)).as("__n"))
+      .agg(sum(col("__n")).as("__assigned"))
+    val total = e.agg(count(lit(1)).as("__total"))
+    assign
+      .join(e.select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("__v")).hint("shuffle_hash"),
+        Seq("id"))
+      .crossJoin(broadcast(sizes))
+      .crossJoin(broadcast(total))
+      .select(col("id").as("vec_id"),
+        (col("cluster") === hofCell).as("ok_assign"),
+        (col("cluster") >= 0 && col("cluster") < nK).as("ok_range"),
+        (col("dist2") >= 0.0 &&
+          abs(col("dist2") - (vv + cTerm)) < 1e-6).as("ok_dist"),
+        (col("__assigned") === col("__total")).as("ok_sizes"))
+  }
+
+  private val x87Sql =
+    """SELECT vec_id, TRUE AS ok_assign, TRUE AS ok_range,
+              TRUE AS ok_dist, TRUE AS ok_sizes
+       FROM embeddings"""
+
+  // ---------------------------------------------------------------------------
+  // X88 — HITS hubs/authorities (LinkGraph.hits) on x83's manufactured link
+  // graph: the sum-normalized integer Kleinberg update, every half-round
+  // replayed as a DuckDB CTE pair (a-update from h, h-update from a), so all
+  // 4 iterations are HASH-comparable like x83's PageRank.
+  // ---------------------------------------------------------------------------
+  private val x88Iters = 4
+
+  private def x88(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val nRow = d.agg((max(col("doc_id")) + 1L).as("__n"))
+    val edges = d.select(col("doc_id"))
+      .crossJoin(broadcast(nRow))
+      .select(col("doc_id").as("src"),
+        explode(array((1 to 3).map(j =>
+          pmod(col("doc_id") * 31L + lit(j * 97L), col("__n"))): _*)).as("dst"))
+    graft.ops.LinkGraph.hits(d, col("doc_id"), edges,
+      col("src"), col("dst"), iterations = x88Iters)
+  }
+
+  private val x88Sql: String = {
+    // Each CTE references its predecessor exactly ONCE (the normalizer is a
+    // whole-frame window sum, not a separate scalar CTE): DuckDB inlines
+    // single-reference CTEs, and a 2-reference-per-step chain would inline
+    // into ~4^iters copies of the join tree — unplannable even at sf0.001.
+    val rounds = (1 to x88Iters).map { i =>
+      val p = if (i == 1) "h0" else s"h${i - 1}"
+      s"""araw$i AS (SELECT nd.id, coalesce(CAST(sum(h.s) AS BIGINT), 0) AS raw
+            FROM nodes nd LEFT JOIN e ON e.dst = nd.id
+                          LEFT JOIN $p h ON h.id = e.src
+            GROUP BY 1),
+          a$i AS (SELECT id, raw // greatest(
+              CAST(sum(raw) OVER () AS BIGINT) // 1000000000000, 1) AS s
+            FROM araw$i),
+          hraw$i AS (SELECT nd.id, coalesce(CAST(sum(a.s) AS BIGINT), 0) AS raw
+            FROM nodes nd LEFT JOIN e ON e.src = nd.id
+                          LEFT JOIN a$i a ON a.id = e.dst
+            GROUP BY 1),
+          h$i AS (SELECT id, raw // greatest(
+              CAST(sum(raw) OVER () AS BIGINT) // 1000000000000, 1) AS s
+            FROM hraw$i)"""
+    }.mkString(",\n          ")
+    s"""WITH nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
+         nodes AS (SELECT doc_id AS id FROM documents),
+         e AS (SELECT DISTINCT src, dst FROM (
+                 SELECT doc_id AS src, (doc_id*31 + j*97) % (SELECT n FROM nn) AS dst
+                 FROM documents, (SELECT unnest([1, 2, 3]) AS j))
+               WHERE src <> dst),
+         h0 AS (SELECT id, (SELECT 1000000000000 // n FROM nn) AS s FROM nodes),
+         $rounds
+       SELECT h.id AS node_id, h.s AS hub_micro, a.s AS auth_micro
+       FROM h$x88Iters h JOIN a$x88Iters a USING (id)"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_dedup_exact" -> x1 _,
     "x02_dedup_ngram_jaccard" -> x2 _,
@@ -2951,7 +3165,12 @@ object ExtensionQueries {
     "x80_quality_ensemble" -> x80 _,
     "x81_compression" -> x81 _,
     "x82_compression_invariants" -> x82 _,
-    "x83_pagerank" -> x83 _
+    "x83_pagerank" -> x83 _,
+    "x84_winnowing" -> x84 _,
+    "x85_canonical_url" -> x85 _,
+    "x86_topic_clusters" -> x86 _,
+    "x87_topic_invariants" -> x87 _,
+    "x88_hits" -> x88 _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -3031,6 +3250,10 @@ object ExtensionQueries {
     "x79_retention_cohorts" -> x79Sql,
     "x80_quality_ensemble" -> x80Sql,
     "x82_compression_invariants" -> x82Sql,
-    "x83_pagerank" -> x83Sql
+    "x83_pagerank" -> x83Sql,
+    "x84_winnowing" -> x84Sql,
+    "x85_canonical_url" -> x85Sql,
+    "x87_topic_invariants" -> x87Sql,
+    "x88_hits" -> x88Sql
   )
 }

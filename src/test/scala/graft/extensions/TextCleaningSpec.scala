@@ -57,4 +57,35 @@ class TextCleaningSpec extends AnyFunSuite with SparkTestSession {
     assert(runNorm("Hello; World? (foobar)") == canonical)
     assert(runNorm(runNorm("Hello, World!  Foo-bar.")) == canonical) // idempotent
   }
+
+  private def runCanon(s: String): String = {
+    import spark.implicits._
+    Seq(s).toDF("u").select(TextAnalysis.canonicalUrl(col("u"))).first().getString(0)
+  }
+
+  test("canonicalUrl: cosmetic variants of one page converge") {
+    val canonical = "https://example.com/p/7?a=1&b=2"
+    assert(runCanon("https://example.com/p/7?a=1&b=2") == canonical)
+    assert(runCanon("https://WWW.Example.COM:443/p/7/?b=2&a=1#section") == canonical)
+    assert(runCanon("https://example.com/p/7?utm_source=x&utm_medium=y&a=1&b=2&fbclid=z") == canonical)
+    assert(runCanon(runCanon("https://WWW.example.com/p/7/?b=2&a=1")) ==
+      runCanon("https://WWW.example.com/p/7/?b=2&a=1")) // idempotent
+  }
+
+  test("canonicalUrl: semantic differences are preserved") {
+    // scheme, path case, port ≠ default, non-tracking params all distinguish
+    assert(runCanon("http://example.com/p") != runCanon("https://example.com/p"))
+    assert(runCanon("https://example.com/P") != runCanon("https://example.com/p"))
+    assert(runCanon("https://example.com:8080/p") == "https://example.com:8080/p")
+    assert(runCanon("https://example.com/p?ref=nav") == "https://example.com/p")
+    assert(runCanon("https://example.com/p?refresh=1") ==
+      "https://example.com/p?refresh=1") // prefix of a tracking key is kept
+  }
+
+  test("canonicalUrl: bare hosts, empty queries, and non-URLs") {
+    assert(runCanon("https://www.example.com") == "https://example.com")
+    assert(runCanon("https://example.com/?utm_source=x") == "https://example.com")
+    assert(runCanon("ftp://example.com/a") == "ftp://example.com/a") // identity
+    assert(runCanon("not a url at all") == "not a url at all")
+  }
 }

@@ -74,4 +74,57 @@ class LinkGraphSpec extends AnyFunSuite with SparkTestSession {
     assert(out.values.map(_._2).toSet.size == 1)
     assert(out(0L)._2 == exp(0L))
   }
+
+  /** Exact single-threaded replay of the sum-normalized integer HITS. */
+  private def replayHits(nodes: Seq[Long], edges: Seq[(Long, Long)],
+      iters: Int): Map[Long, (Long, Long)] = {
+    val e = edges.filter(p => p._1 != p._2).distinct
+    val base = Scale / nodes.size
+    var h = nodes.map(_ -> base).toMap
+    var a = nodes.map(_ -> base).toMap
+    for (_ <- 1 to iters) {
+      val araw = nodes.map(v => v -> e.filter(_._2 == v).map(x => h(x._1)).sum).toMap
+      val adiv = math.max(araw.values.sum / Scale, 1L)
+      a = araw.map { case (k, v) => k -> v / adiv }
+      val hraw = nodes.map(v => v -> e.filter(_._1 == v).map(x => a(x._2)).sum).toMap
+      val hdiv = math.max(hraw.values.sum / Scale, 1L)
+      h = hraw.map { case (k, v) => k -> v / hdiv }
+    }
+    nodes.map(v => v -> ((h(v), a(v)))).toMap
+  }
+
+  private def runHits(nodes: Seq[Long], edges: Seq[(Long, Long)], iters: Int)
+      : Map[Long, (Long, Long)] = {
+    import spark.implicits._
+    LinkGraph.hits(nodes.toDF("id"), col("id"),
+        edges.toDF("s", "d"), col("s"), col("d"), iterations = iters)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+  }
+
+  test("hits matches the exact integer replay, including isolated nodes") {
+    val nodes = 0L to 9L
+    // 0 is a pure hub over 1..5; 6..8 also endorse 1; 9 is isolated
+    val edges = (1L to 5L).map(0L -> _) ++ Seq(6L -> 1L, 7L -> 1L, 8L -> 1L,
+      2L -> 2L /* self loop */, 0L -> 1L /* parallel dup */)
+    val out = runHits(nodes, edges, iters = 3)
+    val exp = replayHits(nodes, edges, 3)
+    for (v <- nodes) assert(out(v) == exp(v), s"node $v")
+    assert(out(9L) == ((0L, 0L)), "isolated node must hold zero mass")
+    // 0 links to all the authorities → top hub; 1 is endorsed by the top hub
+    // and three others → top authority
+    assert(out(0L)._1 == out.values.map(_._1).max)
+    assert(out(1L)._2 == out.values.map(_._2).max)
+    // pure hubs are not authorities and vice versa
+    assert(out(0L)._2 == 0L && out(6L)._1 > 0L && out(6L)._2 == 0L)
+  }
+
+  test("hits on a symmetric cycle keeps hubs equal to authorities") {
+    val nodes = 0L until 6L
+    val edges = nodes.map(v => v -> ((v + 1) % 6))
+    val out = runHits(nodes, edges, iters = 4)
+    val exp = replayHits(nodes, edges, 4)
+    for (v <- nodes) assert(out(v) == exp(v), s"node $v")
+    assert(out.values.toSet.size == 1, "cycle symmetry")
+    assert(out(0L)._1 == out(0L)._2)
+  }
 }
