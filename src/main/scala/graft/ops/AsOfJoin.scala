@@ -120,7 +120,9 @@ object AsOfJoin {
       case Some(width) =>
         require(width > 0, s"bucketMicros must be positive, got $width")
         val tMicros = right.schema(rightTime).dataType match {
-          case org.apache.spark.sql.types.TimestampType => unix_micros(col("__t"))
+          case org.apache.spark.sql.types.TimestampType |
+               org.apache.spark.sql.types.TimestampNTZType =>
+            TimeCols.tsMicros(col("__t"))
           case _ => col("__t").cast("long")
         }
         val withBucket = union.withColumn("__b", floor(tMicros / width))

@@ -36,7 +36,7 @@ object Cohorts {
       // is never within an ulp of the next integer (1 µs ≙ 1.2e-11 days,
       // ~3 ulps at day ~2e4) — and DuckDB's integer `//` floors identically
       .select(key.as("key"),
-        floor(unix_micros(ts) / lit(UsPerDay)).cast("long").as("day"))
+        floor(TimeCols.tsMicros(ts) / lit(UsPerDay)).cast("long").as("day"))
       .distinct()
     val cohorts = userDays.groupBy("key").agg(min(col("day")).as("cohort_day"))
     // lazy checkpoint: the day-0 sizes filter and the final join both read

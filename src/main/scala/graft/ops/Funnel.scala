@@ -39,7 +39,7 @@ object Funnel {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(steps.distinct.size == steps.size, "funnel steps must be distinct")
     val stepEvents = events
-      .select(key.as("key"), unix_micros(ts).as("__us"), eventType.as("__et"))
+      .select(key.as("key"), TimeCols.tsMicros(ts).as("__us"), eventType.as("__et"))
       .filter(col("__et").isin(steps.map(s => s: Any): _*))
     // step 1: earliest occurrence per key
     val first = stepEvents.filter(col("__et") === steps.head)

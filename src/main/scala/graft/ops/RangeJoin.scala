@@ -29,15 +29,15 @@ object RangeJoin {
     require(binWidthMicros > 0)
 
     val p = points.withColumn("__bin",
-      floor(unix_micros(col(pointTime)) / binWidthMicros))
+      floor(TimeCols.tsMicros(col(pointTime)) / binWidthMicros))
     val i = intervals
       // empty intervals ([s, e) with e <= s) match nothing — and would make
       // sequence() count DOWNWARD, exploding into bins they don't cover
       .filter(col(endCol) > col(startCol))
       .withColumn("__bin", explode(sequence(
-        floor(unix_micros(col(startCol)) / binWidthMicros),
+        floor(TimeCols.tsMicros(col(startCol)) / binWidthMicros),
         // end is exclusive: a zero-length interval still lands in its start bin
-        floor((unix_micros(col(endCol)) - 1) / binWidthMicros))))
+        floor((TimeCols.tsMicros(col(endCol)) - 1) / binWidthMicros))))
 
     p.join(i, Seq(key, "__bin"))
       .filter(col(pointTime) >= col(startCol) && col(pointTime) < col(endCol))

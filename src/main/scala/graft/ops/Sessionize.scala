@@ -37,7 +37,7 @@ object Sessionize {
   def sessions(events: DataFrame, key: Column, ts: Column, tieBreak: Column,
       gapSeconds: Long, eventType: Column, value: Column): DataFrame = {
     require(gapSeconds > 0, "gapSeconds must be positive")
-    val base = events.select(key.as("key"), unix_micros(ts).as("__us"),
+    val base = events.select(key.as("key"), TimeCols.tsMicros(ts).as("__us"),
       tieBreak.as("__tb"), eventType.as("__et"), value.as("__v"))
     val w = Window.partitionBy(col("key")).orderBy(col("__us"), col("__tb"))
     val flagged = base

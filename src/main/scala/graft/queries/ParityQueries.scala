@@ -35,6 +35,12 @@ object ParityQueries {
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // parquet written with isAdjustedToUTC=false reads as TIMESTAMP_NTZ
+        // under Spark 4's NTZ inference; the session runs in UTC, so the
+        // cast is value-preserving and restores the TIMESTAMP type the
+        // operator layer (unix_micros etc.) expects.
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }
