@@ -163,4 +163,93 @@ object LinkGraph {
       .select(col("id").as("node_id"), col("h").as("hub_micro"),
         col("a").as("auth_micro"))
   }
+
+  /** Co-citation counts — the classic "related pages" signal: two targets
+    * are related when many sources link to BOTH (Small 1973). Feed it the
+    * transposed edge relation (src↔dst swapped) and it computes
+    * bibliographic coupling instead (two SOURCES related by shared
+    * targets).
+    *
+    * Scale design: the pair stage is quadratic in per-source out-degree, so
+    * sources above `maxOutDeg` are dropped BEFORE pairing (mega-hubs — a
+    * portal page linking 10k targets — contribute deg² pairs and no signal;
+    * standard practice in co-citation analysis). With the cap, the
+    * self-join keyed on `src` produces ≤ maxOutDeg·|E| rows: one key
+    * shuffle, hinted hash join, map-side-combinable count, TakeOrdered
+    * top-k (never a single-partition global sort). The (n_common DESC, a,
+    * b) order is total, so the k-boundary is deterministic in any engine.
+    *
+    * Returns top-`topK` rows: `a`, `b` (a < b), `n_common` = number of
+    * distinct sources citing both.
+    */
+  def coCitation(edges: DataFrame, src: Column, dst: Column,
+      maxOutDeg: Int = 64, topK: Int = 100): DataFrame = {
+    require(maxOutDeg >= 2, s"maxOutDeg must be at least 2, got $maxOutDeg")
+    require(topK >= 1, s"topK must be positive, got $topK")
+    val e = edges.select(src.cast("long").as("src"), dst.cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val kept = e.join(
+      e.groupBy("src").agg(count(lit(1)).as("__deg"))
+        .filter(col("__deg") <= maxOutDeg)
+        .select(col("src")).hint("shuffle_hash"),
+      Seq("src"))
+      .localCheckpoint(eager = false)                // scanned twice below
+    kept.as("l")
+      .join(kept.as("r").hint("shuffle_hash"), Seq("src"))
+      .filter(col("l.dst") < col("r.dst"))
+      .groupBy(col("l.dst").as("a"), col("r.dst").as("b"))
+      .agg(count(lit(1)).as("n_common"))
+      .orderBy(col("n_common").desc, col("a"), col("b"))
+      .limit(topK)
+  }
+
+  /** Label-propagation community detection (Raghavan et al. 2007), the
+    * near-linear community algorithm for web-scale graphs — used in crawl
+    * curation to group pages into topical/site communities before
+    * per-community quality and mixture decisions. Deterministic synchronous
+    * variant: each round every node adopts the label most frequent among
+    * its undirected neighbors PLUS one self-vote (the self-vote both damps
+    * the 2-cycle oscillation synchronous LPA is prone to and keeps
+    * isolated nodes stable), ties broken toward the SMALLEST label — no
+    * RNG, so the K-round state is bit-identical in any engine and the
+    * oracle replays every round as a CTE chain.
+    *
+    * Scale design: per round one vote shuffle keyed by node (map-side
+    * combinable count), the argmax as a `max(struct(cnt, -label))`
+    * aggregate in the SAME shuffle — no window, no second shuffle; label
+    * join hinted `shuffle_hash` (iterated relations carry no stats), lazy
+    * `localCheckpoint` truncates per-round lineage. The undirected edge
+    * relation is built once and checkpointed.
+    *
+    * Returns one row per node: `node_id`, `community` (the final label —
+    * community ids are the minimum member id in converged regions).
+    */
+  def labelPropagation(nodes: DataFrame, id: Column, edges: DataFrame,
+      src: Column, dst: Column, iterations: Int = 4): DataFrame = {
+    require(iterations >= 1 && iterations <= 64,
+      s"iterations must be in [1,64], got $iterations")
+    val n = nodes.select(id.cast("long").as("id"))
+    val e = edges.select(src.cast("long").as("src"), dst.cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val und = e.select(col("src").as("v"), col("dst").as("nbr"))
+      .union(e.select(col("dst").as("v"), col("src").as("nbr")))
+      .distinct()
+      .localCheckpoint(eager = false)                // scanned every round
+    var labels = n.withColumn("lab", col("id"))
+    for (_ <- 1 to iterations) {
+      val votes = und
+        .join(labels.hint("shuffle_hash"), col("nbr") === col("id"))
+        .select(col("v"), col("lab"))
+        .union(labels.select(col("id").as("v"), col("lab")))   // self-vote
+      labels = votes
+        .groupBy(col("v"), col("lab"))
+        .agg(count(lit(1)).as("__cnt"))
+        .groupBy(col("v"))
+        .agg(max(struct(col("__cnt"), (-col("lab")).as("__nl"))).as("__m"))
+        .select(col("v").as("id"), (-col("__m.__nl")).as("lab"))
+        .localCheckpoint(eager = false)              // truncate per-round lineage
+    }
+    labels.select(col("id").as("node_id"), col("lab").as("community"))
+  }
 }

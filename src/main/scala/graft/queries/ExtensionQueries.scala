@@ -3082,6 +3082,96 @@ object ExtensionQueries {
        FROM h$x88Iters h JOIN a$x88Iters a USING (id)"""
   }
 
+  // ---------------------------------------------------------------------------
+  // X89 — co-citation "related pages" (LinkGraph.coCitation) on x83's
+  // manufactured link graph: two targets are related when many sources
+  // link to both. The mega-hub degree cap and the total (n_common DESC, a,
+  // b) order make the top-k boundary deterministic, so the whole relation
+  // is HASH-comparable; the oracle is the same cap → self-join → count →
+  // top-k chain in DuckDB.
+  // ---------------------------------------------------------------------------
+  private def x89(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val nRow = d.agg((max(col("doc_id")) + 1L).as("__n"))
+    val edges = d.select(col("doc_id"))
+      .crossJoin(broadcast(nRow))
+      .select(col("doc_id").as("src"),
+        explode(array((1 to 3).map(j =>
+          pmod(col("doc_id") * 31L + lit(j * 97L), col("__n"))): _*)).as("dst"))
+    graft.ops.LinkGraph.coCitation(edges, col("src"), col("dst"),
+      maxOutDeg = 64, topK = 100)
+  }
+
+  private val x89Sql =
+    """WITH nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
+         e AS (SELECT DISTINCT src, dst FROM (
+                 SELECT doc_id AS src, (doc_id*31 + j*97) % (SELECT n FROM nn) AS dst
+                 FROM documents, (SELECT unnest([1, 2, 3]) AS j))
+               WHERE src <> dst),
+         kept AS (SELECT e.src, e.dst FROM e
+                  JOIN (SELECT src FROM e GROUP BY 1 HAVING count(*) <= 64) k
+                  USING (src)),
+         p AS (SELECT l.dst AS a, r.dst AS b
+               FROM kept l JOIN kept r USING (src) WHERE l.dst < r.dst)
+       SELECT a, b, count(*) AS n_common FROM p GROUP BY 1, 2
+       ORDER BY n_common DESC, a, b LIMIT 100"""
+
+  // ---------------------------------------------------------------------------
+  // X90 — label-propagation communities (LinkGraph.labelPropagation). The
+  // graph is manufactured WITH community structure (unlike x83's expander):
+  // doc_id links forward to its +1 and +2 ring neighbors inside its own
+  // 10-node block, so blocks are disjoint communities and 4 deterministic
+  // LPA rounds converge every block to its minimum member id. All rounds
+  // replay as a DuckDB CTE chain (self-votes become self-edges so each
+  // round references its predecessor exactly ONCE — the x88 inlining
+  // lesson), making the full fixpoint HASH-comparable.
+  // ---------------------------------------------------------------------------
+  private val x90Iters = 4
+
+  private def x90(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val nRow = d.agg((max(col("doc_id")) + 1L).as("__n"))
+    val bs = expr("(doc_id div 10) * 10")
+    val span = least(lit(10L), col("__n") - bs)
+    val edges = d.select(col("doc_id"))
+      .crossJoin(broadcast(nRow))
+      .select(col("doc_id").as("src"),
+        explode(array((1 to 2).map(j =>
+          bs + pmod(col("doc_id") - bs + lit(j.toLong), span)): _*)).as("dst"))
+    graft.ops.LinkGraph.labelPropagation(d, col("doc_id"), edges,
+      col("src"), col("dst"), iterations = x90Iters)
+  }
+
+  private val x90Sql: String = {
+    val rounds = (1 to x90Iters).map { i =>
+      val p = i - 1
+      s"""r$i AS (SELECT v AS id, lab FROM (
+            SELECT v, lab, row_number() OVER (
+                PARTITION BY v ORDER BY cnt DESC, lab ASC) AS rn
+            FROM (SELECT u.v, r.lab, count(*) AS cnt
+                  FROM undp u JOIN r$p r ON r.id = u.nbr GROUP BY 1, 2))
+          WHERE rn = 1)"""
+    }.mkString(",\n          ")
+    s"""WITH nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
+         nodes AS (SELECT doc_id AS id FROM documents),
+         e AS (SELECT src, dst FROM (
+                 SELECT doc_id AS src, bs + (doc_id - bs + j) % span AS dst
+                 FROM (SELECT doc_id, (doc_id // 10) * 10 AS bs,
+                         least(10, (SELECT n FROM nn) - (doc_id // 10) * 10)
+                           AS span
+                       FROM documents),
+                      (SELECT unnest([1, 2]) AS j))
+               WHERE src <> dst),
+         und AS (SELECT DISTINCT v, nbr FROM (
+                   SELECT src AS v, dst AS nbr FROM e
+                   UNION ALL SELECT dst AS v, src AS nbr FROM e)),
+         undp AS (SELECT v, nbr FROM und
+                  UNION ALL SELECT id AS v, id AS nbr FROM nodes),
+         r0 AS (SELECT id, id AS lab FROM nodes),
+         $rounds
+       SELECT id AS node_id, lab AS community FROM r$x90Iters"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_dedup_exact" -> x1 _,
     "x02_dedup_ngram_jaccard" -> x2 _,
@@ -3170,7 +3260,9 @@ object ExtensionQueries {
     "x85_canonical_url" -> x85 _,
     "x86_topic_clusters" -> x86 _,
     "x87_topic_invariants" -> x87 _,
-    "x88_hits" -> x88 _
+    "x88_hits" -> x88 _,
+    "x89_cocitation" -> x89 _,
+    "x90_label_propagation" -> x90 _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -3254,6 +3346,8 @@ object ExtensionQueries {
     "x84_winnowing" -> x84Sql,
     "x85_canonical_url" -> x85Sql,
     "x87_topic_invariants" -> x87Sql,
-    "x88_hits" -> x88Sql
+    "x88_hits" -> x88Sql,
+    "x89_cocitation" -> x89Sql,
+    "x90_label_propagation" -> x90Sql
   )
 }

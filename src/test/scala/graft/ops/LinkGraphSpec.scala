@@ -127,4 +127,85 @@ class LinkGraphSpec extends AnyFunSuite with SparkTestSession {
     assert(out.values.toSet.size == 1, "cycle symmetry")
     assert(out(0L)._1 == out(0L)._2)
   }
+
+  test("coCitation counts shared citers, drops mega-hubs, keeps a total order") {
+    import spark.implicits._
+    // sources 0,1,2 each cite {10,11}; 3 cites {11,12}; 4 is a mega-hub
+    // citing 10..15 (deg 6 > cap 5 → dropped entirely)
+    val edges = Seq(0L -> 10L, 0L -> 11L, 1L -> 10L, 1L -> 11L, 2L -> 10L,
+      2L -> 11L, 3L -> 11L, 3L -> 12L, 5L -> 5L /* self loop */,
+      0L -> 10L /* parallel dup */) ++ (10L to 15L).map(4L -> _)
+    val out = LinkGraph.coCitation(edges.toDF("s", "d"), col("s"), col("d"),
+        maxOutDeg = 5, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.head == ((10L, 11L, 3L)), "top pair: three shared citers")
+    assert(out.toSet == Set((10L, 11L, 3L), (11L, 12L, 1L)),
+      "mega-hub 4's deg² pairs must not appear")
+    // a < b and sorted by (n_common desc, a, b)
+    assert(out.forall { case (a, b, _) => a < b })
+    assert(out.map(t => (-t._3, t._1, t._2)).sorted.toSeq ==
+      out.map(t => (-t._3, t._1, t._2)).toSeq)
+  }
+
+  test("coCitation transposed computes bibliographic coupling") {
+    import spark.implicits._
+    // 0 and 1 both cite {10, 11} → coupled with strength 2
+    val edges = Seq(0L -> 10L, 0L -> 11L, 1L -> 10L, 1L -> 11L, 2L -> 10L)
+    val out = LinkGraph.coCitation(edges.toDF("s", "d"), col("d"), col("s"),
+        maxOutDeg = 64, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((0L, 1L, 2L), (0L, 2L, 1L), (1L, 2L, 1L)))
+  }
+
+  /** Exact replay of the deterministic LPA recurrence (self-vote, min-label
+    * tie-break). */
+  private def replayLpa(nodes: Seq[Long], edges: Seq[(Long, Long)],
+      iters: Int): Map[Long, Long] = {
+    val und = edges.filter(p => p._1 != p._2)
+      .flatMap(p => Seq(p, p.swap)).distinct
+    var lab = nodes.map(v => v -> v).toMap
+    for (_ <- 1 to iters) {
+      lab = nodes.map { v =>
+        val votes = (und.collect { case (a, b) if a == v => lab(b) } :+ lab(v))
+        val counts = votes.groupBy(identity).view.mapValues(_.size).toMap
+        v -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }.toMap
+    }
+    lab
+  }
+
+  private def runLpa(nodes: Seq[Long], edges: Seq[(Long, Long)], iters: Int)
+      : Map[Long, Long] = {
+    import spark.implicits._
+    LinkGraph.labelPropagation(nodes.toDF("id"), col("id"),
+        edges.toDF("s", "d"), col("s"), col("d"), iterations = iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("labelPropagation matches the exact replay and finds disjoint blocks") {
+    // two 4-cliques bridged by nothing, plus an isolated node
+    val nodes = 0L to 8L
+    val clique = (g: Long) => for {
+      a <- 0L to 3L; b <- 0L to 3L if a < b
+    } yield (g * 4 + a) -> (g * 4 + b)
+    val edges = clique(0) ++ clique(1)
+    val out = runLpa(nodes, edges, iters = 3)
+    assert(out == replayLpa(nodes, edges, 3))
+    assert((0L to 3L).map(out).toSet == Set(0L), "first clique → min label 0")
+    assert((4L to 7L).map(out).toSet == Set(4L), "second clique → min label 4")
+    assert(out(8L) == 8L, "isolated node keeps its own label")
+  }
+
+  test("labelPropagation self-vote keeps the 2-node graph stable") {
+    // without the self-vote, synchronous LPA on a single edge oscillates
+    // (each adopts the other's label forever); with it, counts tie at 1:1
+    // every round and the min label wins on BOTH sides → converged
+    val nodes = Seq(5L, 9L)
+    val edges = Seq(5L -> 9L)
+    for (k <- 1 to 4) {
+      val out = runLpa(nodes, edges, iters = k)
+      assert(out == replayLpa(nodes, edges, k), s"iters=$k")
+      assert(out(5L) == 5L && out(9L) == 5L, s"iters=$k must already agree")
+    }
+  }
 }
