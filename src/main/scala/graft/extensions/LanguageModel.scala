@@ -394,4 +394,49 @@ object LanguageModel {
         col("kl_micros"),
         (col("kl_micros").cast("double") / lit(1000000.0)).as("kl"))
   }
+
+  /** Source-pair vocabulary similarity via MinHash — the corpus-overlap
+    * fingerprint: for every pair of groups (sources), an unbiased estimate
+    * of the Jaccard similarity of their token VOCABULARIES (type overlap,
+    * not frequency — [[vocabDivergence]] is the frequency-shift meter).
+    * Answers "which sources say the same things" before mixture decisions:
+    * two crawls of the same forum show sim ≈ 1 and deserve one mixture
+    * slot, not two.
+    *
+    * The `nPerms` hash functions are 48-bit sha256 prefixes of `"p:token"`
+    * — engine-rederivable, no RNG (the [[Similarity.randomProjection]]
+    * convention), so the whole relation is HASH-comparable: the oracle
+    * recomputes every min from scratch in long form while the engine runs
+    * the wide form (`nPerms` min-aggregates in ONE group shuffle over the
+    * distinct vocabulary — map-side combine collapses each partition to one
+    * row per group before the shuffle; no per-permutation row blowup).
+    * Pair expansion is a broadcast self-join over the enum-scale signature
+    * relation (k sources → k² candidate pairs, dashboard-sized).
+    *
+    * Output: one row per unordered pair `(src_a < src_b)`: `n_agree` of
+    * `nPerms` minima equal, `sim_est = n_agree / nPerms` rounded to 6 dp
+    * (E[sim_est] = Jaccard(vocab_a, vocab_b); s.e. ≈ 1/√nPerms).
+    */
+  def vocabMinhashSim(df: DataFrame, group: Column, text: Column,
+      nPerms: Int = 64): DataFrame = {
+    require(nPerms >= 1 && nPerms <= 256,
+      s"nPerms must be in [1,256], got $nPerms")
+    val vocab = df
+      .select(group.as("group"), explode(TextAnalysis.tokens(text)).as("tok"))
+      .distinct()
+    def h(p: Int): Column =
+      conv(substring(sha2(concat(lit(s"$p:"), col("tok")), 256), 1, 12), 16, 10)
+        .cast("long")
+    val aggs = (0 until nPerms).map(p => min(h(p)).as(s"__h$p"))
+    val sigs = vocab.groupBy("group").agg(aggs.head, aggs.tail: _*)
+    val agree = (0 until nPerms).map(p =>
+      when(col(s"a.__h$p") === col(s"b.__h$p"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    sigs.as("a")
+      .join(broadcast(sigs.as("b")), col("a.group") < col("b.group"))
+      .select(col("a.group").as("src_a"), col("b.group").as("src_b"),
+        agree.as("n_agree"))
+      .withColumn("sim_est",
+        round(col("n_agree").cast("double") / nPerms, 6))
+  }
 }

@@ -174,4 +174,59 @@ object Sampling {
       Dedup.resolveClusters(df, id, id, pairs)
         .drop("cluster_size", "is_survivor"),
       col("component"), splits, salt)
+
+  /** Deterministic systematic probability-proportional-to-size sampling —
+    * the zero-RNG weighted sampler: lay every row's weight as an interval on
+    * the cumulative-weight axis (in portable sha(key ⊕ salt) order, the
+    * [[epochShuffle]] contract), probe the axis at `k` mid-grid points
+    * `t_j = ⌊W·(2j+1) / 2k⌋`, and emit one `(sample_idx = j, row)` hit per
+    * probe. Classic systematic PPS: inclusion probability ∝ weight; a row
+    * heavier than the W/k grid step is hit by SEVERAL consecutive probes
+    * (its multiplicity is its expected count — that is the with-replacement
+    * analog a token-weighted mixture wants, not a bug), zero-weight rows are
+    * never hit. Exactly `k` output rows whenever total weight W > 0; empty
+    * output when W = 0.
+    *
+    * Every step is integer arithmetic on BIGINTs — the probe-hit range per
+    * row is solved in closed form (`jmin/jmax` below), so results are
+    * bit-identical in any engine. Caller contract: weights are clamped to
+    * ≥ 0 (null → 0), and `2·k·W` must stay under 2⁶³ (at k = 10⁴ that is
+    * W < 4.6·10¹⁴ — a 460-trillion-token corpus).
+    *
+    * Scale shape: one range-partitioned parallel scan for the cumsum
+    * ([[graft.ops.PrefixSum.withGlobalCumsum]] — never a single-partition
+    * window), the total W as an in-plan broadcast 1-row aggregate, then the
+    * probe-hit range is SCAN-LOCAL per row (closed-form integer bounds +
+    * `sequence` explode emitting ≤ ⌈k·w/W⌉+1 hits per row, k total) — no
+    * join against a probe table, no shuffle after the scan.
+    */
+  def systematicSample(df: DataFrame, key: Column, weight: Column, k: Int,
+      salt: String = ""): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val clamped = df
+      .withColumn("__w", greatest(coalesce(weight.cast("long"), lit(0L)), lit(0L)))
+      .withColumn("__sys_ord",
+        sha2(concat(key.cast("string"), lit(salt)), 256))
+    val cum = graft.ops.PrefixSum.withGlobalCumsum(clamped, col("__w"),
+      "__cum", col("__sys_ord"), key)
+    val total = cum.agg(coalesce(max(col("__cum")), lit(0L)).as("__tot"))
+    val twoK = 2L * k
+    cum.crossJoin(broadcast(total))
+      .filter(col("__tot") > 0L && col("__w") > 0L)
+      .withColumn("__lo", col("__cum") - col("__w"))
+      // jmin = smallest j with t_j >= lo: ceil((2k·lo − W) / 2W), floored at 0
+      .withColumn("__n0", lit(twoK) * col("__lo") - col("__tot"))
+      .withColumn("__jmin", when(col("__n0") <= 0L, lit(0L))
+        .otherwise(expr("(__n0 + 2 * __tot - 1) div (2 * __tot)")))
+      // jmax = largest j with t_j < hi: ceil((2k·hi − W) / 2W) − 1 (≤ k−1 by
+      // construction since hi ≤ W)
+      .withColumn("__n1", lit(twoK) * col("__cum") - col("__tot"))
+      .withColumn("__jmax",
+        expr("(__n1 + 2 * __tot - 1) div (2 * __tot)") - 1L)
+      .filter(col("__jmax") >= col("__jmin"))
+      .withColumn("sample_idx",
+        explode(sequence(col("__jmin"), col("__jmax"))))
+      .drop("__w", "__sys_ord", "__cum", "__tot", "__lo", "__n0", "__jmin",
+        "__n1", "__jmax")
+  }
 }

@@ -485,4 +485,103 @@ object Similarity {
     Dedup.resolveClusters(withKeep, col("vec_id"), col("proto_sim"), pairs)
       .drop("__block")
   }
+
+  /** Top principal component of an embedding column by integer fixed-point
+    * power iteration — PCA's curation uses: rank-1 "dominant direction"
+    * removal (the all-but-the-top-PC trick behind SIF / common-component
+    * removal), drift detection between snapshots, and a 1-D curriculum
+    * axis. Everything runs in BIGINT micro-units with truncating division
+    * (verified identical in Spark `div`, Scala `/`, DuckDB `//`), so the
+    * means, the centered gramian, all `iterations` power rounds, the
+    * deterministic sign fix, the Rayleigh eigenvalue, and every per-row
+    * projection are bit-identical in any engine — the oracle replays the
+    * complete algorithm as a DuckDB CTE chain and hash-matches every score.
+    *
+    * Algorithm (S = 10⁶ fixed-point scale):
+    *  1. micro-ize: `xm = round(x·S)` per element
+    *  2. means `m_i = (Σ xm_i) / N` (driver division of DIMS collected sums)
+    *  3. gramian `g_ij = Σ_rows (c_i·c_j div S)` with `c = xm − m`; per-row
+    *     contributions pre-divided so the global sum stays under 2⁶³ out to
+    *     ~10¹² rows; `cov_ij = g_ij / N`
+    *  4. `iterations`× driver power rounds on the DIMS² collected matrix:
+    *     `w = Σ_j cov_ij·v_j div S`, then `v = w div max(max|w| div S, 1)`
+    *     (the HITS normalizer — no sqrt, no overflow inside the caller contract)
+    *  5. sign fix: the largest-|v| component (smallest index on ties) is
+    *     made positive — eliminates the ±v ambiguity deterministically
+    *  6. Rayleigh `λ = (Σ(v_i·w_i div S)·S) div max(Σ(v_i·v_i div S), 1)` —
+    *     `eigval_micro` is the top variance in micro-units (σ²·S of the
+    *     projected axis)
+    *  7. projection `pc1_micro = Σ_i c_i·v_i div S` per row — scan-local
+    *     (v enters the plan as a literal array, the centroid idiom)
+    *
+    * Scale shape: three linear scans over one lazily-checkpointed
+    * micro-ized base (means, gramian, projection). The gramian explode is
+    * N·dims² rows but collapses to ≤ dims² per partition via map-side
+    * partial aggregation — the shuffle moves only `partitions × dims²`
+    * rows; driver state is the dims² matrix (`dims ≤ 256` enforced, ≤ 0.5 MB
+    * — the [[graft.extensions.Quantize]] bounded-collect contract). No
+    * window, no join, no per-row driver work.
+    *
+    * Caller contract: every vector non-null with exactly `dims` elements;
+    * |x| ≲ 30 keeps all intermediates (worst: the scaled Rayleigh numerator) under 2⁶³.
+    *
+    * Output: one row per input: `id`, `pc1_micro` (BIGINT projection on the
+    * top PC), `eigval_micro` (BIGINT, constant — the top eigenvalue).
+    */
+  def pcaTopComponent(df: DataFrame, id: Column, vec: Column, dims: Int,
+      iterations: Int = 12): DataFrame = {
+    require(dims >= 2 && dims <= 256, s"dims must be in [2,256], got $dims")
+    require(iterations >= 1 && iterations <= 64,
+      s"iterations must be in [1,64], got $iterations")
+    val S = 1000000L
+    val base = df.select(id.as("id"),
+        transform(vec, x => round(x.cast("double") * S).cast("long")).as("__mv"))
+      .localCheckpoint(eager = false)   // scanned 3×: means, gramian, projection
+    // pass 1 — per-dim sums; the ONLY driver divisions are over these DIMS rows
+    val sums = base.select(posexplode(col("__mv")).as(Seq("i", "x")))
+      .groupBy("i").agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    require(sums.length == dims,
+      s"expected $dims dims, vectors expose ${sums.length}")
+    require(sums.map(_._3).distinct.length == 1,
+      "ragged or null vectors: per-dim counts differ")
+    val nRows = sums.head._3
+    val m: Array[Long] = {
+      val byI = sums.map(t => t._1 -> t._2).toMap
+      Array.tabulate(dims)(i => byI(i) / nRows)
+    }
+    // pass 2 — centered gramian (contributions pre-divided by S)
+    val cArr = zip_with(col("__mv"), lit(m), (x, mu) => x - mu)
+    val gRows = base.select(cArr.as("__c"))
+      .select(col("__c"), posexplode(col("__c")).as(Seq("i", "ci")))
+      .select(col("i"), col("ci"), posexplode(col("__c")).as(Seq("j", "cj")))
+      .select(col("i"), col("j"), expr(s"(ci * cj) div ${S}L").as("p"))
+      .groupBy("i", "j").agg(sum(col("p")).as("g"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    val cov = Array.tabulate(dims, dims)((i, j) => gRows((i, j)) / nRows)
+    // driver power iteration (Scala Long `/` ≡ Spark div ≡ DuckDB //)
+    var v = Array.fill(dims)(S)
+    for (_ <- 1 to iterations) {
+      val w = Array.tabulate(dims)(i =>
+        (0 until dims).map(j => cov(i)(j) * v(j) / S).sum)
+      val dv = math.max(w.map(math.abs).max / S, 1L)
+      v = w.map(_ / dv)
+    }
+    var k = 0
+    for (i <- 1 until dims) if (math.abs(v(i)) > math.abs(v(k))) k = i
+    if (v(k) < 0) v = v.map(x => -x)
+    val w2 = Array.tabulate(dims)(i =>
+      (0 until dims).map(j => cov(i)(j) * v(j) / S).sum)
+    val num = (0 until dims).map(i => v(i) * w2(i) / S).sum
+    val den = (0 until dims).map(i => v(i) * v(i) / S).sum
+    // λ_micro = S·(v·Cv)/(v·v): num is v·Cv/S², so scale back by S before
+    // the divide to keep the eigenvalue in micro-units (σ²·S of the axis)
+    val lam = num * S / math.max(den, 1L)
+    // pass 3 — scan-local projection on the literal eigenvector
+    val dot = aggregate(zip_with(cArr, lit(v), (c, vv) => c * vv),
+      lit(0L), (acc, x) => acc + x)
+    base.select(col("id"), dot.as("__dot"))
+      .select(col("id"), expr(s"__dot div ${S}L").as("pc1_micro"),
+        lit(lam).as("eigval_micro"))
+  }
 }

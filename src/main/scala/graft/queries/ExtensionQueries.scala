@@ -3172,6 +3172,134 @@ object ExtensionQueries {
        SELECT id AS node_id, lab AS community FROM r$x90Iters"""
   }
 
+  // ---------------------------------------------------------------------------
+  // X91 — deterministic systematic PPS sampling (Sampling.systematicSample):
+  // k=200 probes on the cumulative n_chars axis in portable sha(doc_id)
+  // order. The engine solves each row's probe-hit range in closed form
+  // (scan-local integer bounds after one parallel-scan cumsum); the oracle
+  // re-derives the SAME hits by direct interval containment of every
+  // (probe, row) pair — an independent formulation of the same grid, so a
+  // boundary error in either side breaks the hash.
+  // ---------------------------------------------------------------------------
+  private def x91(s: SparkSession, dir: String): DataFrame =
+    Sampling.systematicSample(
+        docs(s, dir).select(col("doc_id"), col("source"), col("n_chars")),
+        col("doc_id"), col("n_chars"), k = 200, salt = "sys1")
+      .select(col("sample_idx"), col("doc_id"), col("source"), col("n_chars"))
+
+  private val x91Sql =
+    """WITH ord AS (SELECT doc_id, source, n_chars,
+             greatest(coalesce(n_chars, 0), 0) AS w,
+             sha256(CAST(doc_id AS VARCHAR) || 'sys1') AS o
+           FROM documents),
+         c AS (SELECT *, CAST(sum(w) OVER (ORDER BY o, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS cum
+               FROM ord),
+         t AS (SELECT coalesce(max(cum), 0) AS tw FROM c),
+         js AS (SELECT unnest(range(0, 200)) AS j)
+       SELECT j AS sample_idx, doc_id, source, n_chars
+       FROM c, t, js
+       WHERE t.tw > 0 AND c.w > 0
+         AND (t.tw * (2*j + 1)) // 400 >= c.cum - c.w
+         AND (t.tw * (2*j + 1)) // 400 < c.cum"""
+
+  // ---------------------------------------------------------------------------
+  // X92 — source-pair vocabulary MinHash (LanguageModel.vocabMinhashSim):
+  // the corpus-overlap fingerprint. 64 sha-derived hash functions make every
+  // minimum engine-rederivable; the engine runs the WIDE form (64 min-aggs,
+  // one group shuffle) while the oracle recomputes in LONG form (explode
+  // perms → min per (g,p) → pair join) — two independent formulations of
+  // the same signature, hash-compared end to end. sim_est multiples of 1/64
+  // are exact in 6-dp decimal, so the round is engine-stable.
+  // ---------------------------------------------------------------------------
+  private def x92(s: SparkSession, dir: String): DataFrame =
+    LanguageModel.vocabMinhashSim(docs(s, dir), col("source"), col("text"),
+      nPerms = 64)
+
+  private val x92Sql =
+    """WITH v AS (SELECT DISTINCT g, tok FROM (
+             SELECT source AS g,
+               unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                 x -> x <> '')) AS tok
+             FROM documents)),
+         hp AS (SELECT g, p,
+                 CAST('0x' || substr(sha256(CAST(p AS VARCHAR) || ':' || tok),
+                   1, 12) AS BIGINT) AS h
+                FROM v, (SELECT unnest(range(0, 64)) AS p)),
+         sig AS (SELECT g, p, min(h) AS mh FROM hp GROUP BY 1, 2)
+       SELECT a.g AS src_a, b.g AS src_b,
+              CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_agree,
+              round(CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END)
+                AS BIGINT) / 64.0, 6) AS sim_est
+       FROM sig a JOIN sig b ON a.p = b.p AND a.g < b.g
+       GROUP BY 1, 2"""
+
+  // ---------------------------------------------------------------------------
+  // X93 — top principal component (Similarity.pcaTopComponent): the dominant
+  // embedding direction by integer fixed-point power iteration. The ENTIRE
+  // algorithm — micro-izing, means, centered gramian, 12 power rounds with
+  // the HITS-style integer normalizer, deterministic sign fix, Rayleigh
+  // eigenvalue, per-row projection — replays as a DuckDB CTE chain in the
+  // same BIGINT truncating arithmetic, so every projection hash-matches.
+  // cov is MATERIALIZED (12 references would re-run the N·d² gramian);
+  // each power round references its predecessor exactly once (the x88
+  // inlining lesson, window-max normalizer instead of a scalar subquery).
+  // ---------------------------------------------------------------------------
+  private val x93Iters = 12
+
+  private def x93(s: SparkSession, dir: String): DataFrame =
+    Similarity.pcaTopComponent(embeds(s, dir), col("vec_id"),
+        col("embedding"), dims = 64, iterations = x93Iters)
+      .select(col("id").as("vec_id"), col("pc1_micro"), col("eigval_micro"))
+
+  private val x93Sql: String = {
+    val rounds = (1 to x93Iters).map { i =>
+      val p = i - 1
+      s"""w$i AS (SELECT c.i, CAST(sum((c.cv * v.val) // 1000000) AS BIGINT) AS w
+            FROM cov c JOIN v$p v ON v.i = c.j GROUP BY c.i),
+          v$i AS (SELECT i, w // greatest(
+              CAST(max(abs(w)) OVER () AS BIGINT) // 1000000, 1) AS val
+            FROM w$i)"""
+    }.mkString(",\n          ")
+    s"""WITH em AS (SELECT vec_id, i,
+             CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS xm
+           FROM (SELECT vec_id, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS i
+                 FROM embeddings)),
+         nn AS (SELECT count(*) AS n FROM embeddings),
+         mm AS (SELECT i, CAST(sum(xm) AS BIGINT) // (SELECT n FROM nn) AS m
+                FROM em GROUP BY 1),
+         ce AS MATERIALIZED (
+           SELECT e.vec_id, e.i, e.xm - m.m AS c
+           FROM em e JOIN mm m USING (i)),
+         cov AS MATERIALIZED (
+           SELECT a.i AS i, b.i AS j,
+             CAST(sum((a.c * b.c) // 1000000) AS BIGINT)
+               // (SELECT n FROM nn) AS cv
+           FROM ce a JOIN ce b USING (vec_id) GROUP BY 1, 2),
+         v0 AS (SELECT i, CAST(1000000 AS BIGINT) AS val FROM mm),
+         $rounds,
+         kk AS (SELECT val, row_number() OVER (ORDER BY abs(val) DESC, i ASC)
+                  AS rn FROM v$x93Iters),
+         vf AS MATERIALIZED (
+           SELECT i, val * (CASE WHEN (SELECT val FROM kk WHERE rn = 1) < 0
+             THEN -1 ELSE 1 END) AS val FROM v$x93Iters),
+         wfin AS (SELECT c.i,
+                  CAST(sum((c.cv * v.val) // 1000000) AS BIGINT) AS w
+                FROM cov c JOIN vf v ON v.i = c.j GROUP BY c.i),
+         lam AS (SELECT (CAST(sum((v.val * wfin.w) // 1000000) AS BIGINT)
+                     * 1000000) //
+                   greatest((SELECT CAST(sum((val * val) // 1000000) AS BIGINT)
+                             FROM vf), 1) AS l
+                 FROM vf v JOIN wfin ON wfin.i = v.i)
+       SELECT ce.vec_id, CAST(sum(ce.c * v.val) AS BIGINT) // 1000000
+                AS pc1_micro,
+              (SELECT l FROM lam) AS eigval_micro
+       FROM ce JOIN vf v USING (i) GROUP BY ce.vec_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_dedup_exact" -> x1 _,
     "x02_dedup_ngram_jaccard" -> x2 _,
@@ -3262,7 +3390,10 @@ object ExtensionQueries {
     "x87_topic_invariants" -> x87 _,
     "x88_hits" -> x88 _,
     "x89_cocitation" -> x89 _,
-    "x90_label_propagation" -> x90 _
+    "x90_label_propagation" -> x90 _,
+    "x91_systematic_sample" -> x91 _,
+    "x92_vocab_minhash" -> x92 _,
+    "x93_pca_top_component" -> x93 _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -3348,6 +3479,9 @@ object ExtensionQueries {
     "x87_topic_invariants" -> x87Sql,
     "x88_hits" -> x88Sql,
     "x89_cocitation" -> x89Sql,
-    "x90_label_propagation" -> x90Sql
+    "x90_label_propagation" -> x90Sql,
+    "x91_systematic_sample" -> x91Sql,
+    "x92_vocab_minhash" -> x92Sql,
+    "x93_pca_top_component" -> x93Sql
   )
 }

@@ -176,4 +176,29 @@ class LanguageModelSpec extends AnyFunSuite with SparkTestSession {
     assert(LanguageModel.pmiCollocations(df, col("text"), minCount = 1L,
       topK = 3).count() == 3)
   }
+
+  test("vocabMinhashSim: identical vocabularies agree fully, estimates track Jaccard") {
+    import spark.implicits._
+    // a and b share ALL types (frequencies differ — must not matter);
+    // c overlaps a in 8 of 24 union types (J = 1/3); d is fully disjoint
+    val aText = (0 until 16).map(i => s"w$i").mkString(" ")
+    val cText = ((0 until 8) ++ (100 until 116)).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      ("a", aText), ("a", aText + " " + aText),
+      ("b", (15 to 0 by -1).map(i => s"w$i w$i").mkString(" ")),
+      ("c", cText), ("d", "zz1 zz2 zz3")).toDF("src", "text")
+    val out = LanguageModel.vocabMinhashSim(df, col("src"), col("text"),
+        nPerms = 64)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.size == 6, "all unordered pairs present")
+    assert(out(("a", "b")) == ((64L, 1.0)), "same vocabulary → all minima agree")
+    val (nAc, simAc) = out(("a", "c"))
+    assert(simAc == nAc / 64.0)
+    // J(a,c) = 1/3; 64 perms → s.e. ≈ 0.06, assert within 4 s.e.
+    assert(math.abs(simAc - 1.0 / 3) < 0.25, s"estimate $simAc far from 1/3")
+    assert(out(("a", "d"))._1 == 0L, "disjoint vocabularies never agree")
+    // multiplicities of 1/64 are exactly representable at 6 dp
+    assert(out.values.forall { case (n, s) => s == n / 64.0 })
+  }
 }

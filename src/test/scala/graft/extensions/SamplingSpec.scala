@@ -106,4 +106,40 @@ class SamplingSpec extends AnyFunSuite with SparkTestSession {
     // deterministic: identical under arbitrary repartitioning
     assert(run(df.repartition(13)) == out)
   }
+
+  test("systematic PPS sample: exactly k hits, grid replica, multiplicity ∝ weight") {
+    import spark.implicits._
+    val rows = (0L until 60L).map(i => (i, if (i == 7L) 5000L else 10L + i % 7))
+    val df = rows.toDF("id", "w")
+    val k = 25
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sampling.systematicSample(d, col("id"), col("w"), k, salt = "s9")
+        .select(col("sample_idx"), col("id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val out = run(df)
+    // driver replica: sort by sha(id+salt), lay intervals, probe the grid
+    def sha(s: String) = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ordered = rows.sortBy(r => (sha(r._1.toString + "s9"), r._1))
+    val total = rows.map(_._2).sum
+    var cum = 0L
+    val intervals = ordered.map { case (id, w) => cum += w; (id, cum - w, cum) }
+    val expected = (0 until k).map { j =>
+      val t = total * (2L * j + 1) / (2L * k)
+      val hit = intervals.find(iv => iv._2 <= t && t < iv._3).get
+      (j.toLong, hit._1)
+    }
+    assert(out == expected)
+    assert(out.size == k, "exactly k hits")
+    assert(out.map(_._1).toSet == (0L until k).toSet, "every probe hits once")
+    // the one mega-row (~76% of mass) is hit by many consecutive probes
+    val megaHits = out.count(_._2 == 7L)
+    assert(megaHits >= k / 2, s"PPS multiplicity: got $megaHits hits for 76% mass")
+    // partition-independent
+    assert(run(df.repartition(11)) == out)
+    // zero-weight rows never sampled, zero-total → empty
+    val z = Sampling.systematicSample(
+      Seq((1L, 0L), (2L, 0L)).toDF("id", "w"), col("id"), col("w"), 5)
+    assert(z.count() == 0L)
+  }
 }
