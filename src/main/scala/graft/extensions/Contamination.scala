@@ -109,4 +109,46 @@ object Contamination {
       .withColumn("n_eval_matches", coalesce(col("n_eval_matches"), lit(0L)))
       .withColumn("is_contaminated", col("n_eval_matches") > 0)
   }
+
+  /** Per-document n-gram NOVELTY against a reference sub-corpus — the
+    * inverse of contamination: instead of flagging overlap with a benchmark,
+    * score how much of each candidate document is NOT already covered by
+    * the reference partition (an earlier crawl snapshot, the retained
+    * corpus, a high-quality seed set). The standard freshness/diversity
+    * signal when deciding what a new crawl actually adds.
+    *
+    * `novelty_ppm = 10⁶ · |distinct grams unseen in ref| / |distinct grams|`
+    * — integer parts-per-million so the score is bit-stable (the x72
+    * no-float-division convention). Gram semantics are
+    * [[graft.functions.NGrams]]'s set semantics (distinct windows, one
+    * short window for docs under `n` tokens) — the same native shingle
+    * every near-dup operator uses.
+    *
+    * Scale shape: one shuffle keyed by the gram string (reference set
+    * `distinct` + left join — shuffle-hash hinted, the iterated side
+    * carries no stats), then a per-doc aggregate. Grams are short token
+    * windows, so the join key is the gram itself (exact, oracle-friendly);
+    * a 100 TB deployment would pre-project sha2(gram) as the join key to
+    * keep the shuffle narrow — same results, wider hash than any realistic
+    * collision budget.
+    *
+    * Output: one row per NON-reference doc: `id`, `n_grams`, `n_unseen`,
+    * `novelty_ppm`.
+    */
+  def ngramNovelty(df: DataFrame, id: Column, text: Column, isRef: Column,
+      n: Int = 3): DataFrame = {
+    require(n >= 1 && n <= 8, s"n must be in [1,8], got $n")
+    val grams = df.select(id.as("id"), isRef.as("__ref"),
+      explode(graft.functions.NGrams.ngrams(TextAnalysis.tokens(text), n))
+        .as("g"))
+    val ref = grams.filter(col("__ref")).select(col("g")).distinct()
+      .withColumn("__hit", lit(1))
+    grams.filter(!col("__ref"))
+      .select(col("id"), col("g"))
+      .join(ref.hint("shuffle_hash"), Seq("g"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__hit").isNull, 1L).otherwise(0L)).as("n_unseen"))
+      .withColumn("novelty_ppm", expr("(n_unseen * 1000000) div n_grams"))
+  }
 }

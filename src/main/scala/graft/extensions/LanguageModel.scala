@@ -424,11 +424,25 @@ object LanguageModel {
     val vocab = df
       .select(group.as("group"), explode(TextAnalysis.tokens(text)).as("tok"))
       .distinct()
-    def h(p: Int): Column =
-      conv(substring(sha2(concat(lit(s"$p:"), col("tok")), 256), 1, 12), 16, 10)
-        .cast("long")
-    val aggs = (0 until nPerms).map(p => min(h(p)).as(s"__h$p"))
-    val sigs = vocab.groupBy("group").agg(aggs.head, aggs.tail: _*)
+      .localCheckpoint(eager = false)            // scanned by hash + join
+    // hash each DISTINCT token once (not once per group it appears in), and
+    // one sha256 yields FOUR independent 48-bit values (12-hex slices of
+    // the 64-hex digest) — digest count is |global vocab|·nPerms/4, not
+    // |group×vocab|·nPerms. The sha array materializes in its own projection
+    // so each digest is computed once even without subexpression elimination.
+    val nShas = (nPerms + 3) / 4
+    val hashed = vocab.select(col("tok")).distinct()
+      .select(col("tok"), array((0 until nShas).map(q =>
+        sha2(concat(lit(s"$q:"), col("tok")), 256)): _*).as("__shas"))
+      .select(col("tok"), array((0 until nPerms).map(p =>
+        conv(substring(element_at(col("__shas"), p / 4 + 1),
+          1 + 12 * (p % 4), 12), 16, 10).cast("long")): _*).as("__h"))
+    val aggs = (0 until nPerms).map(p =>
+      min(element_at(col("__h"), p + 1)).as(s"__h$p"))
+    val sigs = vocab
+      .join(hashed.hint("shuffle_hash"), Seq("tok"))
+      .groupBy("group").agg(aggs.head, aggs.tail: _*)
+      .localCheckpoint(eager = false)            // read twice by the self-join
     val agree = (0 until nPerms).map(p =>
       when(col(s"a.__h$p") === col(s"b.__h$p"), 1L).otherwise(0L))
       .reduce(_ + _)

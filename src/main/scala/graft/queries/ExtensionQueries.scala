@@ -3224,8 +3224,8 @@ object ExtensionQueries {
                  x -> x <> '')) AS tok
              FROM documents)),
          hp AS (SELECT g, p,
-                 CAST('0x' || substr(sha256(CAST(p AS VARCHAR) || ':' || tok),
-                   1, 12) AS BIGINT) AS h
+                 CAST('0x' || substr(sha256(CAST(p // 4 AS VARCHAR) || ':' || tok),
+                   CAST(1 + 12 * (p % 4) AS INT), 12) AS BIGINT) AS h
                 FROM v, (SELECT unnest(range(0, 64)) AS p)),
          sig AS (SELECT g, p, min(h) AS mh FROM hp GROUP BY 1, 2)
        SELECT a.g AS src_a, b.g AS src_b,
@@ -3299,6 +3299,43 @@ object ExtensionQueries {
               (SELECT l FROM lam) AS eigval_micro
        FROM ce JOIN vf v USING (i) GROUP BY ce.vec_id"""
   }
+
+  // ---------------------------------------------------------------------------
+  // X94 — n-gram novelty vs a reference sub-corpus (Contamination
+  // .ngramNovelty): sources src0-src4 act as the "already retained" corpus,
+  // every other doc is scored by the ppm of its distinct trigrams the
+  // reference has never seen. The oracle re-derives NGrams' set semantics
+  // (distinct windows, one short window under n tokens) with the x67 window
+  // idiom and replays the same left-join/aggregate — integer ppm keeps the
+  // score bit-stable.
+  // ---------------------------------------------------------------------------
+  private def x94(s: SparkSession, dir: String): DataFrame =
+    Contamination.ngramNovelty(docs(s, dir), col("doc_id"), col("text"),
+        isRef = col("source").isin("src0", "src1", "src2", "src3", "src4"),
+        n = 3)
+      .withColumnRenamed("id", "doc_id")
+
+  private val x94Sql =
+    """WITH base AS (SELECT doc_id, source,
+             list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')
+               AS toks
+           FROM documents),
+         g AS (SELECT doc_id, source, unnest(
+                 CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                 ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                 END) AS gr
+               FROM base),
+         ref AS (SELECT DISTINCT gr FROM g
+                 WHERE source IN ('src0','src1','src2','src3','src4')),
+         cand AS (SELECT doc_id, gr FROM g
+                  WHERE source NOT IN ('src0','src1','src2','src3','src4'))
+       SELECT c.doc_id, count(*) AS n_grams,
+              CAST(sum(CASE WHEN r.gr IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_unseen,
+              (CAST(sum(CASE WHEN r.gr IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                * 1000000) // count(*) AS novelty_ppm
+       FROM cand c LEFT JOIN ref r USING (gr) GROUP BY 1"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_dedup_exact" -> x1 _,
@@ -3393,7 +3430,8 @@ object ExtensionQueries {
     "x90_label_propagation" -> x90 _,
     "x91_systematic_sample" -> x91 _,
     "x92_vocab_minhash" -> x92 _,
-    "x93_pca_top_component" -> x93 _
+    "x93_pca_top_component" -> x93 _,
+    "x94_ngram_novelty" -> x94 _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -3482,6 +3520,7 @@ object ExtensionQueries {
     "x90_label_propagation" -> x90Sql,
     "x91_systematic_sample" -> x91Sql,
     "x92_vocab_minhash" -> x92Sql,
-    "x93_pca_top_component" -> x93Sql
+    "x93_pca_top_component" -> x93Sql,
+    "x94_ngram_novelty" -> x94Sql
   )
 }

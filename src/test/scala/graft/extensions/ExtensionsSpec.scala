@@ -463,6 +463,28 @@ class ExtensionsSpec extends AnyFunSuite with SparkTestSession {
     assert(out(4L) > 0.0 && out(4L) < 1.0) // "alpha beta gamma" hits, rest misses
   }
 
+  test("ngramNovelty: unseen ppm exact, ref excluded, short docs one window") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "alpha beta gamma delta", true),   // ref: grams {a b g, b g d}
+      (2L, "alpha beta gamma delta", false),  // fully covered → 0 ppm
+      (3L, "zeta eta theta iota", false),     // fully novel → 1e6 ppm
+      (4L, "alpha beta gamma nu xi", false),  // 1 of 3 grams covered
+      (5L, "one two", false),                 // short: ONE window "one two"
+      (6L, "", false)                         // empty: one "" window, unseen
+    ).toDF("doc_id", "text", "is_ref")
+    val out = Contamination.ngramNovelty(d, col("doc_id"), col("text"),
+        col("is_ref"), n = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(!out.contains(1L), "reference docs are not scored")
+    assert(out(2L) == ((2L, 0L, 0L)))
+    assert(out(3L) == ((2L, 2L, 1000000L)))
+    assert(out(4L) == ((3L, 2L, 666666L)))   // (2·1e6) div 3 truncates
+    assert(out(5L) == ((1L, 1L, 1000000L)))
+    assert(out(6L) == ((1L, 1L, 1000000L)))
+  }
+
   test("nearDupContamination: paraphrased eval leaks flagged, train-train dups not") {
     import spark.implicits._
     val train = Seq(
