@@ -453,4 +453,72 @@ object LanguageModel {
       .withColumn("sim_est",
         round(col("n_agree").cast("double") / nPerms, 6))
   }
+
+  /** Byte-pair-encoding tokenizer training (Sennrich et al. 2016) — the
+    * merge-table induction a corpus-owned tokenizer needs, run as a
+    * relational algorithm: per round, count every adjacent symbol pair over
+    * the word-frequency relation, pick the global argmax (ties broken
+    * `(count DESC, left, right)` — fully deterministic, no RNG), and apply
+    * the merge with the native [[graft.functions.MergePair]] greedy scan.
+    * Stops early when no pair reaches `minCount`.
+    *
+    * Character-level within words ([[TextAnalysis.tokens]] word split, no
+    * end-of-word marker), pair counts weighted by word frequency with
+    * overlap (`aaa` counts `(a,a)` twice) while application is
+    * non-overlapping greedy — the reference BPE behavior. Chosen counts are
+    * NON-INCREASING over steps (each new pair instance arises from one
+    * merge instance, so a new pair's count never exceeds the count just
+    * chosen) — the x97 invariant.
+    *
+    * Scale shape: training runs over the DISTINCT-WORD frequency relation,
+    * not the corpus — one corpus token scan builds it, and every subsequent
+    * round is a vocabulary-scale scan (map-side-combined pair counts, a
+    * 1-row TakeOrdered argmax collect, a scan-local native merge), with a
+    * lazy per-round `localCheckpoint` keeping lineage flat. `nMerges`
+    * bounded collects of one row each are the only driver traffic.
+    *
+    * Output: the learned merge table, one row per step:
+    * `step`, `left`, `right`, `merged`, `pair_count`.
+    */
+  def bpeTrain(df: DataFrame, text: Column, nMerges: Int = 16,
+      minCount: Long = 2L): DataFrame = {
+    require(nMerges >= 1 && nMerges <= 4096,
+      s"nMerges must be in [1,4096], got $nMerges")
+    require(minCount >= 1L, s"minCount must be positive, got $minCount")
+    val spark = df.sparkSession
+    val words = df.select(explode(TextAnalysis.tokens(text)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    var syms = words.select(col("cnt"),
+        transform(sequence(lit(1), length(col("w"))),
+          i => col("w").substr(i, lit(1))).as("s"))
+      .localCheckpoint(eager = false)
+    val merges = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
+    var done = false
+    for (step <- 1 to nMerges if !done) {
+      val top = syms
+        .filter(size(col("s")) >= 2)
+        .select(col("cnt"), explode(zip_with(
+          slice(col("s"), lit(1), size(col("s")) - 1),
+          slice(col("s"), lit(2), size(col("s")) - 1),
+          (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("a"), col("b"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty || top.head.getLong(2) < minCount) done = true
+      else {
+        val (a, b, c) = (top.head.getString(0), top.head.getString(1),
+          top.head.getLong(2))
+        merges += ((step, a, b, c))
+        syms = syms.select(col("cnt"),
+            graft.functions.MergePair.mergePair(col("s"), a, b).as("s"))
+          .localCheckpoint(eager = false)
+      }
+    }
+    import spark.implicits._
+    merges.toList.toDF("step", "left", "right", "pair_count")
+      .select(col("step").cast("long").as("step"), col("left"), col("right"),
+        concat(col("left"), col("right")).as("merged"), col("pair_count"))
+  }
 }

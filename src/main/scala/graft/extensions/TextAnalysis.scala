@@ -1,6 +1,6 @@
 package graft.extensions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for LLM training-data pipelines (north-star
@@ -114,6 +114,35 @@ object TextAnalysis {
     PiiPatterns.foldLeft(text) { case (c, (pat, repl)) =>
       regexp_replace(c, lit(pat), lit(repl))
     }
+
+  /** k-anonymity audit over a quasi-identifier tuple — the re-identification
+    * companion to [[redactPii]]: direct identifiers are scrubbed by pattern,
+    * but a row can still be identified by the COMBINATION of innocuous
+    * attributes (language × source × length band is the curation-metadata
+    * analogue of the classic zip × birthdate × sex). Every row gets its
+    * equivalence-class size; rows in classes smaller than `k` are flagged
+    * for suppression (release would expose a ≤ k-member group).
+    *
+    * Scale shape: one groupBy on the quasi-identifier tuple (map-side
+    * combined, class count ≪ corpus) and one hinted shuffle-hash join back —
+    * no window (a per-class `count().over(...)` would buffer hot classes in
+    * single window tasks; the aggregate+join shape spreads them).
+    *
+    * Output: the input columns + `qi_class_size` + `suppress`.
+    */
+  def kAnonymity(df: DataFrame, quasi: Seq[Column], k: Long): DataFrame = {
+    require(quasi.nonEmpty, "kAnonymity needs at least one quasi-identifier")
+    require(k >= 2, s"k must be at least 2, got $k")
+    val qiCols = quasi.zipWithIndex.map { case (c, i) => c.as(s"__qi$i") }
+    val names = qiCols.indices.map(i => s"__qi$i")
+    val tagged = df.select(col("*") +: qiCols: _*)
+    val sizes = tagged.groupBy(names.map(col): _*)
+      .agg(count(lit(1)).as("qi_class_size"))
+    tagged
+      .join(sizes.hint("shuffle_hash"), names)
+      .withColumn("suppress", col("qi_class_size") < k)
+      .drop(names: _*)
+  }
 
   // ------------------------------------------------- cleaning / canon --
 
@@ -543,15 +572,34 @@ object TextAnalysis {
     val fps = df
       .select(id.as("id"), winnowFingerprints(text, k, w, maxGrams).as("fps"))
       .filter(size(col("fps")) >= 1)
+      // the native winnowing scan is the dominant cost and has THREE
+      // consumers (digest, count, join-back): one GC-owned materialization
+      // instead of three evaluations — the sf1 probe showed 16x-for-10x
+      // scaling without it (recomputation × shuffle pressure)
+      .localCheckpoint(eager = false)
     val perDoc = fps.select(col("id"),
+      size(col("fps")).cast("long").as("n_fp"),
       sha2(array_join(transform(col("fps"), _.cast("string")), ","), 256)
         .as("fp_digest"))
     val sel = fps.select(col("id"), explode(col("fps")).as("fp"))
-    val cnt = sel.groupBy("fp").agg(count(lit(1)).as("__ndocs"))
-    val shared = sel.join(cnt.hint("shuffle_hash"), Seq("fp"))
-      .groupBy("id")
-      .agg(count(lit(1)).as("n_fp"),
-        sum(when(col("__ndocs") >= 2L, 1L).otherwise(0L)).as("n_shared"))
-    shared.join(perDoc.hint("shuffle_hash"), Seq("id"))
+    // n_fp is scan-local (size), so the join only needs the SHARED
+    // fingerprint set — which is tiny relative to the stream (only
+    // fingerprints appearing in ≥2 docs: boilerplate + true near-dups).
+    // Measured gate, same trade as unigramLogLikelihood's vocab gate: a
+    // bounded-size shared set BROADCASTS the semi-join and the 10⁸-row
+    // fingerprint stream never shuffles for it; above the gate, fall back
+    // to a shuffle-hash semi-join. The sf1 probe motivated this shape:
+    // joining ndocs back onto the full stream was 2 full-stream shuffles.
+    val sharedFps = sel.groupBy("fp").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2L).select(col("fp"))
+      .localCheckpoint(eager = false)
+    val nSharedFps = sharedFps.count()      // bounded driver scalar (the gate)
+    val mark: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      if (nSharedFps <= 4000000L) broadcast else d => d.hint("shuffle_hash")
+    val hits = sel.join(mark(sharedFps), Seq("fp"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("n_shared"))
+    perDoc.join(hits.hint("shuffle_hash"), Seq("id"), "left")
+      .select(col("id"), col("n_fp"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"), col("fp_digest"))
   }
 }

@@ -3337,6 +3337,72 @@ object ExtensionQueries {
                 * 1000000) // count(*) AS novelty_ppm
        FROM cand c LEFT JOIN ref r USING (gr) GROUP BY 1"""
 
+  // ---------------------------------------------------------------------------
+  // X95 — k-anonymity audit (TextAnalysis.kAnonymity) on the curation
+  // metadata tuple (lang, source, 200-char length band): every row gets its
+  // equivalence-class size, classes under k=3 are flagged for suppression.
+  // Aggregate + hinted join back, never a per-class window.
+  // ---------------------------------------------------------------------------
+  private def x95(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.kAnonymity(
+        docs(s, dir).select(col("doc_id"), col("lang"), col("source"),
+          col("n_chars")),
+        Seq(col("lang"), col("source"), expr("n_chars div 200")), k = 3L)
+      .select(col("doc_id"), col("qi_class_size"), col("suppress"))
+
+  private val x95Sql =
+    """WITH t AS (SELECT doc_id, lang, source, n_chars // 200 AS band
+           FROM documents),
+         s AS (SELECT lang, source, band, count(*) AS n
+               FROM t GROUP BY 1, 2, 3)
+       SELECT t.doc_id, s.n AS qi_class_size, s.n < 3 AS suppress
+       FROM t JOIN s USING (lang, source, band)"""
+
+  // ---------------------------------------------------------------------------
+  // X96/X97 — BPE tokenizer training (LanguageModel.bpeTrain). The merge
+  // table itself is rows-only by contract: step r's argmax depends on
+  // applying merges 1..r-1, a sequential-greedy rewrite SQL can't replay.
+  // X97 is the oracle-checked invariant twin: step 1 IS SQL-derivable (raw
+  // character pairs, no prior merges), so the oracle re-derives the first
+  // merge exactly, and the non-increasing-count + merged≡left‖right
+  // invariants hold for the whole table (each new pair instance arises from
+  // one merge instance, so later argmax counts can never exceed earlier).
+  // ---------------------------------------------------------------------------
+  private def x96(s: SparkSession, dir: String): DataFrame =
+    LanguageModel.bpeTrain(docs(s, dir), col("text"), nMerges = 10,
+      minCount = 2L)
+
+  private def x97(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // bounded collect: ≤ nMerges rows by construction
+    val m = LanguageModel.bpeTrain(docs(s, dir), col("text"), nMerges = 10,
+      minCount = 2L).collect()
+    val byStep = m.sortBy(_.getLong(0))
+    val s1 = byStep.head
+    val concatOk = byStep.forall(r => r.getString(3) == r.getString(1) + r.getString(2))
+    val nonInc = byStep.sliding(2).forall {
+      case Array(p, n) => n.getLong(4) <= p.getLong(4)
+      case _           => true
+    }
+    Seq((s1.getString(1), s1.getString(2), s1.getLong(4), concatOk, nonInc))
+      .toDF("step1_left", "step1_right", "step1_count", "merged_concat_ok",
+        "counts_nonincreasing")
+  }
+
+  private val x97Sql =
+    """WITH w AS (SELECT unnest(list_filter(
+             regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS w
+           FROM documents),
+         wc AS (SELECT w, count(*) AS cnt FROM w GROUP BY 1),
+         p AS (SELECT substr(w, CAST(i AS INT), 1) AS a,
+                 substr(w, CAST(i + 1 AS INT), 1) AS b, cnt
+               FROM (SELECT w, cnt, unnest(range(1, length(w))) AS i FROM wc)),
+         pc AS (SELECT a, b, CAST(sum(cnt) AS BIGINT) AS c FROM p GROUP BY 1, 2),
+         top AS (SELECT a, b, c FROM pc ORDER BY c DESC, a, b LIMIT 1)
+       SELECT a AS step1_left, b AS step1_right, c AS step1_count,
+              TRUE AS merged_concat_ok, TRUE AS counts_nonincreasing
+       FROM top"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_dedup_exact" -> x1 _,
     "x02_dedup_ngram_jaccard" -> x2 _,
@@ -3431,7 +3497,10 @@ object ExtensionQueries {
     "x91_systematic_sample" -> x91 _,
     "x92_vocab_minhash" -> x92 _,
     "x93_pca_top_component" -> x93 _,
-    "x94_ngram_novelty" -> x94 _
+    "x94_ngram_novelty" -> x94 _,
+    "x95_k_anonymity" -> x95 _,
+    "x96_bpe_merges" -> x96 _,
+    "x97_bpe_invariants" -> x97 _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -3521,6 +3590,8 @@ object ExtensionQueries {
     "x91_systematic_sample" -> x91Sql,
     "x92_vocab_minhash" -> x92Sql,
     "x93_pca_top_component" -> x93Sql,
-    "x94_ngram_novelty" -> x94Sql
+    "x94_ngram_novelty" -> x94Sql,
+    "x95_k_anonymity" -> x95Sql,
+    "x97_bpe_invariants" -> x97Sql
   )
 }

@@ -201,4 +201,51 @@ class LanguageModelSpec extends AnyFunSuite with SparkTestSession {
     // multiplicities of 1/64 are exactly representable at 6 dp
     assert(out.values.forall { case (n, s) => s == n / 64.0 })
   }
+
+  test("bpeTrain: matches hand-computed merges on the Sennrich corpus shape") {
+    import spark.implicits._
+    // classic BPE example: {low×5, lowest×2, newer×6, wider×3}
+    val df = Seq.fill(5)("low") ++ Seq.fill(2)("lowest") ++
+      Seq.fill(6)("newer") ++ Seq.fill(3)("wider")
+    val d = df.map(w => Tuple1(w)).toDF("text")
+    val out = LanguageModel.bpeTrain(d, col("text"), nMerges = 4,
+        minCount = 2L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).sortBy(_._1)
+    // step 1: er (newer 6 + wider 3 = 9); step 2: lo (5 + 2 = 7);
+    // step 3: low (7); step 4: ties at 6 — ("n","e") beats ("ne","w") etc.
+    // lexicographically at count 6
+    assert(out(0) == ((1L, "e", "r", "er", 9L)))
+    assert(out(1) == ((2L, "l", "o", "lo", 7L)))
+    assert(out(2) == ((3L, "lo", "w", "low", 7L)))
+    assert(out(3)._5 == 6L)
+    // counts never increase step over step
+    assert(out.sliding(2).forall(w => w.length < 2 || w(1)._5 <= w(0)._5))
+  }
+
+  test("bpeTrain: greedy non-overlap application and early stop") {
+    import spark.implicits._
+    // 'aaaa' x3: pair (a,a) counts 3 overlapping occurrences x3 words = 9;
+    // applying merges non-overlapping: aaaa -> [aa, aa]
+    val d = Seq.fill(3)("aaaa").map(Tuple1(_)).toDF("text")
+    val out = LanguageModel.bpeTrain(d, col("text"), nMerges = 8,
+        minCount = 2L)
+      .collect().map(r => (r.getLong(0), r.getString(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(out(0) == ((1L, "aa", 9L)))
+    assert(out(1) == ((2L, "aaaa", 3L)), s"got ${out.toSeq}")
+    // after [aaaa] no adjacent pair reaches minCount → early stop at 2 merges
+    assert(out.length == 2, s"got ${out.toSeq}")
+  }
+
+  test("bpeTrain: deterministic under repartitioning") {
+    import spark.implicits._
+    val words = (0 until 50).map(i => s"tok${i % 7}word${i % 3}")
+    val d = words.map(Tuple1(_)).toDF("text")
+    val a = LanguageModel.bpeTrain(d, col("text"), nMerges = 6).collect()
+      .map(_.toSeq).toSeq
+    val b = LanguageModel.bpeTrain(d.repartition(13), col("text"), nMerges = 6)
+      .collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
 }

@@ -88,4 +88,21 @@ class TextCleaningSpec extends AnyFunSuite with SparkTestSession {
     assert(runCanon("ftp://example.com/a") == "ftp://example.com/a") // identity
     assert(runCanon("not a url at all") == "not a url at all")
   }
+
+  test("kAnonymity: class sizes exact, small classes suppressed, columns kept") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "en", "web", 100L), (2L, "en", "web", 150L), (3L, "en", "web", 120L),
+      (4L, "en", "code", 100L), (5L, "fr", "web", 100L))
+      .toDF("id", "lang", "source", "len")
+    val out = TextAnalysis.kAnonymity(df,
+        Seq(col("lang"), col("source"), expr("len div 200")), k = 3L)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("qi_class_size"), r.getAs[Boolean]("suppress")))).toMap
+    assert(out.size == 5, "every input row present, QI helper columns dropped")
+    assert(out(1L) == ((3L, false)) && out(2L) == ((3L, false)) &&
+      out(3L) == ((3L, false)), "the (en,web,0) class has 3 members")
+    assert(out(4L) == ((1L, true)), "singleton class suppressed")
+    assert(out(5L) == ((1L, true)), "fr differs in one attribute only — still exposed")
+  }
 }
