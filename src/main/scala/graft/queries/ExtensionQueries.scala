@@ -441,17 +441,45 @@ object ExtensionQueries {
   // ---------------------------------------------------------------------------
   // X11 — embedding near-dup pairs within label blocks.
   // ---------------------------------------------------------------------------
-  private def x11(s: SparkSession, dir: String): DataFrame =
-    Similarity.nearDupPairs(embeds(s, dir), col("label"), threshold = 0.3)
+  // Block = (label, 3-bit oracle-rederivable jlSignBucket) — the x70 shape:
+  // a label-only block is quadratic in label population (the sf1 probe
+  // measured 39x for 10x data); the sign sub-bucket cuts candidate pairs
+  // ~8x while both engines derive the identical bucket from the sha sign
+  // matrix, so the pair relation stays HASH-comparable.
+  private def x11(s: SparkSession, dir: String): DataFrame = {
+    val blk = concat(col("label").cast("string"), lit("|"),
+      Similarity.jlSignBucket(col("embedding"), inDims = 64, nBits = 3,
+        salt = "ndp1").cast("string"))
+    Similarity.nearDupPairs(embeds(s, dir), blk, threshold = 0.3)
+  }
 
   private val x11Sql =
-    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    """WITH m AS (
+         SELECT i, list(CASE WHEN substr(sha256(CAST(i AS VARCHAR) || '_' ||
+                                    CAST(j AS VARCHAR) || 'ndp1'), 1, 1)
+                             IN ('0','1','2','3','4','5','6','7')
+                        THEN 1.0 ELSE -1.0 END ORDER BY j) AS srow
+         FROM (SELECT unnest(range(1, 4)) AS i),
+              (SELECT unnest(range(1, 65)) AS j)
+         GROUP BY i),
+       e AS (
+         SELECT vec_id,
+                CAST(label AS VARCHAR) || '|' || CAST(
+                  (CASE WHEN round(list_dot_product(CAST(embedding AS DOUBLE[]),
+                         (SELECT srow FROM m WHERE i = 1)), 6) >= 0 THEN 1 ELSE 0 END)
+                + (CASE WHEN round(list_dot_product(CAST(embedding AS DOUBLE[]),
+                         (SELECT srow FROM m WHERE i = 2)), 6) >= 0 THEN 2 ELSE 0 END)
+                + (CASE WHEN round(list_dot_product(CAST(embedding AS DOUBLE[]),
+                         (SELECT srow FROM m WHERE i = 3)), 6) >= 0 THEN 4 ELSE 0 END)
+                  AS VARCHAR) AS blk,
+                CAST(embedding AS DOUBLE[]) AS v
+         FROM embeddings)
        SELECT * FROM (
-         SELECT a.label AS block, a.vec_id AS id_a, b.vec_id AS id_b,
+         SELECT a.blk AS block, a.vec_id AS id_a, b.vec_id AS id_b,
                 round(CASE WHEN list_dot_product(a.v,a.v) = 0 OR list_dot_product(b.v,b.v) = 0 THEN 0
                       ELSE list_dot_product(a.v,b.v) /
                            (sqrt(list_dot_product(a.v,a.v)) * sqrt(list_dot_product(b.v,b.v))) END, 6) AS sim
-         FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+         FROM e a JOIN e b ON a.blk = b.blk AND a.vec_id < b.vec_id)
        WHERE sim >= 0.3"""
 
   // ---------------------------------------------------------------------------
