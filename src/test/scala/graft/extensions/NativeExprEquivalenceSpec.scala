@@ -353,4 +353,36 @@ class NativeExprEquivalenceSpec extends AnyFunSuite with SparkTestSession {
       .bitsetFromPositions(col("ps"), graft.functions.BitsetFromPositions.MaxWords)
       .as("m")).queryExecution.analyzed
   }
+
+  test("MergePair matches a driver replica on corpus words + greedy edges") {
+    import spark.implicits._
+    def replica(s: Seq[String], a: String, b: String): Seq[String] = {
+      val out = Seq.newBuilder[String]
+      var i = 0
+      while (i < s.length) {
+        if (i + 1 < s.length && s(i) == a && s(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += s(i); i += 1 }
+      }
+      out.result()
+    }
+    // corpus-derived char sequences: merge the most banal English pair
+    val chars = docs.select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .limit(500)
+      .select(transform(sequence(lit(1), length(col("w"))),
+        i => col("w").substr(i, lit(1))).as("s"))
+    val rows = chars
+      .select(col("s"), graft.functions.MergePair.mergePair(col("s"), "t", "h")
+        .as("m"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](1) == replica(r.getSeq[String](0), "t", "h"))
+    }
+    // greedy non-overlap: [a,a,a] with (a,a) → [aa,a]; run of 4 → [aa,aa]
+    val edge = Seq(Seq("a", "a", "a"), Seq("a", "a", "a", "a"), Seq.empty[String],
+      Seq("x")).toDF("s")
+    val got = edge.select(graft.functions.MergePair.mergePair(col("s"), "a", "a"))
+      .collect().map(_.getSeq[String](0)).toSeq
+    assert(got == Seq(Seq("aa", "a"), Seq("aa", "aa"), Seq(), Seq("x")))
+  }
 }
