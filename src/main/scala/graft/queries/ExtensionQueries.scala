@@ -3431,6 +3431,72 @@ object ExtensionQueries {
               TRUE AS merged_concat_ok, TRUE AS counts_nonincreasing
        FROM top"""
 
+  // ---------------------------------------------------------------------------
+  // X98 — rank-based importance RESAMPLING, end to end: the composed DSIR
+  // pipeline a mixture recipe actually executes. x66's hashed importance
+  // scores → global percent rank (scale-free: raw log-ratios from different
+  // target models aren't comparable, ranks are) → integer weight
+  // round(pct·1000)+1 → x91's deterministic systematic PPS sampler. Every
+  // stage is individually hash-green machinery, and the oracle replays the
+  // WHOLE chain (DSIR buckets → smoothed log-ratios → per-doc sums → rank →
+  // weight → cumsum → probe containment), so the final sampled multiset is
+  // hash-compared — a full production path verified as one relation.
+  // ---------------------------------------------------------------------------
+  private def x98(s: SparkSession, dir: String): DataFrame = {
+    val scored = LanguageModel.hashedImportanceWeights(docs(s, dir),
+        col("doc_id"), col("text"), isTarget = col("lang") === "en")
+      .filter(col("n_tokens") > 0)
+    val ranked = Sampling.stratumPercentRank(
+      scored.select(col("id"), col("avg_logratio")),
+      lit("all"), col("avg_logratio"), col("id"), outCol = "pct")
+    val weighted = ranked.withColumn("w",
+      round(col("pct") * 1000).cast("long") + 1L)
+    Sampling.systematicSample(weighted, col("id"), col("w"), k = 150,
+        salt = "dsir1")
+      .select(col("sample_idx"), col("id").as("doc_id"), col("w").as("weight"))
+  }
+
+  private val x98Sql =
+    """WITH t AS (SELECT doc_id, lang = 'en' AS tgt,
+             unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS tok
+           FROM documents),
+         b AS (SELECT doc_id, tgt,
+                 CAST('0x' || substr(sha256(tok), 1, 8) AS BIGINT) % 1024 AS bk
+               FROM t),
+         raw AS (SELECT bk, count(*) AS cr FROM b GROUP BY 1),
+         tgtc AS (SELECT bk, count(*) AS ct FROM b WHERE tgt GROUP BY 1),
+         tot AS (SELECT CAST(count(*) AS DOUBLE) AS nr,
+                        CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS DOUBLE) AS nt
+                 FROM b),
+         lr AS (SELECT raw.bk,
+                  CAST(round(ln((CAST(coalesce(tgtc.ct, 0) AS DOUBLE) + 0.5) /
+                                ((SELECT nt FROM tot) + 0.5 * 1024)) -
+                             ln((CAST(raw.cr AS DOUBLE) + 0.5) /
+                                ((SELECT nr FROM tot) + 0.5 * 1024)), 6)
+                    AS DECIMAL(18,6)) AS lr
+                FROM raw LEFT JOIN tgtc ON raw.bk = tgtc.bk),
+         d AS (SELECT b.doc_id, count(*) AS n_tokens, sum(lr.lr) AS sl
+               FROM b JOIN lr ON b.bk = lr.bk GROUP BY 1),
+         pr AS (SELECT doc_id,
+                  round(percent_rank() OVER (
+                    ORDER BY round(CAST(sl AS DOUBLE) / n_tokens, 6), doc_id),
+                    6) AS pct
+                FROM d),
+         wt AS (SELECT doc_id, CAST(round(pct * 1000) AS BIGINT) + 1 AS w,
+                  sha256(CAST(doc_id AS VARCHAR) || 'dsir1') AS o
+                FROM pr),
+         c AS (SELECT *, CAST(sum(w) OVER (ORDER BY o, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS cum
+               FROM wt),
+         tw AS (SELECT coalesce(max(cum), 0) AS tw FROM c),
+         js AS (SELECT unnest(range(0, 150)) AS j)
+       SELECT j AS sample_idx, doc_id, w AS weight
+       FROM c, tw, js
+       WHERE tw.tw > 0 AND c.w > 0
+         AND (tw.tw * (2*j + 1)) // 300 >= c.cum - c.w
+         AND (tw.tw * (2*j + 1)) // 300 < c.cum"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_dedup_exact" -> x1 _,
     "x02_dedup_ngram_jaccard" -> x2 _,
@@ -3528,7 +3594,8 @@ object ExtensionQueries {
     "x94_ngram_novelty" -> x94 _,
     "x95_k_anonymity" -> x95 _,
     "x96_bpe_merges" -> x96 _,
-    "x97_bpe_invariants" -> x97 _
+    "x97_bpe_invariants" -> x97 _,
+    "x98_importance_resample" -> x98 _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -3620,6 +3687,7 @@ object ExtensionQueries {
     "x93_pca_top_component" -> x93Sql,
     "x94_ngram_novelty" -> x94Sql,
     "x95_k_anonymity" -> x95Sql,
-    "x97_bpe_invariants" -> x97Sql
+    "x97_bpe_invariants" -> x97Sql,
+    "x98_importance_resample" -> x98Sql
   )
 }
