@@ -153,23 +153,30 @@ object LanguageModel {
       .select(id.as("id"), isTarget.as("__t"),
         explode(TextAnalysis.tokens(text)).as("tok"))
       .select(col("id"), col("__t"), bucket.as("__b"))
-    val raw = toks.groupBy("__b").agg(count(lit(1)).as("__cr"))
-    val tgt = toks.filter(col("__t")).groupBy("__b")
-      .agg(count(lit(1)).as("__ct"))
-    // bounded: two 1-row aggregates (total token counts, raw and target)
-    val row = df
-      .select(size(TextAnalysis.tokens(text)).as("__n"), isTarget.as("__t"))
-      .agg(sum(col("__n")), sum(when(col("__t"), col("__n")).otherwise(0L)))
+    // ONE fused bucket-stat pass (raw + target counts together), eagerly
+    // checkpointed at ≤ nBuckets rows: the previous shape ran FOUR serialized
+    // corpus-tokenize jobs (raw agg, target agg, a 1-row totals aggregate,
+    // then the per-doc join) — the serialized chain the round-8 driver bench
+    // measured as a 4.4× driver-vs-local gap on x66. The totals now derive
+    // from the tiny checkpointed relation (every token lands in exactly one
+    // bucket, so Σ__cr ≡ total raw tokens and Σ__ct ≡ total target tokens),
+    // leaving TWO corpus-scale jobs: bucket stats and the per-doc score.
+    val bstats = toks.groupBy("__b")
+      .agg(count(lit(1)).as("__cr"),
+        sum(when(col("__t"), lit(1L)).otherwise(0L)).as("__ct"))
+      .localCheckpoint()
+    val row = bstats
+      .agg(coalesce(sum(col("__cr")), lit(0L)),
+        coalesce(sum(col("__ct")), lit(0L)))
       .first()
     val nr = row.getLong(0).toDouble
     val nt = row.getLong(1).toDouble
     val denomT = lit(nt) + lit(smoothing) * lit(nBuckets.toDouble)
     val denomR = lit(nr) + lit(smoothing) * lit(nBuckets.toDouble)
-    val lr = raw.join(broadcast(tgt), Seq("__b"), "left")
+    val lr = bstats
       .select(col("__b"),
         round(
-          log((coalesce(col("__ct"), lit(0L)).cast("double") + lit(smoothing))
-            / denomT) -
+          log((col("__ct").cast("double") + lit(smoothing)) / denomT) -
           log((col("__cr").cast("double") + lit(smoothing)) / denomR),
           6).cast("decimal(18,6)").as("__lr"))
     val perDoc = toks.join(broadcast(lr), Seq("__b"))

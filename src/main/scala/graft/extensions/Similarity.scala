@@ -575,8 +575,12 @@ object Similarity {
     val num = (0 until dims).map(i => v(i) * w2(i) / S).sum
     val den = (0 until dims).map(i => v(i) * v(i) / S).sum
     // λ_micro = S·(v·Cv)/(v·v): num is v·Cv/S², so scale back by S before
-    // the divide to keep the eigenvalue in micro-units (σ²·S of the axis)
-    val lam = num * S / math.max(den, 1L)
+    // the divide to keep the eigenvalue in micro-units (σ²·S of the axis).
+    // num·S can exceed 2^63 within the documented |x| bound (num scales with
+    // λ·den, den up to dims·S) — BigInt makes the wrap impossible; BigInt
+    // `/` truncates toward zero exactly like Long `/`, so in-range results
+    // are bit-identical to the previous arithmetic.
+    val lam = (BigInt(num) * S / BigInt(math.max(den, 1L))).toLong
     // pass 3 — scan-local projection on the literal eigenvector
     val dot = aggregate(zip_with(cArr, lit(v), (c, vv) => c * vv),
       lit(0L), (acc, x) => acc + x)

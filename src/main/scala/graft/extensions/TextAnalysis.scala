@@ -128,20 +128,31 @@ object TextAnalysis {
     * no window (a per-class `count().over(...)` would buffer hot classes in
     * single window tasks; the aggregate+join shape spreads them).
     *
-    * Output: the input columns + `qi_class_size` + `suppress`.
+    * Output: the input columns + `qi_class_size` + `suppress`. NULL quasi
+    * values are legitimate class members (groupBy treats NULL as a value),
+    * so the join back is null-safe (`<=>`): a privacy audit must FLAG the
+    * null-QI equivalence classes, not silently drop their rows — dropping
+    * them was exactly the failure mode for the rows most worth auditing.
     */
   def kAnonymity(df: DataFrame, quasi: Seq[Column], k: Long): DataFrame = {
     require(quasi.nonEmpty, "kAnonymity needs at least one quasi-identifier")
     require(k >= 2, s"k must be at least 2, got $k")
     val qiCols = quasi.zipWithIndex.map { case (c, i) => c.as(s"__qi$i") }
     val names = qiCols.indices.map(i => s"__qi$i")
+    val sNames = qiCols.indices.map(i => s"__qs$i")
     val tagged = df.select(col("*") +: qiCols: _*)
     val sizes = tagged.groupBy(names.map(col): _*)
       .agg(count(lit(1)).as("qi_class_size"))
+      .select((names.zip(sNames).map { case (n, sn) => col(n).as(sn) } :+
+        col("qi_class_size")): _*)
+    // <=> keys are still equi-join keys to the planner — the hinted
+    // shuffle-hash shape survives the null-safe comparison
+    val cond = names.zip(sNames).map { case (n, sn) => col(n) <=> col(sn) }
+      .reduce(_ && _)
     tagged
-      .join(sizes.hint("shuffle_hash"), names)
+      .join(sizes.hint("shuffle_hash"), cond)
       .withColumn("suppress", col("qi_class_size") < k)
-      .drop(names: _*)
+      .drop(names ++ sNames: _*)
   }
 
   // ------------------------------------------------- cleaning / canon --

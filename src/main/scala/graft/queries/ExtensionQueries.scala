@@ -77,11 +77,18 @@ object ExtensionQueries {
       materialize = false) // single-consumer
 
   // ---------------------------------------------------------------------------
-  // X5 — brute-force cosine top-k (every 50th vector queries the corpus).
+  // X5 — brute-force cosine top-k over an ADAPTIVE query sample (x26's
+  // pattern, round-8 verdict ask #3): a fixed 1-in-50 sample makes the exact
+  // scan cost grow quadratically with the corpus (sf3 measured 258.8 s, 332×
+  // for 30× data). step = max(50, N div 100) bounds the audit at ~100 queries
+  // at any scale; below 5k vectors the step stays 50, so the sf0.01 gate
+  // results are unchanged by construction. The oracle re-derives the same
+  // step from count(*).
   // ---------------------------------------------------------------------------
   private def x5(s: SparkSession, dir: String): DataFrame = {
     val e = embeds(s, dir)
-    Similarity.bruteForceTopK(e.filter(col("vec_id") % 50 === 0), e, k = 5)
+    val step = math.max(50L, e.count() / 100L)
+    Similarity.bruteForceTopK(e.filter(col("vec_id") % step === 0), e, k = 5)
   }
 
   private val x5Sql =
@@ -91,7 +98,9 @@ object ExtensionQueries {
                 round(CASE WHEN list_dot_product(q.v,q.v) = 0 OR list_dot_product(c.v,c.v) = 0 THEN 0
                       ELSE list_dot_product(q.v,c.v) /
                            (sqrt(list_dot_product(q.v,q.v)) * sqrt(list_dot_product(c.v,c.v))) END, 6) AS sim
-         FROM e q JOIN e c ON q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id)
+         FROM e q JOIN e c
+           ON q.vec_id % greatest(50, (SELECT count(*) FROM embeddings) // 100) = 0
+          AND q.vec_id <> c.vec_id)
        SELECT query_id, neighbor_id, sim,
               CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rank
        FROM scored QUALIFY rank <= 5"""
@@ -108,7 +117,10 @@ object ExtensionQueries {
   // ---------------------------------------------------------------------------
   private def x13(s: SparkSession, dir: String): DataFrame = {
     val e = embeds(s, dir)
-    Similarity.ivfTopK(e.filter(col("vec_id") % 50 === 0), e, k = 5,
+    // Same adaptive query sample as x5/x26 — bounds the probe set at ~100
+    // queries at any corpus scale (rows-only query; no oracle to mirror).
+    val step = math.max(50L, e.count() / 100L)
+    Similarity.ivfTopK(e.filter(col("vec_id") % step === 0), e, k = 5,
       nCentroids = 16, nProbe = 4)
   }
 
@@ -445,7 +457,11 @@ object ExtensionQueries {
   // a label-only block is quadratic in label population (the sf1 probe
   // measured 39x for 10x data); the sign sub-bucket cuts candidate pairs
   // ~8x while both engines derive the identical bucket from the sha sign
-  // matrix, so the pair relation stays HASH-comparable.
+  // matrix, so the pair relation stays HASH-comparable. RECALL SEMANTICS
+  // (deliberate, documented in COVERAGE.md): one 3-bit band keeps a
+  // borderline 0.3-cosine pair with probability ≈(1-θ/π)³ ≈ 0.2 — a
+  // single-band recall trade, not a bug; multi-band OR recall is
+  // Dedup.minhashPairs' job.
   private def x11(s: SparkSession, dir: String): DataFrame = {
     val blk = concat(col("label").cast("string"), lit("|"),
       Similarity.jlSignBucket(col("embedding"), inDims = 64, nBits = 3,
@@ -605,9 +621,21 @@ object ExtensionQueries {
     * The exact-Jaccard re-derivation deliberately uses the HOF token path,
     * not the native NGrams expression, so it is independent of the machinery
     * it audits.
+    *
+    * ADAPTIVE audit corpus (round-8 verdict ask #5): the audit re-runs the
+    * full LSH pipelines plus two corpus-wide shingle-key scans, so its cost
+    * grows super-linearly with the corpus (167 s at sf3 — the #1 bench line
+    * since round 5). step = max(1, N div 5000) caps the audited sub-corpus
+    * at ~5000 docs at ANY scale; at the sf0.01 gate (N=500) and the sf0.1
+    * bench (N=5000) the step is 1, so results there are unchanged by
+    * construction. The sampled sub-corpus is itself a valid corpus, so every
+    * invariant (estimator soundness, identical-set completeness) keeps its
+    * meaning; the oracle mirrors the same doc_id % step predicate.
     */
   private def x25(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
+    val dFull = docs(s, dir)
+    val auditStep = math.max(1L, dFull.count() / 5000L)
+    val d = dFull.filter(col("doc_id") % auditStep === 0)
 
     def hofShingles(n: Int): Column = {
       val toks = array_remove(split(lower(col("text")), "\\s+"), "")
@@ -689,7 +717,8 @@ object ExtensionQueries {
 
   private val x25Sql =
     """SELECT doc_id, TRUE AS mh_sound, TRUE AS mh_complete, TRUE AS sh_complete
-       FROM documents"""
+       FROM documents
+       WHERE doc_id % greatest(1, (SELECT count(*) FROM documents) // 5000) = 0"""
 
   /** X26 — ANN invariants, one row per sampled query (vec_id % 50 = 0):
     *  - lsh_dominated / ivf_dominated: the ANN's rank-r similarity never
@@ -2252,7 +2281,7 @@ object ExtensionQueries {
                FROM c JOIN m USING (doc_id) GROUP BY 1)
        SELECT m.doc_id, CAST(m.m AS BIGINT) AS n_tokens,
               coalesce(e.n_types, 0) AS n_types,
-              coalesce(e.micros, 0) AS entropy_micros,
+              CAST(coalesce(e.micros, 0) AS BIGINT) AS entropy_micros,
               CASE WHEN e.n_types > 1
                    THEN round((CAST(e.micros AS DOUBLE) / 1000000.0) /
                               ln(CAST(e.n_types AS DOUBLE)), 6)
@@ -2576,8 +2605,8 @@ object ExtensionQueries {
          FROM langof l JOIN doclang d USING (doc_id) GROUP BY 1)
        SELECT d.doc_id, d.doc_lang,
               coalesce(a.n_units, 0) AS n_units,
-              coalesce(a.n_match, 0) AS n_match,
-              coalesce(a.n_und, 0) AS n_und,
+              CAST(coalesce(a.n_match, 0) AS BIGINT) AS n_match,
+              CAST(coalesce(a.n_und, 0) AS BIGINT) AS n_und,
               CASE WHEN coalesce(a.n_units, 0) > 0
                    THEN round(CAST(a.n_match AS DOUBLE) / CAST(a.n_units AS DOUBLE), 6)
                    ELSE 0.0 END AS consistency,
@@ -3394,7 +3423,9 @@ object ExtensionQueries {
          s AS (SELECT lang, source, band, count(*) AS n
                FROM t GROUP BY 1, 2, 3)
        SELECT t.doc_id, s.n AS qi_class_size, s.n < 3 AS suppress
-       FROM t JOIN s USING (lang, source, band)"""
+       FROM t JOIN s ON t.lang IS NOT DISTINCT FROM s.lang
+                    AND t.source IS NOT DISTINCT FROM s.source
+                    AND t.band IS NOT DISTINCT FROM s.band"""
 
   // ---------------------------------------------------------------------------
   // X96/X97 — BPE tokenizer training (LanguageModel.bpeTrain). The merge
@@ -3416,15 +3447,19 @@ object ExtensionQueries {
     val m = LanguageModel.bpeTrain(docs(s, dir), col("text"), nMerges = 10,
       minCount = 2L).collect()
     val byStep = m.sortBy(_.getLong(0))
-    val s1 = byStep.head
-    val concatOk = byStep.forall(r => r.getString(3) == r.getString(1) + r.getString(2))
-    val nonInc = byStep.sliding(2).forall {
-      case Array(p, n) => n.getLong(4) <= p.getLong(4)
-      case _           => true
+    // degenerate corpus (no pair reaches minCount → zero merges): degrade to
+    // an empty relation instead of NoSuchElementException on head
+    val rows = byStep.headOption.toSeq.map { s1 =>
+      val concatOk =
+        byStep.forall(r => r.getString(3) == r.getString(1) + r.getString(2))
+      val nonInc = byStep.sliding(2).forall {
+        case Array(p, n) => n.getLong(4) <= p.getLong(4)
+        case _           => true
+      }
+      (s1.getString(1), s1.getString(2), s1.getLong(4), concatOk, nonInc)
     }
-    Seq((s1.getString(1), s1.getString(2), s1.getLong(4), concatOk, nonInc))
-      .toDF("step1_left", "step1_right", "step1_count", "merged_concat_ok",
-        "counts_nonincreasing")
+    rows.toDF("step1_left", "step1_right", "step1_count", "merged_concat_ok",
+      "counts_nonincreasing")
   }
 
   private val x97Sql =

@@ -109,8 +109,11 @@ object StreamingSessionize {
             }
             state.update(st)
             st.open.foreach { o =>
+              // ceiling-divide last_us to ms: floor would let the timeout
+              // fire up to 999µs before last+gap, closing a session that a
+              // sub-ms in-gap event should still extend (stream≡batch pin)
               state.setTimeoutTimestamp(math.max(
-                o.lastUs / 1000L + gapSeconds * 1000L,
+                (o.lastUs + 999L) / 1000L + gapSeconds * 1000L,
                 state.getCurrentWatermarkMs() + 1L))
             }
             out.result().iterator

@@ -15,6 +15,22 @@ class LanguageModelSpec extends AnyFunSuite with SparkTestSession {
   private def round6(v: Double): Double =
     BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  test("bpeTrain degenerate corpus: zero merges; x97 degrades to empty, no throw") {
+    import spark.implicits._
+    // every character pair occurs once < minCount → zero merges
+    val d = Seq((1L, "ab", "en", "web", 2L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(LanguageModel.bpeTrain(d, col("text"), nMerges = 5, minCount = 2L)
+      .isEmpty, "no pair reaches minCount")
+    // the x97 invariant query must degrade to an empty relation (not NPE/head)
+    val dir = java.nio.file.Files.createTempDirectory("bpe-degenerate").toString
+    d.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.SparkEntry.queries("x97_bpe_invariants")(spark, dir)
+    assert(out.isEmpty, "degenerate corpus → empty invariant relation")
+    assert(out.columns.toSeq == Seq("step1_left", "step1_right", "step1_count",
+      "merged_concat_ok", "counts_nonincreasing"))
+  }
+
   test("unigramLogLikelihood: counts, exact decimal sums, token-less doc") {
     import spark.implicits._
     // vocab: a ×2, b ×2, c ×1 → total 5

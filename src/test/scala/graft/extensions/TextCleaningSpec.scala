@@ -105,4 +105,22 @@ class TextCleaningSpec extends AnyFunSuite with SparkTestSession {
     assert(out(4L) == ((1L, true)), "singleton class suppressed")
     assert(out(5L) == ((1L, true)), "fr differs in one attribute only — still exposed")
   }
+
+  test("kAnonymity: NULL quasi-identifiers form real classes and are flagged") {
+    import spark.implicits._
+    // null lang is a legitimate equivalence class — a privacy audit must
+    // class and flag those rows, not lose them to a null-unsafe join
+    val df = Seq(
+      (1L, Option("en"), "web"), (2L, Option("en"), "web"),
+      (3L, Option.empty[String], "web"), (4L, Option.empty[String], "web"),
+      (5L, Option.empty[String], "code"))
+      .toDF("id", "lang", "source")
+    val out = TextAnalysis.kAnonymity(df, Seq(col("lang"), col("source")), k = 2L)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("qi_class_size"), r.getAs[Boolean]("suppress")))).toMap
+    assert(out.size == 5, s"all rows survive, incl. null-QI ones — got $out")
+    assert(out(3L) == ((2L, false)) && out(4L) == ((2L, false)),
+      "the (NULL, web) class has 2 members and is not suppressed at k=2")
+    assert(out(5L) == ((1L, true)), "the (NULL, code) singleton is flagged")
+  }
 }

@@ -117,4 +117,35 @@ class StreamingSessionizeSpec extends AnyFunSuite with SparkTestSession {
       assert(out == batch, s"stream $out vs batch $batch")
     } finally q.stop()
   }
+
+  test("sub-millisecond timestamps: close boundary ceils to ms; stream ≡ batch") {
+    // last event at a NON-ms-aligned µs: the timeout timestamp must ceil
+    // last_us to the next ms — a floored boundary could close the session up
+    // to 999µs before last+gap (the sub-ms window batch would still merge)
+    val subMs = new Timestamp(0) // container for µs-precision via setNanos
+    subMs.setTime((60 + 0) * 60000L)
+    subMs.setNanos(500500000) // +500.5 ms → µs component .5005 s, sub-ms µs
+    val events = Seq(
+      SEv(1, subMs, 7, "view", 1.0),
+      SEv(2, t(60), 7, "view", 2.0), // > gap after event 1: closes session 1
+      SEv(3, t(200), 8, "view", 0.0)) // watermark push: closes session 2
+    val src = MemoryStream[SEv]
+    val q = startQuery(src, "ss4")
+    try {
+      events.foreach { e => src.addData(e); q.processAllAvailable() }
+      src.addData(SEv(9, t(900), 9, "view", 0.0))
+      q.processAllAvailable()
+      val out = sessions("ss4").view.filterKeys(k => k._1 == 7L).toMap
+      val batch = Sessionize.sessions(events.toDF(), col("user_id"),
+          col("ts"), col("event_id"), 600L, col("event_type"), col("value"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+            r.getLong(6), r.getDouble(7)))).toMap
+      val batch7 = batch.view.filterKeys(_._1 == 7L).toMap
+      assert(out == batch7, s"stream $out vs batch $batch7")
+      // the sub-ms start/last round-trips exactly (µs fidelity end to end)
+      assert(out((7L, 1L))._2 == 60 * 60000000L + 500500L,
+        s"sub-ms µs must survive: $out")
+    } finally q.stop()
+  }
 }

@@ -81,6 +81,16 @@ def main():
         try:
             duck = con.sql(oracle[name])
             duck_cols, duck_rows = duck.columns, duck.fetchall()
+            # Declared-type gate: fetchall() erases DuckDB's HUGEINT/DECIMAL vs
+            # Spark's BIGINT/DOUBLE distinction (both become Python int/Decimal→
+            # float), but the driver hashes the typed reprs — an un-cast sum()
+            # (HUGEINT) ships red even when every value matches (x51, x68, x75).
+            duck_types = [str(t).upper() for t in con.sql(oracle[name]).types]
+            for c, t in zip(duck_cols, duck_types):
+                if "HUGEINT" in t or "DECIMAL" in t:
+                    raise ValueError(
+                        f"oracle col {c} is {t} — CAST it (BIGINT/DOUBLE) so the "
+                        "driver's typed hash matches Spark")
             spark = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
             spark_cols, spark_rows = spark.columns, spark.fetchall()
             issues = compare(name, spark_rows, spark_cols, duck_rows, duck_cols)
