@@ -528,4 +528,48 @@ object LanguageModel {
       .select(col("step").cast("long").as("step"), col("left"), col("right"),
         concat(col("left"), col("right")).as("merged"), col("pair_count"))
   }
+
+  /** BPE tokenizer APPLICATION — the per-document token-count profile a
+    * shipped tokenizer produces, the budgeting/packing input every training
+    * run needs ([[bpeTrain]] learns the merges; this applies them).
+    *
+    * Per word: start from the character symbol sequence and apply each merge
+    * in table order with the native [[graft.functions.MergePair]] greedy
+    * scan (leftmost, non-overlapping — reference BPE application). Per doc:
+    * sum of per-word symbol counts.
+    *
+    * Scale shape (the [[bpeTrain]] idiom): merges apply over the
+    * DISTINCT-WORD relation, not the corpus — one corpus token scan builds
+    * `(id, word)`, the vocabulary encodes once (`nMerges` chained scan-local
+    * native merges), and per-doc counts come from a word-keyed shuffle-hash
+    * join back plus one aggregate. No driver traffic at all: the merge
+    * table is a compile-time constant of the query (a pretrained tokenizer,
+    * the production deployment shape).
+    *
+    * Output: one row per input row: `id`, `n_words`, `n_word_chars`
+    * (pre-merge symbol count), `n_tokens` (post-merge). Wordless docs get
+    * zeros.
+    */
+  def bpeEncodeProfile(df: DataFrame, id: Column, text: Column,
+      merges: Seq[(String, String)]): DataFrame = {
+    require(merges.nonEmpty && merges.size <= 4096,
+      s"merges must have 1..4096 entries, got ${merges.size}")
+    val toks = df.select(id.as("id"),
+      explode(TextAnalysis.tokens(text)).as("w"))
+    val vocabSyms = toks.select(col("w")).distinct()
+      .withColumn("s", transform(sequence(lit(1), length(col("w"))),
+        i => col("w").substr(i, lit(1))))
+    val encoded = merges.foldLeft(vocabSyms) { case (v, (a, b)) =>
+      v.withColumn("s", graft.functions.MergePair.mergePair(col("s"), a, b))
+    }.select(col("w"), length(col("w")).cast("long").as("__chars"),
+      size(col("s")).cast("long").as("__toks"))
+    val perDoc = toks.join(encoded.hint("shuffle_hash"), Seq("w"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_words"), sum(col("__chars")).as("n_word_chars"),
+        sum(col("__toks")).as("n_tokens"))
+    df.select(id.as("id")).join(perDoc, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_word_chars"), lit(0L)).as("n_word_chars"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+  }
 }

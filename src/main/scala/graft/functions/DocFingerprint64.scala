@@ -57,17 +57,26 @@ object DocFingerprint64 {
     val chars = text.numChars()
     val n = math.max(chars - (shingleLen - 1), 1)
     val stride = ((n + maxSamples - 1) / maxSamples).toLong.max(1L)
+    // One char→byte index per document, then each sampled window is a direct
+    // (offset, length) slice — vs substringSQL's walk-from-byte-0 per
+    // position, O(n × samples) bytes touched on long documents.
+    val bytes = text.getBytes
+    val offs = Utf8CharIndex.offsetsOrNullIfAscii(bytes, chars)
     val md = MessageDigest.getInstance("SHA-256")
+    val dig = new Array[Byte](32)
     var best = Long.MaxValue
     var pos = 1L
     while (pos <= n) {
-      // substringSQL is 1-based and clamps, like Column.substr
-      val window = text.substringSQL(pos.toInt, shingleLen)
-      md.reset()
-      val d = md.digest(window.getBytes)
+      val p0 = (pos - 1).toInt
+      val startChar = math.min(p0, chars)
+      val endChar = math.min(p0 + shingleLen, chars)
+      val s = if (offs == null) startChar else offs(startChar)
+      val e = if (offs == null) endChar else offs(endChar)
+      md.update(bytes, s, e - s)
+      md.digest(dig, 0, 32)
       var v = 0L
       var i = 0
-      while (i < 6) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+      while (i < 6) { v = (v << 8) | (dig(i) & 0xffL); i += 1 }
       if (v < best) best = v
       pos += stride
     }

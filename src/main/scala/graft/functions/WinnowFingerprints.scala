@@ -77,40 +77,57 @@ object WinnowFingerprints {
     val chars = text.numChars()
     val n = math.min(chars - (k - 1), maxGrams)
     if (n < 1) return new GenericArrayData(Array.emptyLongArray)
+    // One char→byte index per document; each shingle is then a direct
+    // (offset, length) slice of the byte array — vs substringSQL's
+    // walk-from-byte-0 per position, which made long docs O(n²).
+    val bytes = text.getBytes
+    val offs = Utf8CharIndex.offsetsOrNullIfAscii(bytes, chars)
     val md = MessageDigest.getInstance("SHA-256")
+    val dig = new Array[Byte](32)
     val vals = new Array[Long](n)
     var p = 0
     while (p < n) {
-      // substringSQL is 1-based and clamps, like Column.substr
-      val gram = text.substringSQL(p + 1, k)
-      md.reset()
-      val d = md.digest(gram.getBytes)
+      val s = if (offs == null) p else offs(p)
+      val endChar = math.min(p + k, chars)
+      val e = if (offs == null) endChar else offs(endChar)
+      md.update(bytes, s, e - s)
+      md.digest(dig, 0, 32)
       var v = 0L
       var i = 0
-      while (i < 6) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+      while (i < 6) { v = (v << 8) | (dig(i) & 0xffL); i += 1 }
       vals(p) = v
       p += 1
     }
     val ww = math.min(w, n)
-    // monotone deque of positions; front is the current window's minimum
+    // monotone deque of positions; front is the current window's minimum.
+    // Minima are collected into a primitive array (adjacent-dup skipped —
+    // the same minimum usually survives many consecutive windows), then
+    // sorted + deduped: no boxed TreeSet churn on the hot path.
     val deque = new Array[Int](n)
     var head = 0
     var tail = 0
-    val sel = new java.util.TreeSet[java.lang.Long]()
+    val mins = new Array[Long](n - ww + 1)
+    var m = 0
     var i = 0
     while (i < n) {
       while (tail > head && vals(deque(tail - 1)) > vals(i)) tail -= 1
       deque(tail) = i
       tail += 1
       if (deque(head) <= i - ww) head += 1
-      if (i >= ww - 1) sel.add(vals(deque(head)))
+      if (i >= ww - 1) {
+        val v = vals(deque(head))
+        if (m == 0 || mins(m - 1) != v) { mins(m) = v; m += 1 }
+      }
       i += 1
     }
-    val out = new Array[Long](sel.size)
-    val it = sel.iterator()
+    java.util.Arrays.sort(mins, 0, m)
+    var outN = 0
     var j = 0
-    while (it.hasNext) { out(j) = it.next(); j += 1 }
-    new GenericArrayData(out)
+    while (j < m) {
+      if (outN == 0 || mins(outN - 1) != mins(j)) { mins(outN) = mins(j); outN += 1 }
+      j += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(mins, outN))
   }
 
   /** Column-API entry point. */

@@ -252,4 +252,58 @@ object LinkGraph {
     }
     labels.select(col("id").as("node_id"), col("lab").as("community"))
   }
+
+  /** Per-node triangle counts — the local clustering signal crawl curation
+    * uses to separate organic link neighborhoods (high closure) from spam
+    * farms and scraped link lists (star-shaped, near-zero closure).
+    *
+    * Degree-ordered orientation (the classic distributed-triangle bound,
+    * Suri & Vassilvitskii 2011): direction is undirected-degree order
+    * (ties by id), every edge points from the lower-ordered endpoint to the
+    * higher, so each triangle is counted exactly once as a wedge
+    * `x→y, x→z` closed by `y→z` — and oriented out-degree is O(√m), which
+    * caps the wedge relation at O(m^1.5) instead of Σdeg² (the difference
+    * between a mega-hub exploding the join and a bounded one at crawl
+    * scale). Joins are hinted `shuffle_hash` (derived relations carry no
+    * stats); the oriented edge set is checkpointed once and scanned three
+    * times (wedge left, wedge right, closure probe).
+    *
+    * Returns one row per node appearing in ≥1 triangle: `node_id`,
+    * `n_triangles` (each triangle credits all three corners).
+    */
+  def triangleCounts(edges: DataFrame, src: Column, dst: Column): DataFrame = {
+    val e = edges.select(src.cast("long").as("src"), dst.cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    // canonical undirected edge set: {a, b} with a < b, parallel + reverse
+    // duplicates collapsed
+    val und = e.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .localCheckpoint(eager = false)                // scanned for degrees + orientation
+    val deg = und.select(col("a").as("v")).union(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    // orient by (deg, id): x→y iff (deg(x), x) < (deg(y), y)
+    val o = und
+      .join(deg.select(col("v").as("a"), col("deg").as("__da")).hint("shuffle_hash"), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("deg").as("__db")).hint("shuffle_hash"), Seq("b"))
+      .select(
+        when(struct(col("__da"), col("a")) < struct(col("__db"), col("b")),
+          struct(col("a").as("x"), col("b").as("y")))
+          .otherwise(struct(col("b").as("x"), col("a").as("y"))).as("__e"))
+      .select(col("__e.x").as("x"), col("__e.y").as("y"))
+      .localCheckpoint(eager = false)                // scanned three times
+    val wedges = o.as("l").join(o.as("r").hint("shuffle_hash"), Seq("x"))
+      .filter(col("l.y") < col("r.y"))
+      .select(col("x"), col("l.y").as("y"), col("r.y").as("z"))
+    // closure: wedge (x,y,z) is a triangle iff oriented edge y→z exists
+    // (y < z by construction above; orientation is consistent with < only
+    // within equal-degree ties, so probe BOTH oriented directions)
+    val closed = wedges.join(
+      o.select(col("x").as("y"), col("y").as("z"))
+        .union(o.select(col("y").as("y"), col("x").as("z")))
+        .hint("shuffle_hash"),
+      Seq("y", "z"))
+    closed.select(explode(array(col("x"), col("y"), col("z"))).as("node_id"))
+      .groupBy("node_id").agg(count(lit(1)).as("n_triangles"))
+  }
 }
