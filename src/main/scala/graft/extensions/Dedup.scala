@@ -629,4 +629,72 @@ object Dedup {
         (col("n_lines") - coalesce(col("__n_kept"), lit(0L))).as("n_removed"),
         coalesce(col("text_clean"), lit("")).as("text_clean"))
   }
+
+  /** EXACT threshold Jaccard similarity join via prefix filtering (the
+    * PPJoin family, Chaudhuri et al. 2006 / Xiao et al. 2008) — the
+    * LOSSLESS counterpart to [[minhashPairs]]: returns precisely the pairs
+    * with token-set Jaccard ≥ t, no LSH false negatives, without the
+    * all-pairs product.
+    *
+    * The filter: order every document's distinct tokens by ascending global
+    * document frequency (rarest first, ties by token — one total order for
+    * the whole corpus), and index only each doc's PREFIX of length
+    * `|d| − ⌈t·|d|⌉ + 1`. Any pair with overlap ≥ ⌈t·|d|⌉ (implied by
+    * J ≥ t) must share a prefix token — pigeonhole on the suffix — so
+    * joining on prefix tokens loses nothing, while candidates concentrate
+    * on RARE tokens (a stopword shared by half the corpus never lands in a
+    * prefix at realistic t). The length filter `t·|a| ≤ |b| ∧ t·|b| ≤ |a|`
+    * (J ≤ min/max) prunes before verification; threshold arithmetic is
+    * integral (`thresholdPct`), the emitted jaccard a round-6 double.
+    *
+    * Scale design: one token-keyed shuffle builds the DF table; the per-doc
+    * prefix needs only a `sort_array` of the doc's own (df, token) structs
+    * — no global rank window. Candidates shuffle on prefix tokens (bounded
+    * fan-out per RARE token), verification is one `array_intersect` per
+    * surviving candidate against the checkpointed sorted-token relation.
+    */
+  def prefixJaccardPairs(df: DataFrame, id: Column, text: Column,
+      thresholdPct: Int = 70, n: Int = 1): DataFrame = {
+    require(thresholdPct >= 1 && thresholdPct <= 100,
+      s"thresholdPct must be in [1,100], got $thresholdPct")
+    require(n >= 1 && n <= 16, s"shingle size must be in [1,16], got $n")
+    val t = thresholdPct.toLong
+    // only full n-windows participate (docs under n tokens are excluded —
+    // the one-short-shingle edge would make all tiny docs mutual near-dups);
+    // n > 1 is also what makes the prefix filter BITE on small-vocabulary
+    // corpora: unigram DF is flat there, n-gram DF is long-tailed
+    val toks = df
+      .filter(size(TextAnalysis.tokens(text)) >= n)
+      .select(id.as("id"), explode(shingles(text, n)).as("tok"))
+    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("__df"))
+    val sorted = toks.join(dfreq.hint("shuffle_hash"), Seq("tok"))
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("__df"), col("tok")))).as("__st"))
+      .select(col("id"),
+        transform(col("__st"), s => s.getField("tok")).as("toks"),
+        size(col("__st")).cast("long").as("sz"))
+      .localCheckpoint(eager = false)   // prefix explode + both verify sides
+    // prefix length |d| − ⌈t·|d|⌉ + 1  (integral ceil; ≥ 1 whenever sz ≥ 1)
+    val prefLen = col("sz") - ((lit(t) * col("sz") + 99L) / 100L) + 1L
+    val pre = sorted.select(col("id"), col("sz"),
+      explode(slice(col("toks"), lit(1), prefLen.cast("int"))).as("tok"))
+    val cand = pre.as("l").join(pre.as("r").hint("shuffle_hash"), Seq("tok"))
+      .filter(col("l.id") < col("r.id") &&
+        col("l.sz") * t <= col("r.sz") * 100L &&
+        col("r.sz") * t <= col("l.sz") * 100L)
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+    cand
+      .join(sorted.select(col("id").as("id_a"), col("toks").as("__ta"),
+        col("sz").as("__sza")).hint("shuffle_hash"), Seq("id_a"))
+      .join(sorted.select(col("id").as("id_b"), col("toks").as("__tb"),
+        col("sz").as("__szb")).hint("shuffle_hash"), Seq("id_b"))
+      .withColumn("__inter",
+        size(array_intersect(col("__ta"), col("__tb"))).cast("long"))
+      .filter(col("__inter") * 100L >=
+        lit(t) * (col("__sza") + col("__szb") - col("__inter")))
+      .select(col("id_a"), col("id_b"),
+        round(col("__inter").cast("double") /
+          (col("__sza") + col("__szb") - col("__inter")), 6).as("jaccard"))
+  }
 }

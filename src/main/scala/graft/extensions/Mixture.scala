@@ -119,4 +119,60 @@ object Mixture {
           col("n_docs").cast("double"), 6))
       .select("grp", "n_docs", "weight", "expected_docs", "up_factor")
   }
+
+  /** Token-budget waterfilling under per-source caps — the mixture-recipe
+    * allocator: spread `budget` tokens across sources, no source above its
+    * own token count (its cap), small sources taken whole, the rest leveled
+    * equally. The waterfill solution is `alloc_g = min(cap_g, L)` with the
+    * water level `L` chosen so the total exhausts the budget.
+    *
+    * Deterministic integer construction (no sort, no iteration): a boundary
+    * candidate is every cap value c (plus a −1 sentinel). For each,
+    * `capsum(c) = Σ_{cap ≤ c} cap` and `ngt(c) = #{cap > c}` come from one
+    * enum²-bounded broadcast self-aggregate; c is CONSISTENT when
+    * `capsum(c) ≤ budget` and `L(c) = (budget − capsum(c)) div ngt(c) ≥ c`
+    * (every uncapped source really holds more than the level). The true
+    * boundary is the maximum consistent `(c, grp)` — lower consistent
+    * boundaries under-fill, higher ones overdraw — picked by one 1-row
+    * max-struct aggregate and broadcast back. Integral `div` floors the
+    * level, so up to `ngt−1` tokens stay unallocated (documented; exact in
+    * both engines). `ngt = 0` (budget covers everything) allocates every
+    * cap in full.
+    *
+    * Scale shape: the corpus collapses to the enum-scale (grp, cap)
+    * relation in one aggregate; everything after is enum²-bounded broadcast
+    * joins — the corpus itself is never shuffled, nothing collects.
+    *
+    * Output: one row per group: `grp`, `cap_tokens`, `alloc_tokens`,
+    * `at_cap` (fully taken).
+    */
+  def waterfillAllocation(df: DataFrame, group: Column, tokens: Column,
+      budget: Long): DataFrame = {
+    require(budget >= 0L, s"budget must be non-negative, got $budget")
+    val caps = df.groupBy(group.as("grp"))
+      .agg(sum(tokens.cast("long")).as("cap"))
+      .localCheckpoint()      // enum-scale; feeds boundaries + final alloc
+    val bounds = caps.select(col("cap").as("c"), col("grp").as("bgrp"))
+      .unionAll(caps.sparkSession.range(1)
+        .select(lit(-1L).as("c"), lit("").as("bgrp")))
+    val stats = bounds
+      .crossJoin(broadcast(caps.select(col("cap").as("__cap"))))
+      .groupBy(col("c"), col("bgrp"))
+      .agg(sum(when(col("__cap") <= col("c"), col("__cap")).otherwise(0L))
+        .as("capsum"),
+        sum(when(col("__cap") > col("c"), 1L).otherwise(0L)).as("ngt"))
+    val consistent = stats
+      .withColumn("lvl", when(col("ngt") > 0L,
+        expr(s"($budget - capsum) div ngt")).otherwise(lit(null).cast("long")))
+      .filter(col("capsum") <= budget &&
+        (col("ngt") === 0L || col("lvl") >= col("c")))
+    val boundary = consistent
+      .agg(max(struct(col("c"), col("bgrp"), col("lvl"))).as("__b"))
+      .select(col("__b.lvl").as("__lvl"))
+    caps.crossJoin(broadcast(boundary))
+      .select(col("grp"), col("cap").as("cap_tokens"),
+        least(col("cap"), coalesce(col("__lvl"), col("cap")))
+          .as("alloc_tokens"))
+      .withColumn("at_cap", col("alloc_tokens") === col("cap_tokens"))
+  }
 }

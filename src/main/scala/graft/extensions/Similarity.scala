@@ -50,6 +50,31 @@ object Similarity {
     round(when(na === 0.0 || nb === 0.0, 0.0)
       .otherwise(dot(va, vb) / (na * nb)), 6)
 
+  /** Hard-negative mining — for each query vector, the `k` most
+    * cosine-similar corpus vectors with a DIFFERENT label: the contrastive
+    * training staple (highest-similarity wrong-class examples are the
+    * negatives that actually move the loss). Same scale contract as
+    * [[bruteForceTopK]]: the query side is a bounded sample and broadcast,
+    * the corpus is scanned once and never shuffled; the per-query rank
+    * window partitions on query_id over the k-boundable scored stream.
+    */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("label").as("query_label"), col("embedding").as("qv"),
+      norm(col("embedding")).as("qn")))
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      col("label").as("neighbor_label"), col("embedding").as("cv"),
+      norm(col("embedding")).as("cn"))
+    val scored = q.join(c, col("query_label") =!= col("neighbor_label"))
+      .withColumn("sim", simWithNorms(col("qv"), col("qn"), col("cv"), col("cn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "query_label", "neighbor_id", "neighbor_label",
+        "sim", "rank")
+  }
+
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val q = broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
       norm(col("embedding")).as("qn")))

@@ -613,4 +613,53 @@ object TextAnalysis {
       .select(col("id"), col("n_fp"),
         coalesce(col("n_shared"), lit(0L)).as("n_shared"), col("fp_digest"))
   }
+
+  /** Boilerplate-passage profile (the CCNet/RefinedWeb pre-cleaning signal):
+    * a passage repeated across MANY documents of the same group (site,
+    * domain, source) is boilerplate — navigation, license footers, cookie
+    * banners — and its per-doc share is a direct cleaning/quality feature.
+    *
+    * A passage is an `n`-token sliding window (documents here carry no
+    * line structure; with lines, the unit would be the line — see
+    * [[graft.extensions.Dedup.lineDedup]]). A passage is boilerplate in
+    * group g when it occurs in ≥ `minDocs` DISTINCT documents of g.
+    *
+    * Scale design: one passage explode (scan-local), one (group, passage)
+    * aggregate over the DISTINCT doc-passage relation for the boilerplate
+    * set, one `shuffle_hash` join back of the instance stream, one per-doc
+    * aggregate. The boilerplate relation is corpus-sublinear (only passages
+    * clearing `minDocs`); nothing collects to the driver.
+    *
+    * Output: one row per input row: `id`, `n_grams` (passage instances),
+    * `n_boiler` (instances whose passage is group-boilerplate),
+    * `boiler_ppm` (integral parts-per-million; 0 for gram-less docs).
+    */
+  def boilerplateProfile(df: DataFrame, id: Column, text: Column,
+      group: Column, n: Int = 5, minDocs: Long = 3L): DataFrame = {
+    require(n >= 1 && n <= 64, s"n must be in [1,64], got $n")
+    require(minDocs >= 2L, s"minDocs must be at least 2, got $minDocs")
+    val base = df.select(id.as("id"), group.as("grp"), tokens(text).as("__t"))
+    val grams = base.select(col("id"), col("grp"), explode(
+        when(size(col("__t")) >= n,
+          transform(sequence(lit(1), size(col("__t")) - (n - 1)),
+            i => array_join(slice(col("__t"), i, lit(n)), " ")))
+          .otherwise(array().cast("array<string>"))).as("g"))
+      .localCheckpoint(eager = false)   // boilerplate set + instance stream
+    val boiler = grams.select(col("grp"), col("g"), col("id")).distinct()
+      .groupBy(col("grp"), col("g")).agg(count(lit(1)).as("__docs"))
+      .filter(col("__docs") >= minDocs)
+      .select(col("grp"), col("g"))
+    val perDoc = grams
+      .join(boiler.withColumn("__b", lit(1L)).hint("shuffle_hash"),
+        Seq("grp", "g"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__b"), lit(0L))).as("n_boiler"))
+    df.select(id.as("id")).join(perDoc.hint("shuffle_hash"), Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"))
+      .withColumn("boiler_ppm",
+        expr("(n_boiler * 1000000) div greatest(n_grams, 1)"))
+  }
 }

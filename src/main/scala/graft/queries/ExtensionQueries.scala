@@ -3542,6 +3542,292 @@ object ExtensionQueries {
          AND (tw.tw * (2*j + 1)) // 300 >= c.cum - c.w
          AND (tw.tw * (2*j + 1)) // 300 < c.cum"""
 
+  // ---------------------------------------------------------------------------
+  // X99 — BPE tokenizer APPLICATION (LanguageModel.bpeEncodeProfile): per-doc
+  // token counts under a FIXED pretrained merge table — the production
+  // deployment shape (x96 trains; this encodes). The merge pairs are
+  // chosen CHAR-DISJOINT (t+h, e+r, o+n, a+s, i+d — no character appears in
+  // two pairs, outputs are 2-char symbols later single-char pairs can never
+  // match), which makes greedy sequential application CLOSED-FORM: merges
+  // can neither create nor destroy each other's adjacencies, so each pair's
+  // application count equals its non-overlapping substring count in the raw
+  // word — exactly what SQL's replace() length-diff computes. The oracle
+  // therefore hash-verifies the real chained-MergePair engine path.
+  // (General interacting merges are the sequential-greedy case SQL can't
+  // replay — covered by x96/x97.)
+  // ---------------------------------------------------------------------------
+  private val x99Merges =
+    Seq("t" -> "h", "e" -> "r", "o" -> "n", "a" -> "s", "i" -> "d")
+
+  private def x99(s: SparkSession, dir: String): DataFrame =
+    LanguageModel.bpeEncodeProfile(docs(s, dir), col("doc_id"), col("text"),
+        x99Merges)
+      .withColumnRenamed("id", "doc_id")
+
+  private val x99Sql = {
+    val occ = x99Merges.map { case (a, b) =>
+      s"- (length(w) - length(replace(w, '$a$b', ''))) // 2" }.mkString(" ")
+    s"""WITH w AS (SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+               x -> x <> '')) AS w
+           FROM documents),
+         e AS (SELECT doc_id, count(*) AS n_words,
+                 CAST(sum(length(w)) AS BIGINT) AS n_word_chars,
+                 CAST(sum(length(w) $occ) AS BIGINT) AS n_tokens
+               FROM w GROUP BY 1)
+       SELECT d.doc_id, coalesce(e.n_words, 0) AS n_words,
+              coalesce(e.n_word_chars, 0) AS n_word_chars,
+              coalesce(e.n_tokens, 0) AS n_tokens
+       FROM documents d LEFT JOIN e USING (doc_id)"""
+  }
+
+  // ---------------------------------------------------------------------------
+  // X100 — per-node triangle counts (LinkGraph.triangleCounts) on x83's
+  // manufactured link graph: the local-closure spam/organic signal.
+  // Degree-ordered orientation (out-degree O(√m)) keeps the wedge join
+  // bounded; the oracle replays the same orientation in DuckDB.
+  // ---------------------------------------------------------------------------
+  private def x100(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val nRow = d.agg((max(col("doc_id")) + 1L).as("__n"))
+    val edges = d.select(col("doc_id"))
+      .crossJoin(broadcast(nRow))
+      .select(col("doc_id").as("src"),
+        explode(array((1 to 3).map(j =>
+          pmod(col("doc_id") * 31L + lit(j * 97L), col("__n"))): _*)).as("dst"))
+    graft.ops.LinkGraph.triangleCounts(edges, col("src"), col("dst"))
+  }
+
+  private val x100Sql =
+    """WITH nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
+         e0 AS (SELECT DISTINCT src, dst FROM (
+                 SELECT doc_id AS src, (doc_id*31 + j*97) % (SELECT n FROM nn) AS dst
+                 FROM documents, (SELECT unnest([1, 2, 3]) AS j))
+               WHERE src <> dst),
+         und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                 FROM e0),
+         deg AS (SELECT v, count(*) AS dg FROM (
+                   SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und)
+                 GROUP BY 1),
+         o AS (SELECT CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND a < b)
+                        THEN a ELSE b END AS x,
+                      CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND a < b)
+                        THEN b ELSE a END AS y
+               FROM und JOIN deg da ON da.v = und.a JOIN deg db ON db.v = und.b),
+         w AS (SELECT l.x, l.y AS y, r.y AS z
+               FROM o l JOIN o r ON l.x = r.x AND l.y < r.y),
+         c AS (SELECT x AS y, y AS z FROM o UNION ALL SELECT y AS y, x AS z FROM o),
+         tri AS (SELECT w.x, w.y, w.z FROM w JOIN c ON w.y = c.y AND w.z = c.z)
+       SELECT node_id, count(*) AS n_triangles FROM (
+         SELECT x AS node_id FROM tri
+         UNION ALL SELECT y AS node_id FROM tri
+         UNION ALL SELECT z AS node_id FROM tri)
+       GROUP BY 1"""
+
+  // ---------------------------------------------------------------------------
+  // X101 — EXACT threshold Jaccard join via prefix filtering
+  // (Dedup.prefixJaccardPairs): the lossless near-dup surface — provably
+  // identical to the brute-force all-pairs threshold join, which is exactly
+  // what the oracle computes (quadratic in DuckDB at gate scale; the engine
+  // side stays prefix-bounded at any scale).
+  // ---------------------------------------------------------------------------
+  private def x101(s: SparkSession, dir: String): DataFrame =
+    Dedup.prefixJaccardPairs(docs(s, dir), col("doc_id"), col("text"),
+      thresholdPct = 80, n = 3)
+
+  private val x101Sql =
+    """WITH w AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')
+               AS toks
+           FROM documents),
+         t AS (SELECT doc_id,
+                 list_distinct(list_transform(range(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS toks
+               FROM w WHERE len(toks) >= 3),
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 len(list_intersect(a.toks, b.toks)) AS inter,
+                 len(a.toks) AS sza, len(b.toks) AS szb
+               FROM t a JOIN t b ON a.doc_id < b.doc_id)
+       SELECT id_a, id_b,
+              round(inter * 1.0 / (sza + szb - inter), 6) AS jaccard
+       FROM p WHERE inter * 100 >= 80 * (sza + szb - inter)"""
+
+  // ---------------------------------------------------------------------------
+  // X102 — boilerplate-passage profile (TextAnalysis.boilerplateProfile):
+  // 5-token passages repeated in ≥2 distinct docs of the same source, and
+  // each doc's boilerplate instance share — the CCNet-style cleaning signal.
+  // ---------------------------------------------------------------------------
+  private def x102(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.boilerplateProfile(docs(s, dir), col("doc_id"), col("text"),
+        col("source"), n = 5, minDocs = 2L)
+      .withColumnRenamed("id", "doc_id")
+
+  private val x102Sql =
+    """WITH base AS (SELECT doc_id, source,
+             list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')
+               AS toks
+           FROM documents),
+         g AS (SELECT doc_id, source, unnest(
+                 CASE WHEN len(toks) >= 5
+                 THEN list_transform(range(1, len(toks) - 3),
+                        i -> array_to_string(toks[i:i+4], ' '))
+                 ELSE [] END) AS g
+               FROM base),
+         b AS (SELECT source, g FROM (SELECT DISTINCT source, g, doc_id FROM g)
+               GROUP BY 1, 2 HAVING count(*) >= 2),
+         pd AS (SELECT g.doc_id, count(*) AS n_grams,
+                  CAST(sum(CASE WHEN b.g IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+                    AS n_boiler
+                FROM g LEFT JOIN b ON g.source = b.source AND g.g = b.g
+                GROUP BY 1)
+       SELECT d.doc_id, coalesce(pd.n_grams, 0) AS n_grams,
+              coalesce(pd.n_boiler, 0) AS n_boiler,
+              (coalesce(pd.n_boiler, 0) * 1000000)
+                // greatest(coalesce(pd.n_grams, 0), 1) AS boiler_ppm
+       FROM documents d LEFT JOIN pd USING (doc_id)"""
+
+  // ---------------------------------------------------------------------------
+  // X103 — rolling-window z-score anomalies (ops.Anomaly.rollingZScore) over
+  // the events stream, per event type: trailing-50 baseline EXCLUDING the
+  // current row, z>3 as a cross-multiplied BIGINT inequality (no floating
+  // mean/stddev), bit-identical in any engine.
+  // ---------------------------------------------------------------------------
+  private def x103(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Anomaly.rollingZScore(ParityQueries.events(s, dir),
+        col("event_type"), Seq(col("ts"), col("event_id")), Seq("event_id"),
+        col("value"), window = 50, z = 3, minPrev = 20)
+      .withColumnRenamed("part", "event_type")
+
+  private val x103Sql =
+    """WITH e AS (SELECT event_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             CAST(round(value * 1000) AS BIGINT) AS vm
+           FROM events),
+         s AS (SELECT event_id, event_type, vm,
+                 count(*) OVER w AS n_prev,
+                 CAST(coalesce(sum(vm) OVER w, 0) AS BIGINT) AS sm,
+                 CAST(coalesce(sum(vm * vm) OVER w, 0) AS BIGINT) AS q
+               FROM e WINDOW w AS (PARTITION BY event_type ORDER BY us, event_id
+                 ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING))
+       SELECT event_id, event_type, vm AS v_milli, n_prev,
+              CAST((n_prev*vm - sm) * (n_prev*vm - sm) AS BIGINT) AS dev_sq,
+              CAST(9 * (n_prev*q - sm*sm) AS BIGINT) AS thr_sq,
+              n_prev >= 20 AND
+                (n_prev*vm - sm) * (n_prev*vm - sm) > 9 * (n_prev*q - sm*sm)
+                AS is_anomaly
+       FROM s"""
+
+  // ---------------------------------------------------------------------------
+  // X104 — two-sample Kolmogorov–Smirnov drift (extensions.Drift.ksDrift) of
+  // the per-language n_chars distribution between the even- and odd-doc_id
+  // slices (a snapshot A/B split). D is carried as the exact integer
+  // cumA·n_B − cumB·n_A maximum.
+  // ---------------------------------------------------------------------------
+  private def x104(s: SparkSession, dir: String): DataFrame =
+    graft.extensions.Drift.ksDrift(docs(s, dir), col("lang"), col("n_chars"),
+        pmod(col("doc_id"), lit(2)) === 1)
+      .withColumnRenamed("grp", "lang")
+
+  private val x104Sql =
+    """WITH b AS (SELECT lang, n_chars AS v, doc_id % 2 = 1 AS isb
+           FROM documents WHERE n_chars IS NOT NULL),
+         pv AS (SELECT lang, v,
+                  CAST(sum(CASE WHEN isb THEN 0 ELSE 1 END) AS BIGINT) AS ca,
+                  CAST(sum(CASE WHEN isb THEN 1 ELSE 0 END) AS BIGINT) AS cb
+                FROM b GROUP BY 1, 2),
+         c AS (SELECT lang, ca, cb,
+                 CAST(sum(ca) OVER (PARTITION BY lang ORDER BY v
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cuma,
+                 CAST(sum(cb) OVER (PARTITION BY lang ORDER BY v
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumb,
+                 CAST(sum(ca) OVER (PARTITION BY lang) AS BIGINT) AS na,
+                 CAST(sum(cb) OVER (PARTITION BY lang) AS BIGINT) AS nb
+               FROM pv)
+       SELECT lang, max(na) AS n_a, max(nb) AS n_b,
+              CASE WHEN max(na) > 0 AND max(nb) > 0
+                THEN CAST(max(abs(cuma*nb - cumb*na)) AS BIGINT)
+                ELSE NULL END AS ks_scaled
+       FROM c GROUP BY 1"""
+
+  // ---------------------------------------------------------------------------
+  // X105 — hard-negative mining (Similarity.hardNegatives): per sampled query
+  // vector, the top-5 most-cosine-similar vectors with a DIFFERENT label —
+  // the contrastive-training negative set. Adaptive query sample (x5's
+  // pattern) bounds the exact scan at any corpus scale.
+  // ---------------------------------------------------------------------------
+  private def x105(s: SparkSession, dir: String): DataFrame = {
+    val e = embeds(s, dir)
+    val step = math.max(50L, e.count() / 100L)
+    Similarity.hardNegatives(e.filter(col("vec_id") % step === 0), e, k = 5)
+  }
+
+  private val x105Sql =
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+       scored AS (
+         SELECT q.vec_id AS query_id, q.label AS query_label,
+                c.vec_id AS neighbor_id, c.label AS neighbor_label,
+                round(CASE WHEN list_dot_product(q.v,q.v) = 0
+                             OR list_dot_product(c.v,c.v) = 0 THEN 0
+                      ELSE list_dot_product(q.v,c.v) /
+                           (sqrt(list_dot_product(q.v,q.v)) *
+                            sqrt(list_dot_product(c.v,c.v))) END, 6) AS sim
+         FROM e q JOIN e c
+           ON q.vec_id % greatest(50, (SELECT count(*) FROM embeddings) // 100) = 0
+          AND q.label <> c.label)
+       SELECT query_id, query_label, neighbor_id, neighbor_label, sim,
+              CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rank
+       FROM scored QUALIFY rank <= 5"""
+
+  // ---------------------------------------------------------------------------
+  // X106 — token-budget waterfilling (Mixture.waterfillAllocation): allocate
+  // 60% of the corpus's tokens across sources, no source above its own
+  // count, small sources whole, the rest leveled — the mixture-recipe
+  // allocator as one deterministic integer relation. The boundary search is
+  // closed-form (max consistent cap boundary), no sort and no iteration; the
+  // oracle replays the identical construction.
+  // ---------------------------------------------------------------------------
+  private def x106(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val toks = size(TextAnalysis.tokens(col("text"))).cast("long")
+    // bounded driver scalar (one long), the x5-count pattern
+    val total = d.agg(sum(toks).as("t")).collect()(0).getLong(0)
+    Mixture.waterfillAllocation(d, col("source"), toks,
+        budget = total * 6L / 10L)
+      .withColumnRenamed("grp", "source")
+  }
+
+  private val x106Sql =
+    """WITH tk AS (SELECT source,
+             len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+               x -> x <> '')) AS t
+           FROM documents),
+         caps AS (SELECT source AS grp, CAST(sum(t) AS BIGINT) AS cap
+                  FROM tk GROUP BY 1),
+         bud AS (SELECT (CAST(sum(t) AS BIGINT) * 6) // 10 AS budget FROM tk),
+         bounds AS (SELECT cap AS c, grp AS bgrp FROM caps
+                    UNION ALL SELECT -1, ''),
+         stats AS (SELECT b.c, b.bgrp,
+             CAST(sum(CASE WHEN caps.cap <= b.c THEN caps.cap ELSE 0 END)
+               AS BIGINT) AS capsum,
+             CAST(sum(CASE WHEN caps.cap > b.c THEN 1 ELSE 0 END) AS BIGINT)
+               AS ngt
+           FROM bounds b, caps GROUP BY 1, 2),
+         cons AS (SELECT c, bgrp,
+             CASE WHEN ngt > 0
+               THEN ((SELECT budget FROM bud) - capsum) // ngt
+               ELSE NULL END AS lvl
+           FROM stats
+           WHERE capsum <= (SELECT budget FROM bud)
+             AND (ngt = 0 OR
+                  ((SELECT budget FROM bud) - capsum) // ngt >= c)),
+         pick AS (SELECT lvl FROM cons ORDER BY c DESC, bgrp DESC LIMIT 1)
+       SELECT grp AS source, cap AS cap_tokens,
+              least(cap, coalesce((SELECT lvl FROM pick), cap)) AS alloc_tokens,
+              least(cap, coalesce((SELECT lvl FROM pick), cap)) = cap AS at_cap
+       FROM caps"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_dedup_exact" -> x1 _,
     "x02_dedup_ngram_jaccard" -> x2 _,
@@ -3640,7 +3926,15 @@ object ExtensionQueries {
     "x95_k_anonymity" -> x95 _,
     "x96_bpe_merges" -> x96 _,
     "x97_bpe_invariants" -> x97 _,
-    "x98_importance_resample" -> x98 _
+    "x98_importance_resample" -> x98 _,
+    "x99_bpe_encode" -> x99 _,
+    "x100_triangle_count" -> x100 _,
+    "x101_prefix_jaccard" -> x101 _,
+    "x102_boilerplate" -> x102 _,
+    "x103_rolling_anomaly" -> x103 _,
+    "x104_ks_drift" -> x104 _,
+    "x105_hard_negatives" -> x105 _,
+    "x106_waterfill" -> x106 _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -3733,6 +4027,14 @@ object ExtensionQueries {
     "x94_ngram_novelty" -> x94Sql,
     "x95_k_anonymity" -> x95Sql,
     "x97_bpe_invariants" -> x97Sql,
-    "x98_importance_resample" -> x98Sql
+    "x98_importance_resample" -> x98Sql,
+    "x99_bpe_encode" -> x99Sql,
+    "x100_triangle_count" -> x100Sql,
+    "x101_prefix_jaccard" -> x101Sql,
+    "x102_boilerplate" -> x102Sql,
+    "x103_rolling_anomaly" -> x103Sql,
+    "x104_ks_drift" -> x104Sql,
+    "x105_hard_negatives" -> x105Sql,
+    "x106_waterfill" -> x106Sql
   )
 }
