@@ -43,4 +43,54 @@ object Ensemble {
       .reduce(_ + _) / lit(signals.size.toDouble)
     joined.withColumn("ensemble", round(mean, 6))
   }
+
+  /** Quantile normalization of a per-group score onto the GLOBAL score
+    * distribution — batch-effect correction for quality scorers: a scorer
+    * systematically harsher on one source would otherwise make any global
+    * threshold cut that source disproportionately. Each row's normalized
+    * score is the global empirical quantile at its within-group percentile:
+    * `qnorm = Q_global(pct_group(score))` with
+    * `Q_global(p) = max{ score : F_global(score) ≤ p }`.
+    *
+    * Deterministic integer/6-dp construction: both percent ranks are
+    * [[Sampling.stratumPercentRank]] (parallel-scan, tie-broken, round-6);
+    * the quantile function is materialized on a fixed 1001-bin grid —
+    * per-score global ranks collapse to (bin = floor(pct·1000), max score),
+    * and empty bins inherit the highest lower bin via an enum²-bounded
+    * grid⋈bins backward-fill join (1001 × |occupied bins|, broadcast — no
+    * window over the grid, no SinglePartition). Bin 0 is always occupied
+    * (the global minimum has pct 0), so every lookup lands.
+    *
+    * Scale shape: two rank passes over the (id, group, score) projection,
+    * one enum-scale bin aggregate, the bounded grid fill, and one
+    * shuffle_hash join of the corpus onto its 1001-row lookup. The corpus
+    * is never windowed globally.
+    *
+    * Output: `id`, `grp`, `score` (as given, cast long), `src_pct`
+    * (round-6 within-group rank), `qnorm` (the global score at that
+    * percentile, long).
+    */
+  def quantileNormalize(df: DataFrame, id: Column, group: Column,
+      score: Column): DataFrame = {
+    val base = df.select(id.as("id"), group.as("grp"),
+      score.cast("long").as("score"))
+    val srcPct = Sampling.stratumPercentRank(base, col("grp"), col("score"),
+      col("id"), outCol = "src_pct")
+    val globPct = Sampling.stratumPercentRank(base, lit("all"), col("score"),
+      col("id"), outCol = "__gpct")
+    // per distinct score: its highest global rank → occupied grid bins
+    val bins = globPct.groupBy(col("score").as("__s"))
+      .agg(max(col("__gpct")).as("__gp"))
+      .select(floor(col("__gp") * 1000).cast("long").as("__bin"), col("__s"))
+      .groupBy("__bin").agg(max(col("__s")).as("__smax"))
+    // backward fill on the 1001-bin grid: enum²-bounded broadcast theta join
+    val grid = df.sparkSession.range(0, 1001).select(col("id").as("__b"))
+      .join(broadcast(bins), col("__bin") <= col("__b"))
+      .groupBy("__b").agg(max(col("__smax")).as("qnorm"))
+    srcPct
+      .withColumn("__b", floor(col("src_pct") * 1000).cast("long"))
+      .join(grid.hint("shuffle_hash"), Seq("__b"))
+      .select(col("id"), col("grp"), col("score"), col("src_pct"),
+        col("qnorm"))
+  }
 }

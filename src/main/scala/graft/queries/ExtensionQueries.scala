@@ -3828,6 +3828,43 @@ object ExtensionQueries {
               least(cap, coalesce((SELECT lvl FROM pick), cap)) = cap AS at_cap
        FROM caps"""
 
+  // ---------------------------------------------------------------------------
+  // X107 — quantile normalization (Ensemble.quantileNormalize): each doc's
+  // per-source length percentile mapped onto the GLOBAL length distribution
+  // (batch-effect correction — a global threshold then cuts every source at
+  // the same quantile). 1001-bin empirical quantile function with an
+  // enum²-bounded backward fill; no global window over the corpus.
+  // ---------------------------------------------------------------------------
+  private def x107(s: SparkSession, dir: String): DataFrame =
+    graft.extensions.Ensemble.quantileNormalize(docs(s, dir), col("doc_id"),
+        col("source"), col("n_chars"))
+      .withColumnRenamed("id", "doc_id")
+      .withColumnRenamed("grp", "source")
+
+  private val x107Sql =
+    """WITH b AS (SELECT doc_id AS id, source AS grp, n_chars AS score
+           FROM documents),
+         sp AS (SELECT id, grp, score,
+                  round(CASE WHEN count(*) OVER (PARTITION BY grp) = 1 THEN 0
+                        ELSE percent_rank() OVER (PARTITION BY grp
+                          ORDER BY score, id) END, 6) AS src_pct
+                FROM b),
+         gp AS (SELECT id, score,
+                  round(percent_rank() OVER (ORDER BY score, id), 6) AS gpct
+                FROM b),
+         bins AS (SELECT CAST(floor(mx * 1000) AS BIGINT) AS bin,
+                    max(s) AS smax
+                  FROM (SELECT score AS s, max(gpct) AS mx FROM gp GROUP BY 1)
+                  GROUP BY 1),
+         grid AS (SELECT g.b AS bin, max(bins.smax) AS qnorm
+                  FROM (SELECT unnest(range(0, 1001)) AS b) g
+                  JOIN bins ON bins.bin <= g.b
+                  GROUP BY 1)
+       SELECT sp.id AS doc_id, sp.grp AS source, sp.score, sp.src_pct,
+              grid.qnorm
+       FROM sp JOIN grid
+         ON CAST(floor(sp.src_pct * 1000) AS BIGINT) = grid.bin"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_dedup_exact" -> x1 _,
     "x02_dedup_ngram_jaccard" -> x2 _,
@@ -3934,7 +3971,8 @@ object ExtensionQueries {
     "x103_rolling_anomaly" -> x103 _,
     "x104_ks_drift" -> x104 _,
     "x105_hard_negatives" -> x105 _,
-    "x106_waterfill" -> x106 _
+    "x106_waterfill" -> x106 _,
+    "x107_quantile_norm" -> x107 _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -4035,6 +4073,7 @@ object ExtensionQueries {
     "x103_rolling_anomaly" -> x103Sql,
     "x104_ks_drift" -> x104Sql,
     "x105_hard_negatives" -> x105Sql,
-    "x106_waterfill" -> x106Sql
+    "x106_waterfill" -> x106Sql,
+    "x107_quantile_norm" -> x107Sql
   )
 }

@@ -222,6 +222,30 @@ class Round9OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(tight == Map("a" -> 3L, "b" -> 3L))
   }
 
+  // --- Ensemble.quantileNormalize -------------------------------------------
+
+  test("quantileNormalize maps group percentiles onto the global quantiles") {
+    import spark.implicits._
+    // group A scores 1..4, group B scores 101..104: after normalization the
+    // same within-group position must land on the same global score
+    val df = (Seq((1L, "A", 1L), (2L, "A", 2L), (3L, "A", 3L), (4L, "A", 4L),
+      (5L, "B", 101L), (6L, "B", 102L), (7L, "B", 103L), (8L, "B", 104L)))
+      .toDF("id", "grp", "score")
+    val out = Ensemble.quantileNormalize(df, col("id"), col("grp"),
+        col("score"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(3), r.getLong(4))).toMap
+    // same src_pct in both groups → identical qnorm
+    for (i <- 0 to 3)
+      assert(out(1L + i)._1 == out(5L + i)._1 &&
+        out(1L + i)._2 == out(5L + i)._2,
+        s"position $i: ${out(1L + i)} vs ${out(5L + i)}")
+    // top of each group maps to the global max
+    assert(out(4L)._2 == out(8L)._2)
+    // monotone within a group
+    assert(out(1L)._2 <= out(2L)._2 && out(2L)._2 <= out(3L)._2 &&
+      out(3L)._2 <= out(4L)._2)
+  }
+
   test("ksDrift matches a driver replica on corpus data") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val out = Drift.ksDrift(docs, col("lang"), col("n_chars"),
