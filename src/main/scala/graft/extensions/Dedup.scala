@@ -697,4 +697,72 @@ object Dedup {
         round(col("__inter").cast("double") /
           (col("__sza") + col("__szb") - col("__inter")), 6).as("jaccard"))
   }
+
+  // ------------------------------------------- edit-distance fuzzy pairs --
+
+  /** All ≤`maxDist`-deletion variants of `s` (the string itself included),
+    * built with pure codegen'd HOFs: variant i drops character i. */
+  private def delVariants(s: Column, maxDist: Int, maxLen: Int): Column = {
+    def del1(x: Column): Column =
+      transform(sequence(lit(0), length(x) - 1), i =>
+        concat(x.substr(lit(1), i), x.substr(i + lit(2), lit(maxLen + 2))))
+    val v1 = del1(s)
+    val all =
+      if (maxDist == 1) concat(array(s), v1)
+      else concat(array(s), v1, flatten(transform(v1, v => del1(v))))
+    array_distinct(all)
+  }
+
+  /** Fuzzy-pair join on short keys (names, titles, codes): every id pair
+    * whose keys are within Levenshtein distance [`minDist`, `maxDist`] —
+    * record linkage's "same thing, typo'd" relation. EXACT, not approximate:
+    * two strings within edit distance d always share a common ≤d-deletion
+    * variant (delete the edited positions from both — the FastSS/SymSpell
+    * neighborhood theorem), so blocking on deletion variants has full
+    * recall and the per-candidate `levenshtein` verify removes the rest.
+    *
+    * `minDist ≥ 1` by contract: identical-key pairs are [[exact]] dedup's
+    * domain, and excluding them lets the candidate stage run over DISTINCT
+    * keys — bounded by key-space cardinality, not row count — with dup
+    * groups expanded only in the final fan-out join.
+    *
+    * Scale design: no all-pairs stage anywhere. Distinct keys explode into
+    * ≤ 1+L+L(L−1)/2 deletion variants (L ≤ `maxLen`, keys longer are
+    * excluded by contract — fuzzy keys are short), candidates shuffle on
+    * the 64-bit variant hash (hash collisions only ADD candidates; the
+    * verify kills them), and `levenshtein(_,_,maxDist)` runs the O(d·L)
+    * banded form. The id fan-out is two key-equi-joins driven by the
+    * matched name pairs — output-sized, never quadratic in rows.
+    */
+  def editDistancePairs(df: DataFrame, id: Column, key: Column,
+      maxDist: Int = 1, minDist: Int = 1, maxLen: Int = 64): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 2,
+      s"maxDist must be 1 or 2, got $maxDist")
+    require(minDist >= 1 && minDist <= maxDist,
+      s"minDist must be in [1,$maxDist], got $minDist")
+    require(maxLen >= 2 && maxLen <= 64,
+      s"maxLen must be in [2,64], got $maxLen")
+    val keyed = df.select(id.cast("long").as("id"), key.cast("string").as("nm"))
+      .filter(col("nm").isNotNull && length(col("nm")).between(1, maxLen))
+    val names = keyed.select("nm").distinct()
+      .localCheckpoint(eager = false)      // feeds both variant sides once
+    val vr = names
+      .select(col("nm"),
+        explode(delVariants(col("nm"), maxDist, maxLen)).as("__v"))
+      .select(col("nm"), xxhash64(col("__v")).as("__vh"))
+    val cand = vr.as("l").join(vr.as("r").hint("shuffle_hash"), Seq("__vh"))
+      .filter(col("l.nm") < col("r.nm"))
+      .select(col("l.nm").as("nm_a"), col("r.nm").as("nm_b"))
+      .distinct()
+    val matched = cand
+      .withColumn("dist", levenshtein(col("nm_a"), col("nm_b"), maxDist))
+      .filter(col("dist").between(minDist, maxDist))
+    matched
+      .join(keyed.select(col("id").as("__ia"), col("nm").as("nm_a"))
+        .hint("shuffle_hash"), Seq("nm_a"))
+      .join(keyed.select(col("id").as("__ib"), col("nm").as("nm_b"))
+        .hint("shuffle_hash"), Seq("nm_b"))
+      .select(least(col("__ia"), col("__ib")).as("id_a"),
+        greatest(col("__ia"), col("__ib")).as("id_b"), col("dist"))
+  }
 }

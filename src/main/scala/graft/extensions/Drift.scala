@@ -59,4 +59,48 @@ object Drift {
         when(col("n_a") > 0 && col("n_b") > 0, col("__d"))
           .otherwise(lit(null).cast("long")).as("ks_scaled"))
   }
+
+  /** Chi-square contingency audit — [[ksDrift]]'s categorical sibling: is
+    * `category`'s distribution independent of `group` (is the lang mix the
+    * same across sources)? Per group: its row count and its χ² contribution
+    * `Σ_cats (o − e)² / e` with `e = rowTot·colTot / N`; the full test
+    * statistic is the sum over groups against `(R−1)(C−1)` degrees of
+    * freedom (emitted as `dof` on every row). Groups/categories absent from
+    * a cell contribute their expected mass via the dense cell grid — a
+    * structurally-zero cell is real evidence of dependence, not a skipped
+    * term.
+    *
+    * All inputs to the float expression are EXACT integer counts (o, row
+    * totals, col totals, N), so per-cell terms are engine-deterministic;
+    * only the ≤|cats| per-group summation is float, round-6 at the edge.
+    *
+    * Scale design: one (group, category) counts pass; margins re-aggregate
+    * from it (enum-scale relations); the dense grid is the enum×enum
+    * broadcast cross of the two margin relations joined back to observed
+    * counts — never a corpus-sized join.
+    */
+  def chi2Contingency(df: DataFrame, group: Column,
+      category: Column): DataFrame = {
+    val cells = df.groupBy(group.as("grp"), category.as("cat"))
+      .agg(count(lit(1)).as("__o"))
+    val rowTot = cells.groupBy("grp").agg(sum(col("__o")).as("__rt"))
+    val colTot = cells.groupBy("cat").agg(sum(col("__o")).as("__ct"))
+    val n = cells.agg(sum(col("__o")).as("__n"),
+      count(lit(1)).as("__ncells"))
+    val dense = rowTot.crossJoin(broadcast(colTot))
+      .join(cells.hint("shuffle_hash"), Seq("grp", "cat"), "left")
+      .na.fill(0L, Seq("__o"))
+      .crossJoin(broadcast(n.select(col("__n"))))
+    val e = col("__rt").cast("double") * col("__ct") / col("__n")
+    dense
+      .groupBy("grp")
+      .agg(max(col("__rt")).as("n_rows"),
+        sum((col("__o") - e) * (col("__o") - e) / e).as("__chi"))
+      .crossJoin(broadcast(
+        rowTot.agg(count(lit(1)).as("__r"))
+          .crossJoin(colTot.agg(count(lit(1)).as("__c")))
+          .select(((col("__r") - 1L) * (col("__c") - 1L)).as("dof"))))
+      .select(col("grp"), col("n_rows"), round(col("__chi"), 6).as("chi2"),
+        col("dof"))
+  }
 }

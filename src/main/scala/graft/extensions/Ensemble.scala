@@ -93,4 +93,36 @@ object Ensemble {
       .select(col("id"), col("grp"), col("score"), col("src_pct"),
         col("qnorm"))
   }
+
+  /** Median/MAD robust scaling per group — the outlier-immune alternative
+    * to z-scores ([[Similarity.standardizeEmbeddings]]'s mean/stddev shape
+    * breaks when a scraped source has a heavy length tail: one 10 MB page
+    * drags the mean past most of the corpus). Per group: the exact median,
+    * the median absolute deviation around it, and each row's robust score
+    * `(v − med) / mad` (round-6; NULL when mad = 0 — a constant group has
+    * no scale). No 1.4826 normal-consistency factor: the score is used for
+    * rank/threshold decisions, not σ estimation.
+    *
+    * Scale design: two `percentile` aggregation passes (exact, map-side
+    * combined on a per-VALUE histogram — memory is bounded by the distinct
+    * value count of the signal, which for length/score signals is
+    * range-bounded, not row-bounded) + two broadcast joins of the
+    * group-level stats (groups are enum-scale by contract: sources, langs).
+    */
+  def robustScale(df: DataFrame, id: Column, group: Column,
+      value: Column): DataFrame = {
+    val base = df.select(id.as("id"), group.as("grp"),
+      value.cast("double").as("v"))
+    val med = base.groupBy("grp")
+      .agg(expr("percentile(v, 0.5)").as("med"))
+    val dev = base.join(broadcast(med), Seq("grp"))
+      .withColumn("__ad", abs(col("v") - col("med")))
+    val mad = dev.groupBy("grp")
+      .agg(expr("percentile(__ad, 0.5)").as("mad"))
+    dev.join(broadcast(mad), Seq("grp"))
+      .select(col("id"), col("grp"), col("v"),
+        round(col("med"), 6).as("med"), round(col("mad"), 6).as("mad"),
+        round((col("v") - col("med")) / nullif(col("mad"), lit(0d)), 6)
+          .as("robust_z"))
+  }
 }

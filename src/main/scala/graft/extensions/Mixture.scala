@@ -175,4 +175,42 @@ object Mixture {
           .as("alloc_tokens"))
       .withColumn("at_cap", col("alloc_tokens") === col("cap_tokens"))
   }
+
+  /** Mixture-concentration audit — per group, how dominated is it by its
+    * categories (per lang: how concentrated over sources; per corpus: over
+    * domains)? The balance dashboard behind blocklist / per-source-cap
+    * decisions: a lang whose HHI ≈ 1 is one scraper's output, whatever its
+    * row count says. Emits per group: `n_rows`, `n_cats`, `top_share`
+    * (modal category's share), `hhi` (Σ share² — Herfindahl), `entropy`
+    * (nats) and `norm_entropy` (entropy / ln n_cats; NULL for a single
+    * category — a one-category group has no normalizable spread). All
+    * round-6; shares derive from one counts pass via
+    * `H = ln n − Σ c·ln c / n`, so no per-category second scan.
+    *
+    * Scale design: one (group, category) count aggregation (map-side
+    * combined) followed by a group-level re-aggregation — two narrow
+    * shuffles on keys no wider than the group enum; no windows, no joins.
+    */
+  def concentrationProfile(df: DataFrame, group: Column,
+      category: Column): DataFrame = {
+    val counts = df.groupBy(group.as("grp"), category.as("cat"))
+      .agg(count(lit(1)).as("__c"))
+    counts.groupBy("grp")
+      .agg(sum(col("__c")).as("n_rows"),
+        count(lit(1)).as("n_cats"),
+        max(col("__c")).as("__mx"),
+        sum(col("__c") * col("__c")).as("__ss"),
+        sum(col("__c").cast("double") * log(col("__c").cast("double")))
+          .as("__slc"))
+      .select(col("grp"), col("n_rows"), col("n_cats"),
+        round(col("__mx").cast("double") / col("n_rows"), 6).as("top_share"),
+        round(col("__ss").cast("double") /
+          (col("n_rows") * col("n_rows")), 6).as("hhi"),
+        round(log(col("n_rows").cast("double")) -
+          col("__slc") / col("n_rows"), 6).as("entropy"),
+        round((log(col("n_rows").cast("double")) -
+          col("__slc") / col("n_rows")) /
+          nullif(log(col("n_cats").cast("double")), lit(0d)), 6)
+          .as("norm_entropy"))
+  }
 }

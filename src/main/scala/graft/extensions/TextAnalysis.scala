@@ -155,6 +155,41 @@ object TextAnalysis {
       .drop(names ++ sNames: _*)
   }
 
+  /** l-diversity audit — [[kAnonymity]]'s stronger sibling: a QI class can
+    * be k-large yet still leak if every member shares one sensitive value
+    * (the homogeneity attack). Per row: its class size, the class's count
+    * of DISTINCT non-null sensitive values (`count distinct` ignores NULL
+    * in both this engine and the SQL oracle — an absent sensitive value is
+    * no disclosure), and `suppress` when that diversity is below `l`.
+    * Null quasi values are legitimate class members, same null-safe `<=>`
+    * join contract as [[kAnonymity]].
+    *
+    * Scale design: identical shape to [[kAnonymity]] — one QI-keyed
+    * aggregation (the distinct-count is exact, grouped map-side by
+    * (QI, sensitive) first never materializing per-class sets) + one
+    * shuffle-hash join back on the QI key.
+    */
+  def lDiversity(df: DataFrame, quasi: Seq[Column], sensitive: Column,
+      l: Long): DataFrame = {
+    require(quasi.nonEmpty, "lDiversity needs at least one quasi-identifier")
+    require(l >= 2, s"l must be at least 2, got $l")
+    val qiCols = quasi.zipWithIndex.map { case (c, i) => c.as(s"__qi$i") }
+    val names = qiCols.indices.map(i => s"__qi$i")
+    val sNames = qiCols.indices.map(i => s"__qs$i")
+    val tagged = df.select(col("*") +: qiCols: _*)
+    val sizes = tagged.groupBy(names.map(col): _*)
+      .agg(count(lit(1)).as("qi_class_size"),
+        countDistinct(sensitive).as("sens_diversity"))
+      .select((names.zip(sNames).map { case (n, sn) => col(n).as(sn) } :+
+        col("qi_class_size") :+ col("sens_diversity")): _*)
+    val cond = names.zip(sNames).map { case (n, sn) => col(n) <=> col(sn) }
+      .reduce(_ && _)
+    tagged
+      .join(sizes.hint("shuffle_hash"), cond)
+      .withColumn("suppress", col("sens_diversity") < l)
+      .drop(names ++ sNames: _*)
+  }
+
   // ------------------------------------------------- cleaning / canon --
 
   /** Crawl-grade text cleaning — the scrub every web corpus runs before any

@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Event-rate time-series diagnostics — the stream-health checks a
+  * continuous ingest pipeline runs over its own telemetry: bucket events
+  * into fixed-width time bins (DENSE — an empty minute is a real zero, not
+  * a missing row) and measure the series' lag-k autocorrelation to expose
+  * periodicity (a daily crawl cycle shows up as a spike at the day lag) or
+  * loss of it (a stuck upstream flattens the series).
+  *
+  * Arithmetic contract: Pearson r at each lag is computed from the six
+  * EXACT integer sums (n, Σx, Σy, Σxy, Σx², Σy²) of the paired series, so
+  * the only float op is the final ratio of exact integers — bit-identical
+  * in any engine, whatever the summation order. Bounds: per-bucket counts
+  * c and bucket count B must keep B·max(c)² under 2⁶³ (10⁹ buckets of
+  * ≤10⁶ events each is fine).
+  *
+  * Scale design: the corpus collapses to per-bucket counts in one
+  * aggregate; everything after runs on the BUCKET relation (time-range /
+  * width rows, not event rows). Densification is a range join against
+  * `spark.range`, lag pairing is a shuffle-hash equi-join on bucket+k —
+  * no global-order window, no single partition.
+  */
+object TimeSeries {
+
+  /** Lag-k autocorrelations of the per-bucket event count series.
+    *
+    * Output: one row per lag: `lag`, `n_pairs`, `num` (n·Σxy − Σx·Σy),
+    * `den_x`, `den_y` (the two exact variance terms), `r` (round-6; NULL
+    * when either variance term is 0 — a constant series has no
+    * correlation). Rows with NULL timestamps are excluded.
+    */
+  def lagAutocorr(df: DataFrame, ts: Column, bucketSeconds: Long,
+      lags: Seq[Int]): DataFrame = {
+    require(bucketSeconds >= 1, s"bucketSeconds must be ≥1, got $bucketSeconds")
+    require(lags.nonEmpty && lags.forall(l => l >= 1 && l <= 1000000),
+      s"lags must be in [1,1e6], got $lags")
+    val spark = df.sparkSession
+    val wUs = bucketSeconds * 1000000L
+    val counts = df.select(TimeCols.tsMicros(ts).as("__us"))
+      .filter(col("__us").isNotNull)
+      .select(floor(col("__us") / wUs).cast("long").as("b"))
+      .groupBy("b").agg(count(lit(1)).as("c"))
+    // bounded collect: ONE row (the bucket range) — drives spark.range
+    val r0 = counts.agg(min(col("b")).as("__lo"), max(col("b")).as("__hi"))
+      .collect()(0)
+    val (lo, hi) =                      // empty input → empty dense series
+      if (r0.isNullAt(0)) (0L, -1L) else (r0.getLong(0), r0.getLong(1))
+    val dense = spark.range(lo, hi + 1).select(col("id").as("b"))
+      .join(counts.hint("shuffle_hash"), Seq("b"), "left")
+      .na.fill(0L, Seq("c"))
+      .localCheckpoint(eager = false)        // one scan feeds every lag pair
+    val perLag = lags.distinct.sorted.map { k =>
+      dense.as("x")
+        .join(dense.as("y").hint("shuffle_hash"),
+          col("x.b") + k === col("y.b"))
+        .select(col("x.c").as("x"), col("y.c").as("y"))
+        .agg(count(lit(1)).as("n_pairs"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(lit(k).cast("long").as("lag"), col("n_pairs"),
+          (col("n_pairs") * col("sxy") - col("sx") * col("sy")).as("num"),
+          (col("n_pairs") * col("sxx") - col("sx") * col("sx")).as("den_x"),
+          (col("n_pairs") * col("syy") - col("sy") * col("sy")).as("den_y"))
+    }
+    perLag.reduce(_.unionAll(_))
+      .withColumn("r",
+        when(col("den_x") > 0 && col("den_y") > 0,
+          round(col("num").cast("double") /
+            sqrt(col("den_x").cast("double") * col("den_y")), 6)))
+  }
+}

@@ -3865,6 +3865,185 @@ object ExtensionQueries {
        FROM sp JOIN grid
          ON CAST(floor(sp.src_pct * 1000) AS BIGINT) = grid.bin"""
 
+  // ---------------------------------------------------------------------------
+  // X108 — edit-distance fuzzy pairs (Dedup.editDistancePairs): record
+  // linkage over part names via the exact SymSpell deletion-neighborhood
+  // block; the oracle is the brute-force levenshtein over all id pairs —
+  // equality PROVES the deletion block loses no pair.
+  // ---------------------------------------------------------------------------
+  private def x108(s: SparkSession, dir: String): DataFrame =
+    Dedup.editDistancePairs(s.read.parquet(s"$dir/part.parquet"),
+        col("p_partkey"), col("p_name"), maxDist = 2, minDist = 1)
+      .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+
+  private val x108Sql =
+    """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+              CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+       FROM part a JOIN part b
+         ON a.p_partkey < b.p_partkey
+        AND abs(length(a.p_name) - length(b.p_name)) <= 2
+       WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 2"""
+
+  // ---------------------------------------------------------------------------
+  // X109 — robust scaling (Ensemble.robustScale): per-source median/MAD
+  // robust z of document length — outlier-immune sibling of x59's
+  // mean/stddev standardization.
+  // ---------------------------------------------------------------------------
+  private def x109(s: SparkSession, dir: String): DataFrame =
+    Ensemble.robustScale(docs(s, dir), col("doc_id"), col("source"),
+        col("n_chars"))
+      .withColumnRenamed("id", "doc_id")
+
+  private val x109Sql =
+    """WITH b AS (SELECT doc_id, source AS grp, CAST(n_chars AS DOUBLE) AS v
+           FROM documents),
+         m AS (SELECT grp, quantile_cont(v, 0.5) AS med FROM b GROUP BY 1),
+         d AS (SELECT b.doc_id, b.grp, b.v, m.med, abs(b.v - m.med) AS ad
+               FROM b JOIN m USING (grp)),
+         md AS (SELECT grp, quantile_cont(ad, 0.5) AS mad FROM d GROUP BY 1)
+       SELECT d.doc_id, d.grp, d.v, round(d.med, 6) AS med,
+              round(md.mad, 6) AS mad,
+              round((d.v - d.med) / nullif(md.mad, 0), 6) AS robust_z
+       FROM d JOIN md USING (grp)"""
+
+  // ---------------------------------------------------------------------------
+  // X110 — mixture concentration audit (Mixture.concentrationProfile):
+  // per-lang source concentration (HHI / entropy / top share) — the
+  // balance dashboard behind x58 blocklist and x40 per-source caps.
+  // ---------------------------------------------------------------------------
+  private def x110(s: SparkSession, dir: String): DataFrame =
+    Mixture.concentrationProfile(docs(s, dir), col("lang"), col("source"))
+      .withColumnRenamed("grp", "lang")
+
+  private val x110Sql =
+    """WITH c AS (SELECT lang, source, count(*) AS c
+           FROM documents GROUP BY 1, 2),
+         g AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_rows,
+                 count(*) AS n_cats, max(c) AS mx,
+                 CAST(sum(c * c) AS BIGINT) AS ss,
+                 sum(c * ln(c)) AS slc
+               FROM c GROUP BY 1)
+       SELECT lang, n_rows, n_cats,
+              round(mx * 1.0 / n_rows, 6) AS top_share,
+              round(ss * 1.0 / (n_rows * n_rows), 6) AS hhi,
+              round(ln(n_rows) - slc / n_rows, 6) AS entropy,
+              round((ln(n_rows) - slc / n_rows) / nullif(ln(n_cats), 0), 6)
+                AS norm_entropy
+       FROM g"""
+
+  // ---------------------------------------------------------------------------
+  // X111 — l-diversity audit (TextAnalysis.lDiversity): homogeneity-attack
+  // check on top of x95's k-anonymity — (lang, source) QI classes, with a
+  // synthetic sensitive attribute (n_chars mod 16) standing in for the
+  // per-row sensitive column a real corpus carries.
+  // ---------------------------------------------------------------------------
+  private def x111(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.lDiversity(
+      docs(s, dir).select(col("doc_id"), col("lang"), col("source"),
+        pmod(col("n_chars"), lit(16)).as("sens")),
+      Seq(col("lang"), col("source")), col("sens"), l = 4L)
+
+  private val x111Sql =
+    """WITH b AS (SELECT doc_id, lang, source, n_chars % 16 AS sens
+           FROM documents),
+         g AS (SELECT lang, source, count(*) AS qi_class_size,
+                 count(DISTINCT sens) AS sens_diversity
+               FROM b GROUP BY 1, 2)
+       SELECT b.doc_id, b.lang, b.source, b.sens, g.qi_class_size,
+              g.sens_diversity, g.sens_diversity < 4 AS suppress
+       FROM b JOIN g USING (lang, source)"""
+
+  // ---------------------------------------------------------------------------
+  // X112 — time-decayed activity (ops.Decay.decayedActivity): per-user
+  // recency-weighted score, half-life 7 days back from the corpus's latest
+  // event. Integer micro-quantized weights make the sum engine-exact.
+  // ---------------------------------------------------------------------------
+  private def x112(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Decay.decayedActivity(ParityQueries.events(s, dir),
+      col("user_id").as("user_id"), col("ts"), col("value"),
+      halfLifeSeconds = 7L * 86400L)
+      .withColumnRenamed("key", "user_id")
+
+  private val x112Sql =
+    """WITH b AS (SELECT user_id, epoch_us(ts) AS us, value AS v
+           FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+         t AS (SELECT max(us) AS tmax FROM b)
+       SELECT user_id, count(*) AS n_events, max(us) AS last_us,
+              CAST(sum(CAST(round(v * 1000) AS BIGINT) *
+                CAST(floor(power(2.0, (us - t.tmax) / 604800000000.0)
+                  * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS score_micro_milli
+       FROM b, t GROUP BY 1"""
+
+  // ---------------------------------------------------------------------------
+  // X113 — chi-square contingency audit (extensions.Drift.chi2Contingency):
+  // is the lang mix independent of source? Categorical sibling of x104's
+  // KS drift; per-cell terms from exact integer margins.
+  // ---------------------------------------------------------------------------
+  private def x113(s: SparkSession, dir: String): DataFrame =
+    graft.extensions.Drift.chi2Contingency(docs(s, dir), col("source"),
+      col("lang"))
+      .withColumnRenamed("grp", "source")
+
+  private val x113Sql =
+    """WITH cells AS (SELECT source, lang, count(*) AS o
+           FROM documents GROUP BY 1, 2),
+         rt AS (SELECT source, CAST(sum(o) AS BIGINT) AS rt
+                FROM cells GROUP BY 1),
+         ct AS (SELECT lang, CAST(sum(o) AS BIGINT) AS ct
+                FROM cells GROUP BY 1),
+         n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+         dof AS (SELECT ((SELECT count(*) FROM rt) - 1) *
+                        ((SELECT count(*) FROM ct) - 1) AS dof),
+         dense AS (SELECT rt.source, rt.rt, ct.ct,
+                     coalesce(cells.o, 0) AS o
+                   FROM rt CROSS JOIN ct
+                   LEFT JOIN cells USING (source, lang))
+       SELECT d.source, max(d.rt) AS n_rows,
+              round(sum((d.o - CAST(d.rt AS DOUBLE) * d.ct / n.n) *
+                        (d.o - CAST(d.rt AS DOUBLE) * d.ct / n.n) /
+                        (CAST(d.rt AS DOUBLE) * d.ct / n.n)), 6) AS chi2,
+              max(dof.dof) AS dof
+       FROM dense d, n, dof GROUP BY 1"""
+
+  // ---------------------------------------------------------------------------
+  // X114 — event-rate lag autocorrelation (ops.TimeSeries.lagAutocorr):
+  // hourly buckets over the dense 30-day grid, lags 1h..24h; Pearson r from
+  // six exact integer sums — the stream-periodicity diagnostic.
+  // ---------------------------------------------------------------------------
+  private def x114(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TimeSeries.lagAutocorr(ParityQueries.events(s, dir), col("ts"),
+      bucketSeconds = 3600L, lags = Seq(1, 2, 3, 6, 12, 24))
+
+  private val x114Sql =
+    """WITH c AS (SELECT CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS b,
+                    count(*) AS c
+           FROM events WHERE ts IS NOT NULL GROUP BY 1),
+         r AS (SELECT min(b) AS lo, max(b) AS hi FROM c),
+         d AS (SELECT g.b, coalesce(c.c, 0) AS c
+               FROM (SELECT unnest(range((SELECT lo FROM r),
+                       (SELECT hi FROM r) + 1)) AS b) g
+               LEFT JOIN c USING (b)),
+         l AS (SELECT unnest([1, 2, 3, 6, 12, 24]) AS lag),
+         p AS (SELECT l.lag, x.c AS x, y.c AS y
+               FROM l JOIN d x ON true JOIN d y ON x.b + l.lag = y.b),
+         a AS (SELECT lag, count(*) AS n_pairs,
+                 CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * y) AS BIGINT) AS sxy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx,
+                 CAST(sum(y * y) AS BIGINT) AS syy
+               FROM p GROUP BY 1)
+       SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+              n_pairs * sxy - sx * sy AS num,
+              n_pairs * sxx - sx * sx AS den_x,
+              n_pairs * syy - sy * sy AS den_y,
+              CASE WHEN n_pairs * sxx - sx * sx > 0
+                    AND n_pairs * syy - sy * sy > 0
+                   THEN round(CAST(n_pairs * sxy - sx * sy AS DOUBLE) /
+                     sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE) *
+                          (n_pairs * syy - sy * sy)), 6)
+              END AS r
+       FROM a"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_dedup_exact" -> x1 _,
     "x02_dedup_ngram_jaccard" -> x2 _,
@@ -3972,7 +4151,14 @@ object ExtensionQueries {
     "x104_ks_drift" -> x104 _,
     "x105_hard_negatives" -> x105 _,
     "x106_waterfill" -> x106 _,
-    "x107_quantile_norm" -> x107 _
+    "x107_quantile_norm" -> x107 _,
+    "x108_edit_distance_pairs" -> x108 _,
+    "x109_robust_scale" -> x109 _,
+    "x110_concentration" -> x110 _,
+    "x111_l_diversity" -> x111 _,
+    "x112_decayed_activity" -> x112 _,
+    "x113_chi2_drift" -> x113 _,
+    "x114_autocorrelation" -> x114 _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -4074,6 +4260,13 @@ object ExtensionQueries {
     "x104_ks_drift" -> x104Sql,
     "x105_hard_negatives" -> x105Sql,
     "x106_waterfill" -> x106Sql,
-    "x107_quantile_norm" -> x107Sql
+    "x107_quantile_norm" -> x107Sql,
+    "x108_edit_distance_pairs" -> x108Sql,
+    "x109_robust_scale" -> x109Sql,
+    "x110_concentration" -> x110Sql,
+    "x111_l_diversity" -> x111Sql,
+    "x112_decayed_activity" -> x112Sql,
+    "x113_chi2_drift" -> x113Sql,
+    "x114_autocorrelation" -> x114Sql
   )
 }

@@ -1,0 +1,109 @@
+package graft.extensions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Specs for the fuzzy-pair and audit operators: edit-distance pairs
+  * (SymSpell deletion blocking vs brute force), robust median/MAD scaling,
+  * mixture concentration, l-diversity.
+  */
+class FuzzyAndAuditOpsSpec extends AnyFunSuite with SparkTestSession {
+
+  // --- Dedup.editDistancePairs ----------------------------------------------
+
+  test("editDistancePairs finds planted typo pairs, skips exact dups") {
+    import spark.implicits._
+    val df = Seq((1L, "kitten"), (2L, "sitten"), (3L, "sittin"),
+      (4L, "kitchen"), (5L, "apple"), (6L, "kitten")).toDF("id", "nm")
+    val got = Dedup.editDistancePairs(df, col("id"), col("nm"),
+        maxDist = 2, minDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val want = Set((1L, 2L, 1), (2L, 3L, 1), (1L, 3L, 2), (1L, 4L, 2),
+      (2L, 6L, 1), (3L, 6L, 2), (4L, 6L, 2))
+    assert(got == want) // note: no (1,6) — identical keys are exact dedup's
+  }
+
+  test("editDistancePairs deletion block equals brute force on real names") {
+    val part = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+    val fast = Dedup.editDistancePairs(part, col("p_partkey"), col("p_name"),
+        maxDist = 2, minDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val n = part.select(col("p_partkey").as("id"), col("p_name").as("nm"))
+    val brute = n.as("a").join(n.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id"),
+        levenshtein(col("a.nm"), col("b.nm")).as("d"))
+      .filter(col("d").between(1, 2))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(fast == brute)
+    assert(brute.nonEmpty) // the fixture actually exercises the block
+  }
+
+  test("editDistancePairs ignores null and over-long keys") {
+    import spark.implicits._
+    val long = "x" * 80
+    val df = Seq((1L, "abc"), (2L, "abd"), (3L, null), (4L, long))
+      .toDF("id", "nm")
+    val got = Dedup.editDistancePairs(df, col("id"), col("nm"),
+      maxDist = 1, minDist = 1).collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+  }
+
+  // --- Ensemble.robustScale -------------------------------------------------
+
+  test("robustScale computes per-group median, MAD and robust z") {
+    import spark.implicits._
+    // group a: 1,2,3,4,100 -> med 3, abs devs 2,1,0,1,97 -> mad 1
+    // group b: constant 7 -> mad 0 -> robust_z NULL
+    val df = (Seq(1, 2, 3, 4, 100).zipWithIndex.map { case (v, i) =>
+      (i.toLong, "a", v) } ++ Seq((10L, "b", 7), (11L, "b", 7)))
+      .toDF("id", "grp", "v")
+    val out = Ensemble.robustScale(df, col("id"), col("grp"), col("v"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(3), r.getDouble(4), Option(r.get(5))))).toMap
+    assert(out(2L) == ((3.0, 1.0, Some(0.0))))
+    assert(out(4L) == ((3.0, 1.0, Some(97.0))))
+    assert(out(0L) == ((3.0, 1.0, Some(-2.0))))
+    assert(out(10L)._3.isEmpty) // zero MAD -> null score
+  }
+
+  // --- Mixture.concentrationProfile -----------------------------------------
+
+  test("concentrationProfile HHI/entropy/top-share per group") {
+    import spark.implicits._
+    val df = (Seq.fill(3)(("g1", "a")) ++ Seq(("g1", "b")) ++
+      Seq.fill(5)(("g2", "only"))).toDF("grp", "cat")
+    val out = Mixture.concentrationProfile(df, col("grp"), col("cat"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val g1 = out("g1")
+    assert(g1.getLong(1) == 4L && g1.getLong(2) == 2L)
+    assert(g1.getDouble(3) == 0.75)                      // top share
+    assert(g1.getDouble(4) == 0.625)                     // (9+1)/16
+    val h = math.log(4) - 3 * math.log(3) / 4            // exact entropy
+    assert(math.abs(g1.getDouble(5) - h) < 1e-6)
+    assert(math.abs(g1.getDouble(6) - h / math.log(2)) < 1e-6)
+    val g2 = out("g2")
+    assert(g2.getDouble(4) == 1.0 && g2.getDouble(5) == 0.0)
+    assert(g2.isNullAt(6))  // single category: no normalizable spread
+  }
+
+  // --- TextAnalysis.lDiversity ----------------------------------------------
+
+  test("lDiversity flags homogeneous classes, counts distinct non-null") {
+    import spark.implicits._
+    // class (x): 3 rows, sens {s1,s1,s2} -> diversity 2 -> suppress at l=3
+    // class (y): 3 rows, sens {s1,s2,s3} -> diversity 3 -> keep
+    // class (null): nulls are class members; null sens not counted
+    val df = Seq((1L, "x", "s1"), (2L, "x", "s1"), (3L, "x", "s2"),
+      (4L, "y", "s1"), (5L, "y", "s2"), (6L, "y", "s3"),
+      (7L, null, "s1"), (8L, null, null)).toDF("id", "qi", "sens")
+    val out = TextAnalysis.lDiversity(df, Seq(col("qi")), col("sens"), 3L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(out.size == 8) // null-QI rows are classed, not dropped
+    assert(out(1L) == ((3L, 2L, true)))
+    assert(out(4L) == ((3L, 3L, false)))
+    assert(out(7L) == ((2L, 1L, true))) // null class: 2 rows, 1 distinct
+  }
+}
