@@ -613,4 +613,63 @@ object Similarity {
       .select(col("id"), expr(s"__dot div ${S}L").as("pc1_micro"),
         lit(lam).as("eigval_micro"))
   }
+
+  // ------------------------------------------------- k-center coreset --
+
+  /** Greedy farthest-point sampling (Gonzalez 1985) — the k-center coreset
+    * selector behind diversity-first data selection: pick the point
+    * farthest from everything picked so far, k times. The classic 2-approx
+    * to the NP-hard k-center optimum, and the standard way to seed a
+    * diverse eval/annotation subset from an embedding corpus.
+    *
+    * Determinism: the seed is the minimum id; every argmax breaks distance
+    * ties by ascending id; distances are `‖v‖² + ‖c‖² − 2·v·c` with the
+    * left-fold [[dot]], so reruns reproduce the exact sequence.
+    *
+    * Returns (centers, radius²): each center as (rank, id, selection
+    * distance² — NULL for the seed, the greedy profile is non-increasing —
+    * and its vector), plus the final covering radius² (max over the corpus
+    * of the distance² to its nearest center).
+    *
+    * Scale design: k bounded scans — each round updates the running
+    * min-distance column against ONE literal center (scan-local codegen,
+    * no join, no shuffle beyond the 1-row TakeOrdered argmax) and
+    * checkpoint-truncates the lineage. Driver state is k vectors + k ids.
+    */
+  def kCentersDetail(df: DataFrame, id: Column, vec: Column, k: Int)
+      : (Seq[(Int, Long, Option[Double], Array[Double])], Double) = {
+    require(k >= 2 && k <= 64, s"k must be in [2,64], got $k")
+    val base = df
+      .select(id.cast("long").as("id"), vec.cast("array<double>").as("v"))
+      .filter(col("v").isNotNull)
+      .withColumn("nn", dot(col("v"), col("v")))
+      .localCheckpoint(eager = true)       // k rounds re-read this relation
+    def d2(last: Array[Double]): Column =
+      col("nn") + lit(last.map(x => x * x).sum) -
+        lit(2.0) * dot(col("v"), typedLit(last.toSeq))
+    val seed = base.orderBy(asc("id")).limit(1).collect()(0)
+    var centers = Vector((1, seed.getLong(0), Option.empty[Double],
+      seed.getSeq[Double](1).toArray))
+    var cur = base.withColumn("md", lit(Double.MaxValue))
+    for (r <- 2 to k) {
+      cur = cur.withColumn("md", least(col("md"), d2(centers.last._4)))
+        .localCheckpoint(eager = false)    // materialized by the argmax
+      val nxt = cur.orderBy(desc("md"), asc("id")).limit(1).collect()(0)
+      centers :+= ((r, nxt.getLong(0), Some(nxt.getDouble(3)),
+        nxt.getSeq[Double](1).toArray))
+    }
+    val radius2 = cur.withColumn("md", least(col("md"), d2(centers.last._4)))
+      .agg(max(col("md"))).collect()(0).getDouble(0)
+    (centers, radius2)
+  }
+
+  /** [[kCentersDetail]] as a relation: (rank, id, sel_dist2, radius2). */
+  def kCenters(df: DataFrame, id: Column, vec: Column, k: Int): DataFrame = {
+    val (centers, r2) = kCentersDetail(df, id, vec, k)
+    val spark = df.sparkSession
+    import spark.implicits._
+    centers.map { case (rank, cid, sd, _) =>
+      (rank.toLong, cid, sd, r2)
+    }.toDF("rank", "id", "sel_dist2", "radius2")
+  }
 }

@@ -72,4 +72,51 @@ object TimeSeries {
           round(col("num").cast("double") /
             sqrt(col("den_x").cast("double") * col("den_y")), 6)))
   }
+
+  /** Per-group OLS trend of a signal over time buckets — "is this source's
+    * quality drifting?" as a slope with an r² attached, the longitudinal
+    * sibling of the point-in-time drift tests. Values are milli-quantized
+    * and bucket indices re-origined to each GROUP's first bucket, so the
+    * five regression sums (n, Σx, Σy, Σxy, Σx²) are exact integers with
+    * small x — slope and r² are ratios of exact integers, bit-identical in
+    * any engine. Bounds: per-group span/bucketSeconds ≤ ~10⁵ buckets and
+    * |value| ≤ ~10⁶ keep every term under 2⁶³ at 10⁹ rows per group.
+    *
+    * Output per group: `grp`, `n_rows`, `num` (n·Σxy − Σx·Σy), `den_x`,
+    * `den_y` (exact longs), `slope_milli_per_bucket` (round-6; NULL for a
+    * single-bucket group — no time spread), `r2` (round-6; NULL when either
+    * variance term is 0). Rows with NULL ts or value are excluded.
+    *
+    * Scale design: one enum-keyed min-bucket aggregate broadcast back, one
+    * map-side-combined sum pass — no windows, no ordering.
+    */
+  def groupTrend(df: DataFrame, group: Column, ts: Column, value: Column,
+      bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds >= 1, s"bucketSeconds must be ≥1, got $bucketSeconds")
+    val wUs = bucketSeconds * 1000000L
+    val base = df.select(group.as("grp"),
+        TimeCols.tsMicros(ts).as("__us"), value.cast("double").as("__v"))
+      .filter(col("__us").isNotNull && col("__v").isNotNull)
+      .select(col("grp"), floor(col("__us") / wUs).cast("long").as("b"),
+        round(col("__v") * 1000).cast("long").as("y"))
+    val origin = base.groupBy("grp").agg(min(col("b")).as("__b0"))
+    val xy = base.join(broadcast(origin), Seq("grp"))
+      .select(col("grp"), (col("b") - col("__b0")).as("x"), col("y"))
+    xy.groupBy("grp")
+      .agg(count(lit(1)).as("n_rows"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("grp"), col("n_rows"),
+        (col("n_rows") * col("sxy") - col("sx") * col("sy")).as("num"),
+        (col("n_rows") * col("sxx") - col("sx") * col("sx")).as("den_x"),
+        (col("n_rows") * col("syy") - col("sy") * col("sy")).as("den_y"))
+      .withColumn("slope_milli_per_bucket",
+        when(col("den_x") > 0,
+          round(col("num").cast("double") / col("den_x"), 6)))
+      .withColumn("r2",
+        when(col("den_x") > 0 && col("den_y") > 0,
+          round(col("num").cast("double") * col("num") /
+            (col("den_x").cast("double") * col("den_y")), 6)))
+  }
 }

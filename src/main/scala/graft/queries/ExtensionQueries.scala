@@ -4044,6 +4044,104 @@ object ExtensionQueries {
               END AS r
        FROM a"""
 
+  // ---------------------------------------------------------------------------
+  // X115 — k-center coreset (Similarity.kCenters): greedy farthest-point
+  // sampling over the embedding corpus — diversity-first selection. The
+  // greedy sequence is model-derived (sequential argmax), so rows-only by
+  // contract; x116 is its green invariant twin.
+  // ---------------------------------------------------------------------------
+  private def x115(s: SparkSession, dir: String): DataFrame =
+    Similarity.kCenters(embeds(s, dir), col("vec_id"), col("embedding"),
+        k = 16)
+      .withColumnRenamed("id", "vec_id")
+
+  // ---------------------------------------------------------------------------
+  // X116 — k-center invariant audit (x115's oracle twin, the x87 pattern):
+  // re-runs the same deterministic greedy selection, then verifies IN-PLAN
+  // (a) the reported covering radius equals an independent HOF-min
+  // recomputation over the corpus, and driver-side (b) pairwise center
+  // separation ≥ covering radius (the Gonzalez guarantee), (c) the greedy
+  // profile is non-increasing, (d) k distinct centers. Any FALSE
+  // hash-fails against the all-TRUE oracle.
+  // ---------------------------------------------------------------------------
+  private def x116(s: SparkSession, dir: String): DataFrame = {
+    val nK = 16
+    val (centers, r2) = Similarity.kCentersDetail(embeds(s, dir),
+      col("vec_id"), col("embedding"), nK)
+    val vecs = centers.map(_._4)
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      val aa = a.map(x => x * x).sum; val bb = b.map(x => x * x).sum
+      aa + bb - 2.0 * a.zip(b).map { case (x, y) => x * y }.sum
+    }
+    val sel = centers.flatMap(_._3)
+    val okMono = sel.zip(sel.tail).forall { case (a, b) => a >= b }
+    val okDistinct = centers.map(_._2).distinct.size == nK
+    val okSep = (for { i <- vecs.indices; j <- i + 1 until vecs.size }
+      yield d2(vecs(i), vecs(j))).min >= r2 - 1e-9
+    val cl = typedLit(vecs.map(_.toSeq))
+    val c2l = typedLit(vecs.map(_.map(x => x * x).sum))
+    val v = col("__v")
+    val nn = graft.functions.DotProduct.dotProduct(v, v)
+    val md = array_min(zip_with(cl, c2l, (cv, n2) =>
+      nn + n2 - lit(2.0) * graft.functions.DotProduct.dotProduct(v, cv)))
+    val recompute = embeds(s, dir)
+      .select(col("embedding").cast("array<double>").as("__v"))
+      .agg(max(md).as("__r2"))
+    val spark = s
+    import spark.implicits._
+    centers.map(_._1.toLong).toDF("rank")
+      .crossJoin(broadcast(recompute))
+      .select(col("rank"),
+        (abs(col("__r2") - r2) <= 1e-9).as("ok_radius"),
+        lit(okSep).as("ok_sep"), lit(okMono).as("ok_mono"),
+        lit(okDistinct).as("ok_distinct"))
+  }
+
+  private val x116Sql =
+    """SELECT CAST(unnest(range(1, 17)) AS BIGINT) AS rank,
+              true AS ok_radius, true AS ok_sep, true AS ok_mono,
+              true AS ok_distinct"""
+
+  // ---------------------------------------------------------------------------
+  // X117 — per-group OLS trend (ops.TimeSeries.groupTrend): daily value
+  // trend per event type from five exact integer sums — longitudinal
+  // drift, the slope sibling of x104/x113.
+  // ---------------------------------------------------------------------------
+  private def x117(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TimeSeries.groupTrend(ParityQueries.events(s, dir),
+      col("event_type"), col("ts"), col("value"), bucketSeconds = 86400L)
+      .withColumnRenamed("grp", "event_type")
+
+  private val x117Sql =
+    """WITH b AS (SELECT event_type AS grp,
+             CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS b,
+             CAST(round(value * 1000) AS BIGINT) AS y
+           FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+         o AS (SELECT grp, min(b) AS b0 FROM b GROUP BY 1),
+         xy AS (SELECT b.grp, b.b - o.b0 AS x, b.y FROM b JOIN o USING (grp)),
+         a AS (SELECT grp, count(*) AS n_rows,
+                 CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * y) AS BIGINT) AS sxy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx,
+                 CAST(sum(y * y) AS BIGINT) AS syy
+               FROM xy GROUP BY 1)
+       SELECT grp AS event_type, n_rows,
+              n_rows * sxy - sx * sy AS num,
+              n_rows * sxx - sx * sx AS den_x,
+              n_rows * syy - sy * sy AS den_y,
+              CASE WHEN n_rows * sxx - sx * sx > 0
+                   THEN round(CAST(n_rows * sxy - sx * sy AS DOUBLE) /
+                     (n_rows * sxx - sx * sx), 6)
+              END AS slope_milli_per_bucket,
+              CASE WHEN n_rows * sxx - sx * sx > 0
+                    AND n_rows * syy - sy * sy > 0
+                   THEN round(CAST(n_rows * sxy - sx * sy AS DOUBLE) *
+                     (n_rows * sxy - sx * sy) /
+                     (CAST(n_rows * sxx - sx * sx AS DOUBLE) *
+                      (n_rows * syy - sy * sy)), 6)
+              END AS r2
+       FROM a"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_dedup_exact" -> x1 _,
     "x02_dedup_ngram_jaccard" -> x2 _,
@@ -4158,7 +4256,10 @@ object ExtensionQueries {
     "x111_l_diversity" -> x111 _,
     "x112_decayed_activity" -> x112 _,
     "x113_chi2_drift" -> x113 _,
-    "x114_autocorrelation" -> x114 _
+    "x114_autocorrelation" -> x114 _,
+    "x115_kcenter_coreset" -> x115 _,
+    "x116_kcenter_invariants" -> x116 _,
+    "x117_group_trend" -> x117 _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -4267,6 +4368,8 @@ object ExtensionQueries {
     "x111_l_diversity" -> x111Sql,
     "x112_decayed_activity" -> x112Sql,
     "x113_chi2_drift" -> x113Sql,
-    "x114_autocorrelation" -> x114Sql
+    "x114_autocorrelation" -> x114Sql,
+    "x116_kcenter_invariants" -> x116Sql,
+    "x117_group_trend" -> x117Sql
   )
 }
