@@ -77,15 +77,18 @@ object TimeSeries {
     * quality drifting?" as a slope with an r² attached, the longitudinal
     * sibling of the point-in-time drift tests. Values are milli-quantized
     * and bucket indices re-origined to each GROUP's first bucket, so the
-    * five regression sums (n, Σx, Σy, Σxy, Σx²) are exact integers with
-    * small x — slope and r² are ratios of exact integers, bit-identical in
-    * any engine. Bounds: per-group span/bucketSeconds ≤ ~10⁵ buckets and
-    * |value| ≤ ~10⁶ keep every term under 2⁶³ at 10⁹ rows per group.
+    * six regression sums (n, Σx, Σy, Σxy, Σx², Σy²) are EXACT integers —
+    * summation order cannot wiggle them. The closing slope/r² arithmetic
+    * then runs in double on those exact sums (the cross products n·Σy² etc.
+    * overflow 2⁶³ on realistic milli-quantized signals — the sf1 probe
+    * caught exactly that under ANSI mode): every term is one fixed IEEE
+    * expression over exact operands, so it stays bit-identical across
+    * engines, without the integer-product range cliff.
     *
-    * Output per group: `grp`, `n_rows`, `num` (n·Σxy − Σx·Σy), `den_x`,
-    * `den_y` (exact longs), `slope_milli_per_bucket` (round-6; NULL for a
-    * single-bucket group — no time spread), `r2` (round-6; NULL when either
-    * variance term is 0). Rows with NULL ts or value are excluded.
+    * Output per group: `grp`, `n_rows`, `sx`, `sy` (exact longs),
+    * `slope_milli_per_bucket` (round-6; NULL for a single-bucket group —
+    * no time spread), `r2` (round-6; NULL when either variance term is 0).
+    * Rows with NULL ts or value are excluded.
     *
     * Scale design: one enum-keyed min-bucket aggregate broadcast back, one
     * map-side-combined sum pass — no windows, no ordering.
@@ -102,21 +105,26 @@ object TimeSeries {
     val origin = base.groupBy("grp").agg(min(col("b")).as("__b0"))
     val xy = base.join(broadcast(origin), Seq("grp"))
       .select(col("grp"), (col("b") - col("__b0")).as("x"), col("y"))
-    xy.groupBy("grp")
+    // product sums in decimal(38,0): Σy² breaks 2⁶³ near 10⁸ milli-valued
+    // rows per group — decimal keeps them EXACT (DuckDB's HUGEINT twin)
+    val agg = xy.groupBy("grp")
       .agg(count(lit(1)).as("n_rows"), sum(col("x")).as("sx"),
-        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
-        sum(col("x") * col("x")).as("sxx"),
-        sum(col("y") * col("y")).as("syy"))
-      .select(col("grp"), col("n_rows"),
-        (col("n_rows") * col("sxy") - col("sx") * col("sy")).as("num"),
-        (col("n_rows") * col("sxx") - col("sx") * col("sx")).as("den_x"),
-        (col("n_rows") * col("syy") - col("sy") * col("sy")).as("den_y"))
-      .withColumn("slope_milli_per_bucket",
-        when(col("den_x") > 0,
-          round(col("num").cast("double") / col("den_x"), 6)))
-      .withColumn("r2",
-        when(col("den_x") > 0 && col("den_y") > 0,
-          round(col("num").cast("double") * col("num") /
-            (col("den_x").cast("double") * col("den_y")), 6)))
+        sum(col("y")).as("sy"),
+        sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"))
+    // cross products in double over the exact sums — one fixed IEEE
+    // expression per term, no 2⁶³ cliff, engine-identical
+    val nD = col("n_rows").cast("double")
+    val num = nD * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy")
+    val denX = nD * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx")
+    val denY = nD * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy")
+    agg.select(col("grp"), col("n_rows"), col("sx"), col("sy"),
+      when(denX > 0, round(num / denX, 6)).as("slope_milli_per_bucket"),
+      when(denX > 0 && denY > 0, round(num * num / (denX * denY), 6))
+        .as("r2"))
   }
 }

@@ -4125,20 +4125,26 @@ object ExtensionQueries {
                  CAST(sum(x * x) AS BIGINT) AS sxx,
                  CAST(sum(y * y) AS BIGINT) AS syy
                FROM xy GROUP BY 1)
-       SELECT grp AS event_type, n_rows,
-              n_rows * sxy - sx * sy AS num,
-              n_rows * sxx - sx * sx AS den_x,
-              n_rows * syy - sy * sy AS den_y,
-              CASE WHEN n_rows * sxx - sx * sx > 0
-                   THEN round(CAST(n_rows * sxy - sx * sy AS DOUBLE) /
-                     (n_rows * sxx - sx * sx), 6)
+       SELECT grp AS event_type, n_rows, sx, sy,
+              CASE WHEN CAST(n_rows AS DOUBLE) * sxx
+                        - CAST(sx AS DOUBLE) * sx > 0
+                   THEN round((CAST(n_rows AS DOUBLE) * sxy
+                        - CAST(sx AS DOUBLE) * sy) /
+                     (CAST(n_rows AS DOUBLE) * sxx
+                        - CAST(sx AS DOUBLE) * sx), 6)
               END AS slope_milli_per_bucket,
-              CASE WHEN n_rows * sxx - sx * sx > 0
-                    AND n_rows * syy - sy * sy > 0
-                   THEN round(CAST(n_rows * sxy - sx * sy AS DOUBLE) *
-                     (n_rows * sxy - sx * sy) /
-                     (CAST(n_rows * sxx - sx * sx AS DOUBLE) *
-                      (n_rows * syy - sy * sy)), 6)
+              CASE WHEN CAST(n_rows AS DOUBLE) * sxx
+                        - CAST(sx AS DOUBLE) * sx > 0
+                    AND CAST(n_rows AS DOUBLE) * syy
+                        - CAST(sy AS DOUBLE) * sy > 0
+                   THEN round((CAST(n_rows AS DOUBLE) * sxy
+                          - CAST(sx AS DOUBLE) * sy) *
+                        (CAST(n_rows AS DOUBLE) * sxy
+                          - CAST(sx AS DOUBLE) * sy) /
+                     ((CAST(n_rows AS DOUBLE) * sxx
+                          - CAST(sx AS DOUBLE) * sx) *
+                      (CAST(n_rows AS DOUBLE) * syy
+                          - CAST(sy AS DOUBLE) * sy)), 6)
               END AS r2
        FROM a"""
 

@@ -53,8 +53,8 @@ class KCenterTrendSpec extends AnyFunSuite with SparkTestSession {
       .collect().map(r => r.getString(0) -> r).toMap
     val ra = out("a")
     assert(ra.getLong(1) == 5L)
-    assert(ra.getDouble(5) == 3.0 && ra.getDouble(6) == 1.0)
+    assert(ra.getDouble(4) == 3.0 && ra.getDouble(5) == 1.0)
     val rb = out("b")
-    assert(rb.isNullAt(5) && rb.isNullAt(6)) // den_x = 0: no time spread
+    assert(rb.isNullAt(4) && rb.isNullAt(5)) // den_x = 0: no time spread
   }
 }
