@@ -3868,21 +3868,31 @@ object ExtensionQueries {
   // ---------------------------------------------------------------------------
   // X108 — edit-distance fuzzy pairs (Dedup.editDistancePairs): record
   // linkage over part names via the exact SymSpell deletion-neighborhood
-  // block; the oracle is the brute-force levenshtein over all id pairs —
-  // equality PROVES the deletion block loses no pair.
+  // block, composed the way production linkage runs — exact-dedup keys
+  // first (min-id representative per distinct name), fuzzy-match the
+  // representatives. That keeps the output key-space-bounded instead of
+  // dup-group-quadratic (the first sf3 probe: 52× for 30× purely from
+  // name-pair expansion on the fixed synthetic name pool). The oracle is
+  // the brute-force levenshtein over all representative pairs — equality
+  // PROVES the deletion block loses no pair; FuzzyAndAuditOpsSpec
+  // additionally pins raw-id-pair equality on unreduced inputs.
   // ---------------------------------------------------------------------------
   private def x108(s: SparkSession, dir: String): DataFrame =
-    Dedup.editDistancePairs(s.read.parquet(s"$dir/part.parquet"),
-        col("p_partkey"), col("p_name"), maxDist = 2, minDist = 1)
+    Dedup.editDistancePairs(
+      s.read.parquet(s"$dir/part.parquet")
+        .groupBy("p_name").agg(min(col("p_partkey")).as("id")),
+      col("id"), col("p_name"), maxDist = 2, minDist = 1)
       .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
 
   private val x108Sql =
-    """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
-              CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
-       FROM part a JOIN part b
-         ON a.p_partkey < b.p_partkey
-        AND abs(length(a.p_name) - length(b.p_name)) <= 2
-       WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 2"""
+    """WITH p AS (SELECT p_name AS nm, min(p_partkey) AS id
+           FROM part GROUP BY 1)
+       SELECT a.id AS id_a, b.id AS id_b,
+              CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
+       FROM p a JOIN p b
+         ON a.id < b.id
+        AND abs(length(a.nm) - length(b.nm)) <= 2
+       WHERE levenshtein(a.nm, b.nm) BETWEEN 1 AND 2"""
 
   // ---------------------------------------------------------------------------
   // X109 — robust scaling (Ensemble.robustScale): per-source median/MAD
