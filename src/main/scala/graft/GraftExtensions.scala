@@ -18,8 +18,10 @@ import graft.functions.{DotProduct, MinHashSig, NGrams, SignLshBucket, SimHash64
   * `bitset_intersect_count(ARRAY<BIGINT>, ARRAY<BIGINT>)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => graft.plans.ThresholdLevenshteinRewrite)
+  }
 }
 
 object GraftExtensions {
@@ -79,9 +81,15 @@ object GraftExtensions {
           litInt(args(1), "bitset_from_positions")) }))
 
   /** Imperative registration on an existing session (same builders as the
-    * config-driven path). */
-  def register(spark: SparkSession): Unit =
+    * config-driven path; the optimizer rule goes through the experimental
+    * hook — idempotent, registered once). */
+  def register(spark: SparkSession): Unit = {
     functions.foreach { case (ident, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.ThresholdLevenshteinRewrite))
+      spark.experimental.extraOptimizations ++=
+        Seq(graft.plans.ThresholdLevenshteinRewrite)
+  }
 }

@@ -62,4 +62,37 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestSession {
     }
     assert(e.getMessage.contains("literal INT"))
   }
+
+  test("optimizer rule rewrites thresholded levenshtein predicates banded") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val df = Seq(("kitten", "sitten"), ("kitten", "kitchen"),
+      ("kitten", "apple"), (null, "x")).toDF("a", "b")
+
+    def thresholds(q: org.apache.spark.sql.DataFrame): Seq[Boolean] = {
+      val b = Seq.newBuilder[Boolean]
+      q.queryExecution.optimizedPlan.foreach(_.expressions.foreach(
+        _.foreach {
+          case l: org.apache.spark.sql.catalyst.expressions.Levenshtein =>
+            b += l.threshold.isDefined
+          case _ =>
+        }))
+      b.result()
+    }
+    // all four literal forms rewrite to the banded expression...
+    for (cond <- Seq(levenshtein(col("a"), col("b")) <= 1,
+        levenshtein(col("a"), col("b")) < 2,
+        lit(1) >= levenshtein(col("a"), col("b")),
+        lit(2) > levenshtein(col("a"), col("b")))) {
+      val q = df.filter(cond)
+      assert(thresholds(q).forall(identity), s"not banded: $cond")
+      // ...with identical semantics (matches, non-matches, null rows out)
+      assert(q.collect().map(_.getString(1)).toSet == Set("sitten"))
+    }
+    // guards: a column threshold and an always-false k stay unrewritten
+    val colK = df.filter(levenshtein(col("a"), col("b")) <= length(col("b")))
+    assert(thresholds(colK).forall(!_))
+    assert(df.filter(levenshtein(col("a"), col("b")) <= -1).count() == 0)
+  }
 }
