@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-layout planning for 100 TB writes — the two decisions that shape
+  * every downstream scan: WHICH rows co-locate (multi-dimensional
+  * clustering via Z-order keys) and WHERE the range-partition boundaries
+  * fall (equal-mass splits from exact percentiles). Both are pure
+  * plan-level arithmetic here; the caller feeds the keys to
+  * `repartitionByRange` / `sortWithinPartitions` at write time.
+  */
+object Layout {
+
+  /** Morton (Z-order) interleave of two dimensions into one clustering
+    * key: bit i of x lands at even position 2i, y at odd — points close in
+    * BOTH dimensions get close keys, so min/max pruning works on two
+    * filter columns at once (the Delta/Iceberg OPTIMIZE ZORDER idea,
+    * computed as a column). Pure integer magic-mask arithmetic (the
+    * classic bit-spread chain), bit-identical in any engine; inputs
+    * outside [0, 2³¹) yield NULL (out-of-contract, never silently
+    * wrapped).
+    */
+  def zorder2(x: Column, y: Column): Column = {
+    def spread(c: Column): Column = {
+      var v = c.cast("long").bitwiseAND(lit(0xFFFFFFFFL))
+      v = (v.bitwiseOR(shiftleft(v, 16))).bitwiseAND(lit(0x0000FFFF0000FFFFL))
+      v = (v.bitwiseOR(shiftleft(v, 8))).bitwiseAND(lit(0x00FF00FF00FF00FFL))
+      v = (v.bitwiseOR(shiftleft(v, 4))).bitwiseAND(lit(0x0F0F0F0F0F0F0F0FL))
+      v = (v.bitwiseOR(shiftleft(v, 2))).bitwiseAND(lit(0x3333333333333333L))
+      v = (v.bitwiseOR(shiftleft(v, 1))).bitwiseAND(lit(0x5555555555555555L))
+      v
+    }
+    val xl = x.cast("long")
+    val yl = y.cast("long")
+    when(xl >= 0L && xl < 2147483648L && yl >= 0L && yl < 2147483648L,
+      spread(xl).bitwiseOR(shiftleft(spread(yl), 1)))
+  }
+
+  /** Equal-mass range-partition boundaries: the `n − 1` exact interpolated
+    * percentiles of `value` at fractions i/n — the bounds a
+    * `repartitionByRange(n, col)` write should land on when the planner
+    * must be DETERMINISTIC and auditable (Spark's own range partitioner
+    * samples nondeterministically). Output: `bound_idx` (1..n−1), `frac`,
+    * `bound` (round-6).
+    *
+    * Scale design: one exact-percentile aggregate (per-VALUE histogram
+    * memory — range-bounded signals, not row-bounded) producing a single
+    * n-element array row, exploded to the bounds relation. The 1-row
+    * aggregate is the only SinglePartition, bounded by construction.
+    */
+  def rangeBounds(df: DataFrame, value: Column, n: Int): DataFrame = {
+    require(n >= 2 && n <= 100000, s"n must be in [2,100000], got $n")
+    val fracs = (1 until n).map(i => i.toDouble / n)
+    val fracsSql = fracs.mkString("array(", ", ", ")")
+    df.select(value.cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+      .agg(expr(s"percentile(__v, $fracsSql)").as("__b"))
+      .select(posexplode(col("__b")).as(Seq("__i", "bound")))
+      .select((col("__i") + 1L).cast("long").as("bound_idx"),
+        ((col("__i") + 1L).cast("double") / n).as("frac"),
+        round(col("bound"), 6).as("bound"))
+  }
+}

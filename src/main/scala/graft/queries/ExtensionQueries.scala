@@ -4158,6 +4158,54 @@ object ExtensionQueries {
               END AS r2
        FROM a"""
 
+  // ---------------------------------------------------------------------------
+  // X118 — Z-order clustering keys (ops.Layout.zorder2): Morton interleave
+  // of (length, id-bucket) — the multi-dim layout key a 100 TB write sorts
+  // by so min/max pruning works on both filter columns. Pure magic-mask
+  // integer arithmetic, replayed bit-for-bit by the oracle.
+  // ---------------------------------------------------------------------------
+  private def x118(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), col("n_chars").as("x"),
+        pmod(col("doc_id"), lit(65536)).as("y"))
+      .withColumn("zkey", graft.ops.Layout.zorder2(col("x"), col("y")))
+
+  private val x118Sql = {
+    val spreads = Seq(
+      ("(v | (v << 16)) & 281470681808895", "16"),
+      ("(v | (v << 8)) & 71777214294589695", "8"),
+      ("(v | (v << 4)) & 1085102592571150095", "4"),
+      ("(v | (v << 2)) & 3689348814741910323", "2"),
+      ("(v | (v << 1)) & 6148914691236517205", "1"))
+    def chain(src: String): String =
+      spreads.foldLeft(s"CAST($src AS BIGINT) & 4294967295") {
+        case (acc, (step, _)) => step.replace("v", s"($acc)")
+      }
+    s"""SELECT doc_id, n_chars AS x, doc_id % 65536 AS y,
+              (${chain("n_chars")}) | ((${chain("doc_id % 65536")}) << 1)
+                AS zkey
+       FROM documents"""
+  }
+
+  // ---------------------------------------------------------------------------
+  // X119 — deterministic range-partition boundaries (ops.Layout.rangeBounds):
+  // the 31 exact equal-mass percentile bounds a repartitionByRange(32)
+  // write of lineitem prices should land on — auditable, unlike Spark's
+  // sampled range partitioner.
+  // ---------------------------------------------------------------------------
+  private def x119(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Layout.rangeBounds(
+      s.read.parquet(s"$dir/lineitem.parquet"), col("l_extendedprice"), 32)
+
+  private val x119Sql = {
+    val fracs = (1 until 32).map(i => i / 32.0).mkString("[", ", ", "]")
+    s"""WITH v AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v
+           FROM lineitem WHERE l_extendedprice IS NOT NULL),
+         q AS (SELECT quantile_cont(v, $fracs) AS b FROM v)
+       SELECT CAST(i AS BIGINT) AS bound_idx, CAST(i AS DOUBLE) / 32 AS frac,
+              round(b[i], 6) AS bound
+       FROM q, (SELECT unnest(range(1, 32)) AS i)"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_dedup_exact" -> x1 _,
     "x02_dedup_ngram_jaccard" -> x2 _,
@@ -4275,7 +4323,9 @@ object ExtensionQueries {
     "x114_autocorrelation" -> x114 _,
     "x115_kcenter_coreset" -> x115 _,
     "x116_kcenter_invariants" -> x116 _,
-    "x117_group_trend" -> x117 _
+    "x117_group_trend" -> x117 _,
+    "x118_zorder_keys" -> x118 _,
+    "x119_range_bounds" -> x119 _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -4386,6 +4436,8 @@ object ExtensionQueries {
     "x113_chi2_drift" -> x113Sql,
     "x114_autocorrelation" -> x114Sql,
     "x116_kcenter_invariants" -> x116Sql,
-    "x117_group_trend" -> x117Sql
+    "x117_group_trend" -> x117Sql,
+    "x118_zorder_keys" -> x118Sql,
+    "x119_range_bounds" -> x119Sql
   )
 }
