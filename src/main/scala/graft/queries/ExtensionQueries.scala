@@ -4206,6 +4206,31 @@ object ExtensionQueries {
        FROM q, (SELECT unnest(range(1, 32)) AS i)"""
   }
 
+  // ---------------------------------------------------------------------------
+  // X120 — interval-union coverage (ops.Intervals.unionLength): per user,
+  // the total time covered by 90 s activity windows around their events —
+  // the double-count-free "active time" every engagement metric needs.
+  // ---------------------------------------------------------------------------
+  private def x120(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Intervals.unionLength(ParityQueries.events(s, dir),
+      col("user_id"), col("ts"), col("ts") + expr("INTERVAL 90 SECOND"))
+      .withColumnRenamed("key", "user_id")
+
+  private val x120Sql =
+    """WITH b AS (SELECT user_id AS key, epoch_us(ts) AS s,
+             epoch_us(ts) + 90000000 AS e
+           FROM events WHERE ts IS NOT NULL),
+         w AS (SELECT key, s, e,
+                 max(e) OVER (PARTITION BY key ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+               FROM b)
+       SELECT key AS user_id, count(*) AS n_intervals,
+              CAST(sum(greatest(0, e - greatest(s, coalesce(pm, s))))
+                AS BIGINT) AS covered_us,
+              CAST(sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_components
+       FROM w GROUP BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_dedup_exact" -> x1 _,
     "x02_dedup_ngram_jaccard" -> x2 _,
@@ -4325,7 +4350,8 @@ object ExtensionQueries {
     "x116_kcenter_invariants" -> x116 _,
     "x117_group_trend" -> x117 _,
     "x118_zorder_keys" -> x118 _,
-    "x119_range_bounds" -> x119 _
+    "x119_range_bounds" -> x119 _,
+    "x120_interval_union" -> x120 _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -4438,6 +4464,7 @@ object ExtensionQueries {
     "x116_kcenter_invariants" -> x116Sql,
     "x117_group_trend" -> x117Sql,
     "x118_zorder_keys" -> x118Sql,
-    "x119_range_bounds" -> x119Sql
+    "x119_range_bounds" -> x119Sql,
+    "x120_interval_union" -> x120Sql
   )
 }
