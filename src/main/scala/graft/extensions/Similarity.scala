@@ -631,10 +631,14 @@ object Similarity {
     * and its vector), plus the final covering radius² (max over the corpus
     * of the distance² to its nearest center).
     *
-    * Scale design: k bounded scans — each round updates the running
-    * min-distance column against ONE literal center (scan-local codegen,
-    * no join, no shuffle beyond the 1-row TakeOrdered argmax) and
-    * checkpoint-truncates the lineage. Driver state is k vectors + k ids.
+    * Scale design: k bounded scans — each round's min-distance column is
+    * the chained `least` over the literal centers so far, which projection
+    * collapse fuses into ONE codegen'd expression tree re-evaluated from
+    * the single checkpointed base (O(k²·d·n) arithmetic total, k ≤ 64 —
+    * deliberately traded for holding ZERO per-round state: a checkpoint
+    * per round would retain up to k copies of the corpus relation). The
+    * only shuffle is the 1-row TakeOrdered argmax; driver state is k
+    * vectors + k ids.
     */
   def kCentersDetail(df: DataFrame, id: Column, vec: Column, k: Int)
       : (Seq[(Int, Long, Option[Double], Array[Double])], Double) = {
@@ -653,7 +657,6 @@ object Similarity {
     var cur = base.withColumn("md", lit(Double.MaxValue))
     for (r <- 2 to k) {
       cur = cur.withColumn("md", least(col("md"), d2(centers.last._4)))
-        .localCheckpoint(eager = false)    // materialized by the argmax
       val nxt = cur.orderBy(desc("md"), asc("id")).limit(1).collect()(0)
       centers :+= ((r, nxt.getLong(0), Some(nxt.getDouble(3)),
         nxt.getSeq[Double](1).toArray))

@@ -4190,15 +4190,20 @@ object ExtensionQueries {
   // X119 — deterministic range-partition boundaries (ops.Layout.rangeBounds):
   // the 31 exact equal-mass percentile bounds a repartitionByRange(32)
   // write of lineitem prices should land on — auditable, unlike Spark's
-  // sampled range partitioner.
+  // sampled range partitioner. Prices are quantized to whole dollars first
+  // — rangeBounds' exact-percentile histogram is bounded by the VALUE
+  // domain, so the planner must be fed a banded signal (the operator's
+  // documented contract; raw near-unique cents would make the histogram
+  // row-bounded at corpus scale).
   // ---------------------------------------------------------------------------
   private def x119(s: SparkSession, dir: String): DataFrame =
     graft.ops.Layout.rangeBounds(
-      s.read.parquet(s"$dir/lineitem.parquet"), col("l_extendedprice"), 32)
+      s.read.parquet(s"$dir/lineitem.parquet"),
+      round(col("l_extendedprice")), 32)
 
   private val x119Sql = {
     val fracs = (1 until 32).map(i => i / 32.0).mkString("[", ", ", "]")
-    s"""WITH v AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v
+    s"""WITH v AS (SELECT CAST(round(l_extendedprice) AS DOUBLE) AS v
            FROM lineitem WHERE l_extendedprice IS NOT NULL),
          q AS (SELECT quantile_cont(v, $fracs) AS b FROM v)
        SELECT CAST(i AS BIGINT) AS bound_idx, CAST(i AS DOUBLE) / 32 AS frac,
