@@ -81,7 +81,15 @@ object Drift {
     */
   def chi2Contingency(df: DataFrame, group: Column,
       category: Column): DataFrame = {
-    val cells = df.groupBy(group.as("grp"), category.as("cat"))
+    // NULL group/category rows are excluded up front: groupBy would keep
+    // them as values but the dense-grid equi-join back cannot match NULL
+    // keys, so their observed mass would silently vanish from o while
+    // still inflating the margins — exactly the wrong direction for a
+    // test statistic. No cell membership without both labels.
+    val cells = df
+      .select(group.as("grp"), category.as("cat"))
+      .filter(col("grp").isNotNull && col("cat").isNotNull)
+      .groupBy(col("grp"), col("cat"))
       .agg(count(lit(1)).as("__o"))
     val rowTot = cells.groupBy("grp").agg(sum(col("__o")).as("__rt"))
     val colTot = cells.groupBy("cat").agg(sum(col("__o")).as("__ct"))

@@ -50,6 +50,18 @@ class FuzzyAndAuditOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(got.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
   }
 
+  test("editDistancePairs is CHARACTER-based on multibyte keys") {
+    import spark.implicits._
+    // é is one char (two UTF-8 bytes): café↔cafe is one substitution;
+    // byte-based deletion variants would break the block
+    val df = Seq((1L, "café"), (2L, "cafe"), (3L, "caf"), (4L, "日本語"),
+      (5L, "日本")).toDF("id", "nm")
+    val got = Dedup.editDistancePairs(df, col("id"), col("nm"),
+        maxDist = 1, minDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set((1L, 2L, 1), (1L, 3L, 1), (2L, 3L, 1), (4L, 5L, 1)))
+  }
+
   // --- Ensemble.robustScale -------------------------------------------------
 
   test("robustScale computes per-group median, MAD and robust z") {

@@ -52,6 +52,14 @@ class TimeSeriesDecaySpec extends AnyFunSuite with SparkTestSession {
         ((r.getLong(1), r.getDouble(2)))).toMap
     assert(outDep("g1") == ((4L, 4.0)))  // structural-zero cell counted
     assert(outDep("g2") == ((4L, 4.0)))
+    // null labels are excluded entirely — never silently dropped from o
+    // while inflating margins
+    val withNulls = (Seq.fill(4)(("g1", "a")) ++ Seq.fill(4)(("g2", "b")) ++
+      Seq((null, "a"), ("g1", null))).toDF("grp", "cat")
+    val outN = graft.extensions.Drift.chi2Contingency(withNulls, col("grp"),
+      col("cat")).collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(outN == outDep) // identical to the null-free table
   }
 
   // --- TimeSeries.lagAutocorr -----------------------------------------------
