@@ -18,7 +18,14 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // dev knob (same semantics as Bench): SPARK_GRAFT_ONLY=x103,x116 dumps
+    // just the named queries AND their oracle rows, for a targeted local
+    // oracle_check without the full 147-query sweep.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
+    def keep(name: String): Boolean = only.forall(_.exists(name.startsWith))
+    SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
       // drop any previous run's output FIRST: if this query now fails, a
       // stale parquet dir must not let the oracle gate pass on old results
       val target = Paths.get(outDir, name)
@@ -41,7 +48,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

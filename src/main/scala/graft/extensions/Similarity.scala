@@ -629,7 +629,10 @@ object Similarity {
     * Returns (centers, radius²): each center as (rank, id, selection
     * distance² — NULL for the seed, the greedy profile is non-increasing —
     * and its vector), plus the final covering radius² (max over the corpus
-    * of the distance² to its nearest center).
+    * of the distance² to its nearest center). A corpus with fewer than k
+    * distinct vector positions returns only the centers that exist (with
+    * radius² = 0 — exact cover) rather than duplicating ids; an empty (or
+    * all-null-vector) input is rejected with a clear message.
     *
     * Scale design: k bounded scans — each round's min-distance column is
     * the chained `least` over the literal centers so far, which projection
@@ -651,18 +654,35 @@ object Similarity {
     def d2(last: Array[Double]): Column =
       col("nn") + lit(last.map(x => x * x).sum) -
         lit(2.0) * dot(col("v"), typedLit(last.toSeq))
-    val seed = base.orderBy(asc("id")).limit(1).collect()(0)
+    val seedRows = base.orderBy(asc("id")).limit(1).collect()
+    require(seedRows.nonEmpty,
+      "kCentersDetail: input has no rows with a non-null vector")
+    val seed = seedRows(0)
     var centers = Vector((1, seed.getLong(0), Option.empty[Double],
       seed.getSeq[Double](1).toArray))
     var cur = base.withColumn("md", lit(Double.MaxValue))
-    for (r <- 2 to k) {
+    // Early stop: argmax distance² ≤ 0 means every point coincides with a
+    // chosen center (fewer than k distinct positions in the corpus) — keep
+    // selecting and we would re-pick existing ids with sel_dist2 = 0,
+    // breaking the k-distinct-centers invariant. Return the < k centers
+    // actually found, with radius² = 0 (the corpus is covered exactly).
+    var exhausted = false
+    var r = 2
+    while (r <= k && !exhausted) {
       cur = cur.withColumn("md", least(col("md"), d2(centers.last._4)))
       val nxt = cur.orderBy(desc("md"), asc("id")).limit(1).collect()(0)
-      centers :+= ((r, nxt.getLong(0), Some(nxt.getDouble(3)),
-        nxt.getSeq[Double](1).toArray))
+      val sd = nxt.getDouble(3)
+      if (sd <= 0.0) exhausted = true
+      else {
+        centers :+= ((r, nxt.getLong(0), Some(sd),
+          nxt.getSeq[Double](1).toArray))
+        r += 1
+      }
     }
-    val radius2 = cur.withColumn("md", least(col("md"), d2(centers.last._4)))
-      .agg(max(col("md"))).collect()(0).getDouble(0)
+    val radius2 =
+      if (exhausted) 0.0
+      else cur.withColumn("md", least(col("md"), d2(centers.last._4)))
+        .agg(max(col("md"))).collect()(0).getDouble(0)
     (centers, radius2)
   }
 

@@ -15,8 +15,15 @@ import org.apache.spark.sql.functions._
   * {{{ (n·v − S)² > z² · (n·Q − S²)   // population variance, ddof=0 }}}
   * over exact BIGINT window sums `S = Σv`, `Q = Σv²` — no floating mean or
   * stddev whose summation order could differ between engines, so the flag
-  * is bit-identical anywhere. Bounds: |value| ≤ ~2·10⁶ and window ≤ 10⁴
-  * keep every product under 2⁶³ (validated at fix time).
+  * is bit-identical anywhere. Overflow envelope (ENFORCED, not advisory):
+  * the largest product is bounded by `(max(2,z)·window·|v_milli|)²`
+  * (dev² ≤ (2·W·M)², thr_sq = z²(nQ−S²) ≤ z²·W²·M²), so safety needs
+  * `max(2,z)·window·|v_milli| ≤ floor(√(2⁶³−1)) = 3037000499` — at the
+  * defaults (window=50, z=3) that is |value| ≤ ~2·10⁴, NOT the ~2·10⁶ a
+  * previous revision claimed. Every row is checked with a codegen'd
+  * `raise_error` guard: an out-of-envelope value fails the job loudly
+  * (exactly as ANSI mode and the DuckDB oracle would) instead of silently
+  * wrapping to a wrong `is_anomaly` flag.
   *
   * Scale design: one hash partition per `part` key, one sort per partition,
   * a bounded ROWS frame (never RANGE, never unbounded) — the canonical
@@ -30,6 +37,15 @@ import org.apache.spark.sql.functions._
   */
 object Anomaly {
 
+  /** floor(sqrt(2^63 - 1)): the largest m with m*m representable in a Long. */
+  private val SqrtLongMax = 3037000499L
+
+  /** Largest |v_milli| for which every product in the cross-multiplied
+    * z-test provably fits in a signed 64-bit integer (see class doc).
+    */
+  def vMilliBound(window: Int, z: Int): Long =
+    SqrtLongMax / (math.max(2, z).toLong * window)
+
   def rollingZScore(df: DataFrame, part: Column, order: Seq[Column],
       idCols: Seq[String], value: Column, window: Int = 50, z: Int = 3,
       minPrev: Int = 20): DataFrame = {
@@ -38,9 +54,16 @@ object Anomaly {
     require(z >= 1 && z <= 100, s"z must be in [1,100], got $z")
     require(minPrev >= 2 && minPrev <= window,
       s"minPrev must be in [2,$window], got $minPrev")
+    val vmMax = vMilliBound(window, z)
+    val vmRaw = round(value * 1000).cast("long")
+    val vmChecked = when(vmRaw.isNull || abs(vmRaw) <= vmMax, vmRaw)
+      .otherwise(raise_error(concat(
+        lit(s"Anomaly.rollingZScore: |round(value*1000)| exceeds the " +
+          s"overflow-safe bound $vmMax for window=$window, z=$z; got "),
+        vmRaw.cast("string"))))
     val base = df.select(
       (idCols.map(col) :+ part.as("__part") :+
-        round(value * 1000).cast("long").as("v_milli")) ++
+        vmChecked.as("v_milli")) ++
         order.zipWithIndex.map { case (c, i) => c.as(s"__o$i") }: _*)
     val w = Window.partitionBy(col("__part"))
       .orderBy(order.indices.map(i => col(s"__o$i")): _*)

@@ -45,6 +45,11 @@ object StreamingAnomaly {
     require(z >= 1 && z <= 100, s"z must be in [1,100], got $z")
     require(minPrev >= 2 && minPrev <= window,
       s"minPrev must be in [2,$window], got $minPrev")
+    // Same enforced overflow envelope as the batch operator: with
+    // max(2,z)·window·|v_milli| ≤ floor(√(2⁶³−1)) every Long product below
+    // (dev², z²·varn, n·q, s²) provably fits — so the batch/stream parity
+    // contract holds bit-for-bit instead of both silently wrapping.
+    val vmMax = graft.ops.Anomaly.vMilliBound(window, z)
     val spark = events.sparkSession
     import spark.implicits._
     val base = events.select(part.cast("string").as("part"),
@@ -60,6 +65,11 @@ object StreamingAnomaly {
           var ring = state.getOption.getOrElse(Ring(Nil)).vals
           val out = List.newBuilder[AnomalyRow]
           it.toArray.sortBy(e => (e.us, e.tb)).foreach { e =>
+            if (math.abs(e.vm) > vmMax)
+              throw new IllegalArgumentException(
+                s"StreamingAnomaly: |round(value*1000)| exceeds the " +
+                  s"overflow-safe bound $vmMax for window=$window, z=$z; " +
+                  s"got ${e.vm} (key=$k)")
             val n = ring.size.toLong
             val s = ring.sum
             val q = ring.iterator.map(v => v * v).sum

@@ -41,6 +41,58 @@ class KCenterTrendSpec extends AnyFunSuite with SparkTestSession {
     assert(centers.map(_._2).distinct.size == 8)
   }
 
+  test("kCenters rejects empty/all-null input; stops early under k positions") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Seq[Double])].toDF("id", "v")
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.kCentersDetail(empty, col("id"), col("v"), 3)
+    }
+    assert(e1.getMessage.contains("no rows with a non-null vector"))
+    val allNull = Seq((1L, null.asInstanceOf[Seq[Double]])).toDF("id", "v")
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.kCentersDetail(allNull, col("id"), col("v"), 3)
+    }
+    assert(e2.getMessage.contains("no rows with a non-null vector"))
+    // 5 rows but only 2 distinct positions: k=4 must yield 2 DISTINCT
+    // centers (never a re-selected id with sel_dist2 = 0) and radius² 0
+    val dup = Seq((1L, Seq(0.0, 0.0)), (2L, Seq(0.0, 0.0)),
+      (3L, Seq(7.0, 0.0)), (4L, Seq(7.0, 0.0)), (5L, Seq(0.0, 0.0)))
+      .toDF("id", "v")
+    val (centers, r2) = Similarity.kCentersDetail(dup, col("id"), col("v"), 4)
+    assert(centers.map(_._2) == Seq(1L, 3L))
+    assert(centers.map(_._1) == Seq(1, 2))
+    assert(r2 == 0.0)
+  }
+
+  test("kCenters chained-least stage compiles under codegen at k=64") {
+    import spark.implicits._
+    // the round-64 min-distance column is a 63-deep chained `least` over
+    // literal center vectors; assert Janino actually COMPILES it (no
+    // silent interpreted fallback, no 64KB method-limit failure) by
+    // disabling the whole-stage fallback for the duration of the run
+    val dim = 8
+    val pts = (0 until 80).map { i =>
+      (i.toLong, Seq.tabulate(dim)(d =>
+        ((i * 31 + d * 17) % 97).toDouble + i * 100.0 * (if (d == 0) 1 else 0)))
+    }
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val (centers, r2) =
+        Similarity.kCentersDetail(pts.toDF("id", "v"), col("id"), col("v"), 64)
+      assert(centers.size == 64)
+      assert(centers.map(_._2).distinct.size == 64)
+      val sel = centers.flatMap(_._3)
+      assert(sel.zip(sel.tail).forall { case (a, b) => a >= b })
+      assert(r2 >= 0.0)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+        case None    => spark.conf.unset("spark.sql.codegen.fallback")
+      }
+    }
+  }
+
   test("groupTrend recovers an exact line; single-bucket group is NULL") {
     import spark.implicits._
     def t(day: Int) = new Timestamp(86400000L * day + 1000L)

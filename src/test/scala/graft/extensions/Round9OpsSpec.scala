@@ -152,6 +152,38 @@ class Round9OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(out(31L))
   }
 
+  test("rollingZScore rejects values outside the overflow-safe envelope") {
+    import spark.implicits._
+    // bound at window=50, z=3: |v_milli| <= 3037000499/150 ~ 2.02e7, i.e.
+    // |value| <= ~20246. An in-envelope run is unaffected; an out-of-
+    // envelope value must FAIL LOUDLY (raise_error), never wrap silently.
+    assert(graft.ops.Anomaly.vMilliBound(50, 3) == 3037000499L / 150)
+    val ok = (1 to 25).map(i => (i.toLong, "m", i.toLong, 20000.0))
+    val okOut = graft.ops.Anomaly.rollingZScore(
+      ok.toDF("event_id", "etype", "ts", "value"), col("etype"),
+      Seq(col("ts")), Seq("event_id"), col("value"), 50, 3, 20).collect()
+    assert(okOut.length == 25 && okOut.forall(!_.getBoolean(6)))
+    val bad = ok :+ (26L, "m", 26L, 30000.0) // v_milli 3e7 > bound
+    val ex = intercept[Exception] {
+      graft.ops.Anomaly.rollingZScore(
+        bad.toDF("event_id", "etype", "ts", "value"), col("etype"),
+        Seq(col("ts")), Seq("event_id"), col("value"), 50, 3, 20).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(ex).exists(c => Option(c.getMessage)
+      .exists(_.contains("overflow-safe bound"))))
+    // null values pass the guard untouched (null in, null v_milli out)
+    val withNull = ok :+ (26L, "m", 26L, null.asInstanceOf[Any])
+    val nOut = graft.ops.Anomaly.rollingZScore(
+      withNull.map { case (a, b, c, d) => (a, b, c,
+        if (d == null) None else Some(d.asInstanceOf[Double])) }
+        .toDF("event_id", "etype", "ts", "value"),
+      col("etype"), Seq(col("ts")), Seq("event_id"), col("value"),
+      50, 3, 20).collect()
+    assert(nOut.length == 26)
+  }
+
   // --- extensions.Drift.ksDrift ---------------------------------------------
 
   test("ksDrift: identical slices 0, disjoint slices n_a*n_b, empty NULL") {
