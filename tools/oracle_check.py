@@ -64,7 +64,56 @@ def compare(name, spark_rows, spark_cols, duck_rows, duck_cols):
     return issues
 
 
+def check_declared_types(cols, types):
+    """Declared-type gate: fetchall() erases DuckDB's HUGEINT/DECIMAL vs
+    Spark's BIGINT/DOUBLE distinction (both become Python int/Decimal→float),
+    but the driver hashes the typed reprs — an un-cast sum() (HUGEINT) ships
+    red even when every value matches (x51, x68, x75)."""
+    for c, t in zip(cols, (str(t).upper() for t in types)):
+        if "HUGEINT" in t or "DECIMAL" in t:
+            raise ValueError(
+                f"oracle col {c} is {t} — CAST it (BIGINT/DOUBLE) so the "
+                "driver's typed hash matches Spark")
+
+
+def selftest():
+    """Canary for the declared-type gate itself: a deliberately UN-CAST
+    sum() (DuckDB → HUGEINT) must be flagged, and the cast twin must pass.
+    If a refactor ever drops the HUGEINT/DECIMAL check, this exits 1 —
+    the class that shipped red three times (x51, x68, x75) must stay caught.
+    Run: python3 tools/oracle_check.py --selftest  (also CI-asserted in
+    OracleGateCanarySpec)."""
+    con = duckdb.connect()
+    bad = con.sql("SELECT sum(r) AS s FROM range(5) t(r)")            # HUGEINT
+    good = con.sql("SELECT CAST(sum(r) AS BIGINT) AS s FROM range(5) t(r)")
+    try:
+        check_declared_types(bad.columns, bad.types)
+    except ValueError as e:
+        assert "HUGEINT" in str(e), f"wrong flag: {e}"
+    else:
+        print("SELFTEST FAIL: un-cast sum() (HUGEINT) was NOT flagged — "
+              "the declared-type gate is broken")
+        sys.exit(1)
+    try:
+        check_declared_types(good.columns, good.types)
+    except ValueError as e:
+        print(f"SELFTEST FAIL: cast BIGINT sum() was wrongly flagged: {e}")
+        sys.exit(1)
+    dec = con.sql("SELECT CAST(1.5 AS DECIMAL(10,2)) AS d")           # DECIMAL
+    try:
+        check_declared_types(dec.columns, dec.types)
+    except ValueError:
+        pass
+    else:
+        print("SELFTEST FAIL: DECIMAL column was NOT flagged")
+        sys.exit(1)
+    print("selftest ok: un-cast HUGEINT/DECIMAL flagged, cast BIGINT passes")
+    sys.exit(0)
+
+
 def main():
+    if sys.argv[1:] == ["--selftest"]:
+        selftest()
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
     for t in TABLES:
@@ -81,16 +130,7 @@ def main():
         try:
             duck = con.sql(oracle[name])
             duck_cols, duck_rows = duck.columns, duck.fetchall()
-            # Declared-type gate: fetchall() erases DuckDB's HUGEINT/DECIMAL vs
-            # Spark's BIGINT/DOUBLE distinction (both become Python int/Decimal→
-            # float), but the driver hashes the typed reprs — an un-cast sum()
-            # (HUGEINT) ships red even when every value matches (x51, x68, x75).
-            duck_types = [str(t).upper() for t in con.sql(oracle[name]).types]
-            for c, t in zip(duck_cols, duck_types):
-                if "HUGEINT" in t or "DECIMAL" in t:
-                    raise ValueError(
-                        f"oracle col {c} is {t} — CAST it (BIGINT/DOUBLE) so the "
-                        "driver's typed hash matches Spark")
+            check_declared_types(duck_cols, con.sql(oracle[name]).types)
             spark = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
             spark_cols, spark_rows = spark.columns, spark.fetchall()
             issues = compare(name, spark_rows, spark_cols, duck_rows, duck_cols)
