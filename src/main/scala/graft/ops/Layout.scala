@@ -37,6 +37,64 @@ object Layout {
       spread(xl).bitwiseOR(shiftleft(spread(yl), 1)))
   }
 
+  /** Morton interleave of THREE dimensions (21 bits each: bit i of dim j
+    * lands at position 3i+j, keys stay in [0, 2⁶³) — non-negative, so
+    * BIGINT ordering is Z-curve ordering). Same magic-mask bit-spread
+    * idiom as [[zorder2]] with the 3-way gap masks; inputs outside
+    * [0, 2²¹) yield NULL (out-of-contract, never silently wrapped —
+    * real table layouts cluster bucketed/quantized keys, 21 bits = 2M
+    * distinct values per dimension).
+    */
+  def zorder3(x: Column, y: Column, z: Column): Column = {
+    def spread(c: Column): Column = {
+      var v = c.bitwiseAND(lit(0x1FFFFFL))
+      v = (v.bitwiseOR(shiftleft(v, 32))).bitwiseAND(lit(0x1F00000000FFFFL))
+      v = (v.bitwiseOR(shiftleft(v, 16))).bitwiseAND(lit(0x1F0000FF0000FFL))
+      v = (v.bitwiseOR(shiftleft(v, 8))).bitwiseAND(lit(0x100F00F00F00F00FL))
+      v = (v.bitwiseOR(shiftleft(v, 4))).bitwiseAND(lit(0x10C30C30C30C30C3L))
+      v = (v.bitwiseOR(shiftleft(v, 2))).bitwiseAND(lit(0x1249249249249249L))
+      v
+    }
+    val (xl, yl, zl) = (x.cast("long"), y.cast("long"), z.cast("long"))
+    val lim = 1L << 21
+    when(xl >= 0L && xl < lim && yl >= 0L && yl < lim &&
+        zl >= 0L && zl < lim,
+      spread(xl).bitwiseOR(shiftleft(spread(yl), 1))
+        .bitwiseOR(shiftleft(spread(zl), 2)))
+  }
+
+  /** Morton interleave of FOUR dimensions (15 bits each: bit i of dim j →
+    * position 4i+j, max position 59 — keys non-negative). Inputs outside
+    * [0, 2¹⁵) yield NULL; 15 bits = 32k distinct values per dimension,
+    * the right grain for the bucketed keys a 4-column layout clusters.
+    */
+  def zorder4(a: Column, b: Column, c: Column, d: Column): Column = {
+    def spread(col0: Column): Column = {
+      var v = col0.bitwiseAND(lit(0x7FFFL))
+      v = (v.bitwiseOR(shiftleft(v, 24))).bitwiseAND(lit(0x000000FF000000FFL))
+      v = (v.bitwiseOR(shiftleft(v, 12))).bitwiseAND(lit(0x000F000F000F000FL))
+      v = (v.bitwiseOR(shiftleft(v, 6))).bitwiseAND(lit(0x0303030303030303L))
+      v = (v.bitwiseOR(shiftleft(v, 3))).bitwiseAND(lit(0x1111111111111111L))
+      v
+    }
+    val ls = Seq(a, b, c, d).map(_.cast("long"))
+    val lim = 1L << 15
+    val inRange = ls.map(l => l >= 0L && l < lim).reduce(_ && _)
+    when(inRange, ls.zipWithIndex.map { case (l, j) =>
+      shiftleft(spread(l), j): Column }.reduce(_.bitwiseOR(_)))
+  }
+
+  /** Dimension-dispatching Z-order key: 2, 3, or 4 clustering columns
+    * ([[zorder2]]/[[zorder3]]/[[zorder4]] — 31/21/15 bits per dimension).
+    */
+  def zorderN(cols: Seq[Column]): Column = cols match {
+    case Seq(x, y)       => zorder2(x, y)
+    case Seq(x, y, z)    => zorder3(x, y, z)
+    case Seq(a, b, c, d) => zorder4(a, b, c, d)
+    case _ => throw new IllegalArgumentException(
+      s"zorderN supports 2-4 dimensions, got ${cols.size}")
+  }
+
   /** Equal-mass range-partition boundaries: the `n − 1` exact interpolated
     * percentiles of `value` at fractions i/n — the bounds a
     * `repartitionByRange(n, col)` write should land on when the planner

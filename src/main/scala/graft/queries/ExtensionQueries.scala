@@ -4236,6 +4236,122 @@ object ExtensionQueries {
                 AS BIGINT) AS n_components
        FROM w GROUP BY 1"""
 
+  // ---------------------------------------------------------------------------
+  // X121 — 3- and 4-dimension Z-order clustering keys (ops.Layout.zorder3/
+  // zorder4): real table layouts cluster 3+ keys (e.g. lang × length-band ×
+  // shard × day). Same pure magic-mask arithmetic as x118, replayed in the
+  // oracle as the literal shift/mask chains; out-of-range dims → NULL.
+  // ---------------------------------------------------------------------------
+  private def x121(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+        col("n_chars").as("x"),
+        pmod(col("doc_id"), lit(1 << 21)).as("y"),
+        pmod(col("doc_id") * 7, lit(1 << 21)).as("z"),
+        pmod(col("doc_id"), lit(1 << 15)).as("w"))
+      .withColumn("zkey3",
+        graft.ops.Layout.zorder3(col("x"), col("y"), col("z")))
+      .withColumn("zkey4", graft.ops.Layout.zorder4(
+        pmod(col("x"), lit(1 << 15)), col("w"),
+        pmod(col("y"), lit(1 << 15)), pmod(col("z"), lit(1 << 15))))
+
+  private val x121Sql = {
+    val spread3 = Seq(
+      ("(v | (v << 32)) & 8725724278095871", ""),
+      ("(v | (v << 16)) & 8725728556220671", ""),
+      ("(v | (v << 8)) & 1157144660301377551", ""),
+      ("(v | (v << 4)) & 1207822528635744451", ""),
+      ("(v | (v << 2)) & 1317624576693539401", ""))
+    val spread4 = Seq(
+      ("(v | (v << 24)) & 1095216660735", ""),
+      ("(v | (v << 12)) & 4222189076152335", ""),
+      ("(v | (v << 6)) & 217020518514230019", ""),
+      ("(v | (v << 3)) & 1229782938247303441", ""))
+    def chain(steps: Seq[(String, String)], mask0: Long, src: String): String =
+      steps.foldLeft(s"CAST($src AS BIGINT) & $mask0") {
+        case (acc, (step, _)) => step.replace("v", s"($acc)")
+      }
+    def c3(src: String) = chain(spread3, 0x1FFFFFL, src)
+    def c4(src: String) = chain(spread4, 0x7FFFL, src)
+    s"""WITH t AS (SELECT doc_id, n_chars AS x, doc_id % ${1 << 21} AS y,
+              (doc_id * 7) % ${1 << 21} AS z, doc_id % ${1 << 15} AS w
+           FROM documents)
+       SELECT doc_id, x, y, z, w,
+              (${c3("x")}) | ((${c3("y")}) << 1) | ((${c3("z")}) << 2)
+                AS zkey3,
+              (${c4(s"x % ${1 << 15}")}) | ((${c4("w")}) << 1)
+                | ((${c4(s"y % ${1 << 15}")}) << 2)
+                | ((${c4(s"z % ${1 << 15}")}) << 3) AS zkey4
+       FROM t"""
+  }
+
+  // ---------------------------------------------------------------------------
+  // X122 — simhash pigeonhole-completeness invariants (x04's twin, the x25/
+  // x116 pattern): with nChunks = 4 16-bit chunks, ANY pair at Hamming
+  // distance ≤ 3 leaves at least one chunk untouched (pigeonhole), so the
+  // chunk-banded candidate stage is EXACT for maxDist ≤ 3. The audit
+  // brute-forces a bounded query sample against the audited corpus
+  // (broadcast sample — linear, never all-pairs) and asserts both
+  // directions against the banded engine run:
+  //   sh_pigeonhole_complete — every brute pair (hamming ≤ 3) touching a
+  //     sampled doc is found by the banding (maxBucketSize unbounded here:
+  //     the guard is a RECALL trade the caller opts into; the theorem is
+  //     about the banding itself);
+  //   sh_sound — every banded pair touching a sampled doc is in the brute
+  //     set (the exact-hamming verify admits no false positives).
+  // Audit corpus capped at ~5000 docs, query sample at ~100 (x25's adaptive
+  // idiom; both moduli derived from the FULL count so the oracle can mirror
+  // them). Any FALSE hash-fails against the all-TRUE oracle.
+  // ---------------------------------------------------------------------------
+  private def x122(s: SparkSession, dir: String): DataFrame = {
+    val dFull = docs(s, dir)
+    val n = dFull.count()
+    val auditStep = math.max(1L, n / 5000L)
+    val qStep = math.max(5L, n / 100L)
+    val d = dFull.filter(col("doc_id") % auditStep === 0)
+    val sk = d.select(col("doc_id").as("id"),
+        Dedup.simhash(col("text")).as("sk"))
+      .localCheckpoint() // feeds the brute side twice + the banded run reuses text, not this
+    val q = sk.filter(col("id") % qStep === 0)
+      .select(col("id").as("qid"), col("sk").as("qsk"))
+    // brute reference: sample × audited corpus, exact hamming ≤ 3 (linear
+    // in corpus size — the broadcast side is ~100 rows)
+    val brute = sk.join(broadcast(q), col("id") =!= col("qid"))
+      .withColumn("hamming",
+        Dedup.simhashDistance(col("sk"), col("qsk")))
+      .filter(col("hamming") <= 3)
+      .select(least(col("id"), col("qid")).as("id_a"),
+        greatest(col("id"), col("qid")).as("id_b"))
+      .distinct()
+      .localCheckpoint()
+    val banded = Dedup.simhashPairs(d, col("doc_id"), col("text"),
+        maxDist = 3, maxBucketSize = Int.MaxValue, materialize = false)
+      .select("id_a", "id_b")
+    val qIds = q.select(col("qid"))
+    val bandedTouched = banded
+      .join(broadcast(qIds),
+        col("id_a") === col("qid") || col("id_b") === col("qid"))
+      .select("id_a", "id_b").distinct()
+      .localCheckpoint()
+    def pairDocs(p: DataFrame): DataFrame =
+      p.select(col("id_a").as("doc_id"))
+        .union(p.select(col("id_b").as("doc_id")))
+    // both pair relations are sample-bounded (~100 query docs' near-dup
+    // matches) — broadcast the probe side, same idiom as x25
+    val missed = brute
+      .join(broadcast(bandedTouched), Seq("id_a", "id_b"), "left_anti")
+    val phantom = bandedTouched
+      .join(broadcast(brute), Seq("id_a", "id_b"), "left_anti")
+    val base = q.select(col("qid").as("doc_id"))
+    okFlag(okFlag(base, pairDocs(missed), "sh_pigeonhole_complete"),
+      pairDocs(phantom), "sh_sound")
+  }
+
+  private val x122Sql =
+    """SELECT doc_id, TRUE AS sh_pigeonhole_complete, TRUE AS sh_sound
+       FROM documents
+       WHERE doc_id % greatest(1, (SELECT count(*) FROM documents) // 5000) = 0
+         AND doc_id % greatest(5, (SELECT count(*) FROM documents) // 100) = 0"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_dedup_exact" -> x1 _,
     "x02_dedup_ngram_jaccard" -> x2 _,
@@ -4356,7 +4472,9 @@ object ExtensionQueries {
     "x117_group_trend" -> x117 _,
     "x118_zorder_keys" -> x118 _,
     "x119_range_bounds" -> x119 _,
-    "x120_interval_union" -> x120 _
+    "x120_interval_union" -> x120 _,
+    "x121_zorder_multi" -> x121 _,
+    "x122_simhash_invariants" -> x122 _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -4470,6 +4588,8 @@ object ExtensionQueries {
     "x117_group_trend" -> x117Sql,
     "x118_zorder_keys" -> x118Sql,
     "x119_range_bounds" -> x119Sql,
-    "x120_interval_union" -> x120Sql
+    "x120_interval_union" -> x120Sql,
+    "x121_zorder_multi" -> x121Sql,
+    "x122_simhash_invariants" -> x122Sql
   )
 }

@@ -42,6 +42,65 @@ class LayoutSpec extends AnyFunSuite with SparkTestSession {
     assert(ordered.grouped(4).forall(_.distinct.size == 1))
   }
 
+  /** Reference d-way interleave: bit i of dim j lands at position d*i+j. */
+  private def mortonN(dims: Seq[Long], bits: Int): Long =
+    dims.zipWithIndex.foldLeft(0L) { case (acc, (v, j)) =>
+      (0 until bits).foldLeft(acc) { (a, i) =>
+        a | ((v >> i) & 1L) << (dims.size * i + j)
+      }
+    }
+
+  test("zorder3/zorder4 equal the bitwise reference; NULL out of range") {
+    import spark.implicits._
+    val pts3 = Seq((0L, 0L, 0L), (1L, 2L, 4L), (2097151L, 2097151L, 2097151L),
+      (123456L, 654321L, 999999L), (1L, 0L, 2097150L))
+    val out3 = pts3.toDF("x", "y", "z")
+      .withColumn("k", Layout.zorder3(col("x"), col("y"), col("z")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+    pts3.foreach { case (x, y, z) =>
+      assert(out3((x, y, z)) == mortonN(Seq(x, y, z), 21), s"($x,$y,$z)")
+      assert(out3((x, y, z)) >= 0L) // BIGINT order must be Z-curve order
+    }
+    val pts4 = Seq((0L, 0L, 0L, 0L), (1L, 2L, 4L, 8L),
+      (32767L, 32767L, 32767L, 32767L), (12345L, 321L, 9999L, 31000L))
+    val out4 = pts4.toDF("a", "b", "c", "d")
+      .withColumn("k", Layout.zorder4(col("a"), col("b"), col("c"), col("d")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) -> r.getLong(4)).toMap
+    pts4.foreach { case (a, b, c, d) =>
+      assert(out4((a, b, c, d)) == mortonN(Seq(a, b, c, d), 15), s"($a,$b,$c,$d)")
+      assert(out4((a, b, c, d)) >= 0L)
+    }
+    // out-of-range dims are NULL, never wrapped
+    val bad3 = Seq((-1L, 0L, 0L), (2097152L, 0L, 0L), (0L, 0L, 2097152L))
+      .toDF("x", "y", "z")
+      .withColumn("k", Layout.zorder3(col("x"), col("y"), col("z"))).collect()
+    assert(bad3.forall(_.isNullAt(3)))
+    val bad4 = Seq((-1L, 0L, 0L, 0L), (0L, 32768L, 0L, 0L))
+      .toDF("a", "b", "c", "d")
+      .withColumn("k", Layout.zorder4(col("a"), col("b"), col("c"), col("d"))).collect()
+    assert(bad4.forall(_.isNullAt(4)))
+    // zorderN dispatch + arity guard
+    val viaN = Seq((3L, 5L)).toDF("x", "y")
+      .select(Layout.zorderN(Seq(col("x"), col("y"))).as("k"))
+      .collect()(0).getLong(0)
+    assert(viaN == morton(3L, 5L))
+    intercept[IllegalArgumentException] {
+      Layout.zorderN(Seq(col("x")))
+    }
+  }
+
+  test("zorder3 clusters a 3-D grid: same-octant keys are contiguous") {
+    import spark.implicits._
+    val grid = for { x <- 0 to 3; y <- 0 to 3; z <- 0 to 3 }
+      yield (x.toLong, y.toLong, z.toLong)
+    val ordered = grid.toDF("x", "y", "z")
+      .withColumn("k", Layout.zorder3(col("x"), col("y"), col("z")))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0) / 2, r.getLong(1) / 2, r.getLong(2) / 2))
+    // each 2x2x2 octant's 8 cells appear consecutively
+    assert(ordered.grouped(8).forall(_.distinct.size == 1))
+  }
+
   test("rangeBounds: quartiles of 1..100, null exclusion, determinism") {
     import spark.implicits._
     val df = ((1 to 100).map(i => Some(i.toDouble)) :+ None)
