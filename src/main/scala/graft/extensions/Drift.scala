@@ -12,8 +12,12 @@ import org.apache.spark.sql.functions._
   * integrally: `D = max_x |F_A(x) − F_B(x)|` is evaluated as the BIGINT
   * `max |cumA(x)·n_B − cumB(x)·n_A|` over the merged value support, so the
   * result is bit-identical in any engine (`D = ks_scaled / (n_A·n_B)`).
-  * Bounds: exact for slice sizes up to ~3·10⁹ rows per group (the n_A·n_B
-  * product must stay under 2⁶³).
+  * Overflow envelope (ENFORCED, not advisory — the same raise_error
+  * contract as [[graft.ops.Anomaly.rollingZScore]]): every product is
+  * bounded by n_A·n_B, so the operator requires n_A ≤ ⌊(2⁶³−1)/n_B⌋ per
+  * group — slice sizes up to ~3·10⁹ rows per group. A group beyond that
+  * fails the job loudly (exactly as ANSI mode and the DuckDB oracle's
+  * BIGINT casts would) instead of silently wrapping the statistic.
   *
   * Scale design: one aggregate collapses the corpus to per-(group, value)
   * counts — the window then runs over the DISTINCT-VALUE relation, whose
@@ -51,10 +55,18 @@ object Drift {
       .withColumn("__cumB", sum(col("__cb")).over(w))
       .withColumn("__na", sum(col("__ca")).over(wAll))
       .withColumn("__nb", sum(col("__cb")).over(wAll))
+    // enforced envelope: cum·total products are bounded by n_a·n_b, so
+    // n_a ≤ (2⁶³−1) div n_b guarantees every Long product below is exact
+    val safe = col("__na") <= lit(Long.MaxValue) / greatest(col("__nb"), lit(1L))
+    val term = when(safe,
+      abs(col("__cumA") * col("__nb") - col("__cumB") * col("__na")))
+      .otherwise(raise_error(concat(
+        lit("Drift.ksDrift: n_a*n_b exceeds 2^63-1 for group "),
+        col("grp").cast("string"),
+        lit(" — the integral KS product would overflow; split or band the slices"))))
     cums.groupBy(col("grp"))
       .agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
-        max(abs(col("__cumA") * col("__nb") - col("__cumB") * col("__na")))
-          .as("__d"))
+        max(term).as("__d"))
       .select(col("grp"), col("n_a"), col("n_b"),
         when(col("n_a") > 0 && col("n_b") > 0, col("__d"))
           .otherwise(lit(null).cast("long")).as("ks_scaled"))

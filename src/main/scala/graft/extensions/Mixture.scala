@@ -195,17 +195,22 @@ object Mixture {
       category: Column): DataFrame = {
     val counts = df.groupBy(group.as("grp"), category.as("cat"))
       .agg(count(lit(1)).as("__c"))
+    // c² and n_rows² in decimal(38,0)/double: a single cell past ~3·10⁹
+    // rows would silently wrap a Long c·c (and n_rows·n_rows) — the same
+    // overflow class the Anomaly/Drift/Decay envelopes guard. Here no
+    // envelope is needed: decimal removes the cliff entirely and the
+    // outputs are already round-6 doubles.
     counts.groupBy("grp")
       .agg(sum(col("__c")).as("n_rows"),
         count(lit(1)).as("n_cats"),
         max(col("__c")).as("__mx"),
-        sum(col("__c") * col("__c")).as("__ss"),
+        sum((col("__c").cast("decimal(38,0)") * col("__c"))).as("__ss"),
         sum(col("__c").cast("double") * log(col("__c").cast("double")))
           .as("__slc"))
       .select(col("grp"), col("n_rows"), col("n_cats"),
         round(col("__mx").cast("double") / col("n_rows"), 6).as("top_share"),
         round(col("__ss").cast("double") /
-          (col("n_rows") * col("n_rows")), 6).as("hhi"),
+          (col("n_rows").cast("double") * col("n_rows")), 6).as("hhi"),
         round(log(col("n_rows").cast("double")) -
           col("__slc") / col("n_rows"), 6).as("entropy"),
         round((log(col("n_rows").cast("double")) -

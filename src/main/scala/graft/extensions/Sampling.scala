@@ -191,7 +191,10 @@ object Sampling {
     * row is solved in closed form (`jmin/jmax` below), so results are
     * bit-identical in any engine. Caller contract: weights are clamped to
     * ≥ 0 (null → 0), and `2·k·W` must stay under 2⁶³ (at k = 10⁴ that is
-    * W < 4.6·10¹⁴ — a 460-trillion-token corpus).
+    * W < 4.6·10¹⁴ — a 460-trillion-token corpus). The W bound is ENFORCED
+    * at the 1-row total aggregate with raise_error (the shared overflow
+    * contract): an out-of-envelope corpus fails loudly instead of silently
+    * wrapping every probe position.
     *
     * Scale shape: one range-partitioned parallel scan for the cumsum
     * ([[graft.ops.PrefixSum.withGlobalCumsum]] — never a single-partition
@@ -209,8 +212,15 @@ object Sampling {
         sha2(concat(key.cast("string"), lit(salt)), 256))
     val cum = graft.ops.PrefixSum.withGlobalCumsum(clamped, col("__w"),
       "__cum", col("__sys_ord"), key)
-    val total = cum.agg(coalesce(max(col("__cum")), lit(0L)).as("__tot"))
     val twoK = 2L * k
+    val wBound = Long.MaxValue / twoK
+    val total = cum.agg(coalesce(max(col("__cum")), lit(0L)).as("__t0"))
+      .select(when(col("__t0") <= wBound, col("__t0"))
+        .otherwise(raise_error(concat(
+          lit(s"Sampling.systematicSample: total weight exceeds the " +
+            s"overflow-safe bound $wBound for k=$k (2kW must stay under " +
+            s"2^63); got "),
+          col("__t0").cast("string")))).as("__tot"))
     cum.crossJoin(broadcast(total))
       .filter(col("__tot") > 0L && col("__w") > 0L)
       .withColumn("__lo", col("__cum") - col("__w"))

@@ -547,8 +547,11 @@ object Similarity {
     * — the [[graft.extensions.Quantize]] bounded-collect contract). No
     * window, no join, no per-row driver work.
     *
-    * Caller contract: every vector non-null with exactly `dims` elements;
-    * |x| ≲ 30 keeps all intermediates (worst: the scaled Rayleigh numerator) under 2⁶³.
+    * Caller contract: every vector non-null with exactly `dims` elements.
+    * |x| ≤ 30 keeps all intermediates (worst: the scaled Rayleigh
+    * numerator) under 2⁶³ — ENFORCED per element at the micro-ize step
+    * with raise_error (the shared overflow contract), never silently
+    * wrapped.
     *
     * Output: one row per input: `id`, `pc1_micro` (BIGINT projection on the
     * top PC), `eigval_micro` (BIGINT, constant — the top eigenvalue).
@@ -559,8 +562,20 @@ object Similarity {
     require(iterations >= 1 && iterations <= 64,
       s"iterations must be in [1,64], got $iterations")
     val S = 1000000L
+    // |x| ≤ 30 is the documented intermediate-overflow envelope — ENFORCE
+    // it at the micro-ize step (the shared raise_error contract): one bad
+    // element fails the job loudly instead of silently wrapping the
+    // gramian/Rayleigh products three passes later
+    val xmMax = 30L * S
+    val micro = (x: Column) => {
+      val xm = round(x.cast("double") * S).cast("long")
+      when(abs(xm) <= xmMax, xm)
+        .otherwise(raise_error(concat(
+          lit(s"pcaTopComponent: |x| exceeds the overflow-safe envelope 30 " +
+            s"(micro bound $xmMax); got x*1e6 = "), xm.cast("string"))))
+    }
     val base = df.select(id.as("id"),
-        transform(vec, x => round(x.cast("double") * S).cast("long")).as("__mv"))
+        transform(vec, x => micro(x)).as("__mv"))
       .localCheckpoint(eager = false)   // scanned 3×: means, gramian, projection
     // pass 1 — per-dim sums; the ONLY driver divisions are over these DIMS rows
     val sums = base.select(posexplode(col("__mv")).as(Seq("i", "x")))

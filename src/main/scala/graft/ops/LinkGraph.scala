@@ -107,8 +107,11 @@ object LinkGraph {
     * }}}
     * Total mass stays ≈ `scale` each half-round, so with Σh ≤ ~scale the
     * raw sums are bounded by maxDeg·scale — 64-bit-safe for max degree
-    * < 2^63/scale (~9·10^6 at the default scale; validate edges upstream
-    * for denser graphs).
+    * ≤ (2⁶³−1)/scale (~9·10⁶ at the default scale). The degree bound is
+    * ENFORCED up front (one aggregate over the collapsed edge relation,
+    * read with the node count — the shared overflow contract): a denser
+    * graph fails loudly with the offending degree instead of silently
+    * wrapping the half-round sums; lower `scale` to widen the envelope.
     *
     * Same scale shape as [[pageRank]]: per half-round one contribution
     * shuffle keyed by the receiving endpoint, hinted hash joins (iterated
@@ -132,6 +135,16 @@ object LinkGraph {
       .filter(col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint(eager = false)  // e is scanned 2× per round
+    // enforced overflow envelope: half-round raw sums ≤ maxDeg·scale
+    val degBound = Long.MaxValue / scale
+    val maxDegRow = e.select(col("src").as("v"))
+      .unionAll(e.select(col("dst").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+      .agg(coalesce(max(col("d")), lit(0L))).collect()(0)
+    require(maxDegRow.getLong(0) <= degBound,
+      s"hits: max node degree ${maxDegRow.getLong(0)} exceeds the " +
+        s"overflow-safe bound $degBound for scale=$scale — the half-round " +
+        "sums would overflow 2^63; lower scale or thin the densest nodes")
     val base = scale / nCount
     var hubs = n.withColumn("h", lit(base))
     var auths = n.withColumn("a", lit(base))

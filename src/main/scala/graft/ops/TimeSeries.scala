@@ -13,9 +13,15 @@ import org.apache.spark.sql.functions._
   * Arithmetic contract: Pearson r at each lag is computed from the six
   * EXACT integer sums (n, Σx, Σy, Σxy, Σx², Σy²) of the paired series, so
   * the only float op is the final ratio of exact integers — bit-identical
-  * in any engine, whatever the summation order. Bounds: per-bucket counts
-  * c and bucket count B must keep B·max(c)² under 2⁶³ (10⁹ buckets of
-  * ≤10⁶ events each is fine).
+  * in any engine, whatever the summation order. Overflow envelope
+  * (ENFORCED driver-side from the same bounded aggregate that sizes the
+  * dense range, before any heavy work): the largest product is
+  * n·Σxy ≤ (B·max(c))², so the operator requires
+  * `B·max(c) ≤ ⌊√(2⁶³−1)⌋ = 3037000499` (10⁶ buckets of ≤3000 events, or
+  * 10⁹ buckets of ≤3 — a previous revision documented B·max(c)² < 2⁶³,
+  * which is both insufficient for the n·Σxy cross product and violated by
+  * its own example). Out-of-envelope series fail loudly; quantize counts
+  * or widen buckets to re-enter the envelope.
   *
   * Scale design: the corpus collapses to per-bucket counts in one
   * aggregate; everything after runs on the BUCKET relation (time-range /
@@ -43,11 +49,21 @@ object TimeSeries {
       .filter(col("__us").isNotNull)
       .select(floor(col("__us") / wUs).cast("long").as("b"))
       .groupBy("b").agg(count(lit(1)).as("c"))
-    // bounded collect: ONE row (the bucket range) — drives spark.range
-    val r0 = counts.agg(min(col("b")).as("__lo"), max(col("b")).as("__hi"))
+    // bounded collect: ONE row (bucket range + max count) — drives
+    // spark.range AND the overflow-envelope check before any heavy work
+    val r0 = counts.agg(min(col("b")).as("__lo"), max(col("b")).as("__hi"),
+        max(col("c")).as("__cmax"))
       .collect()(0)
     val (lo, hi) =                      // empty input → empty dense series
       if (r0.isNullAt(0)) (0L, -1L) else (r0.getLong(0), r0.getLong(1))
+    val maxC = if (r0.isNullAt(2)) 0L else r0.getLong(2)
+    val nBuckets = hi - lo + 1
+    // n·Σxy ≤ (B·max(c))² must stay under 2⁶³ (see class doc)
+    require(nBuckets <= 0 || maxC <= 0 ||
+        nBuckets <= 3037000499L / maxC,
+      s"lagAutocorr: buckets($nBuckets)·max_count($maxC) exceeds " +
+        "3037000499 = floor(sqrt(2^63-1)) — the exact integer cross " +
+        "products would overflow; widen bucketSeconds or pre-band counts")
     val dense = spark.range(lo, hi + 1).select(col("id").as("b"))
       .join(counts.hint("shuffle_hash"), Seq("b"), "left")
       .na.fill(0L, Seq("c"))

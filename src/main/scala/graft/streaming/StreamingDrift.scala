@@ -68,6 +68,13 @@ object StreamingDrift {
           val (g, w) = key
           if (state.hasTimedOut) {
             val st = state.get
+            // same enforced overflow envelope as the batch operator: every
+            // product is bounded by n_window·n_ref, which must fit in a Long
+            if (st.n > Long.MaxValue / math.max(nRef, 1L))
+              throw new IllegalArgumentException(
+                s"StreamingDrift: n_window(${st.n})*n_ref($nRef) exceeds " +
+                  "2^63-1 — the integral KS product would overflow; shorten " +
+                  "the window or band the values")
             val keys = (st.counts.keySet ++ reference.keySet).toArray.sorted
             var cw = 0L; var cr = 0L; var d = 0L
             keys.foreach { k =>

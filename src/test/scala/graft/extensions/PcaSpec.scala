@@ -84,6 +84,24 @@ class PcaSpec extends AnyFunSuite with SparkTestSession {
     assert(byId(0L) != byId(29L), "projection separates the extremes")
   }
 
+  test("elements outside the |x| <= 30 envelope raise, never wrap") {
+    import spark.implicits._
+    val bad = Seq((1L, Seq(0.5, 31.0)), (2L, Seq(0.1, 0.2)))
+      .toDF("id", "v")
+    val ex = intercept[Exception] {
+      Similarity.pcaTopComponent(bad, col("id"), col("v"), dims = 2).collect()
+    }
+    val msg = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null).take(10)
+      .flatMap(c => Option(c.getMessage)).mkString(" | ")
+    assert(msg.contains("overflow-safe envelope 30"))
+    // boundary value 30.0 is inside the envelope
+    val ok = Seq((1L, Seq(30.0, -30.0)), (2L, Seq(-30.0, 30.0)))
+      .toDF("id", "v")
+    assert(Similarity.pcaTopComponent(ok, col("id"), col("v"), dims = 2)
+      .count() == 2L)
+  }
+
   test("ragged vectors are rejected, not silently mis-summed") {
     import spark.implicits._
     val df = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(1.0f))).toDF("id", "v")

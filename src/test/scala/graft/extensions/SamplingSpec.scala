@@ -107,6 +107,23 @@ class SamplingSpec extends AnyFunSuite with SparkTestSession {
     assert(run(df.repartition(13)) == out)
   }
 
+  test("systematicSample rejects total weight outside the 2kW envelope") {
+    import spark.implicits._
+    // k=10000 -> bound floor((2^63-1)/20000) ~ 4.6e14; one 1e15 weight
+    // must raise at the total aggregate, never wrap the probe positions
+    val heavy = Seq((1L, 1000000000000000L), (2L, 5L)).toDF("id", "w")
+    val ex = intercept[Exception] {
+      Sampling.systematicSample(heavy, col("id"), col("w"), 10000).collect()
+    }
+    val msg = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null).take(10)
+      .flatMap(c => Option(c.getMessage)).mkString(" | ")
+    assert(msg.contains("overflow-safe bound"))
+    // the same corpus under a smaller k is IN envelope and still emits k rows
+    assert(Sampling.systematicSample(heavy, col("id"), col("w"), 4)
+      .count() == 4L)
+  }
+
   test("systematic PPS sample: exactly k hits, grid replica, multiplicity ∝ weight") {
     import spark.implicits._
     val rows = (0L until 60L).map(i => (i, if (i == 7L) 5000L else 10L + i % 7))

@@ -182,6 +182,24 @@ class LinkGraphSpec extends AnyFunSuite with SparkTestSession {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
+  test("hits enforces the maxDeg*scale overflow envelope up front") {
+    import spark.implicits._
+    // scale floor is 1e6 -> degree bound ~9.2e12; an enormous synthetic
+    // bound cannot be exceeded with real rows, so probe the guard with the
+    // LARGEST permitted scale instead: degree bound (2^63-1)/scale
+    val nodes = (0L to 20L).toDF("id")
+    val edges = (1L to 20L).map(0L -> _).toDF("s", "d")
+    // scale so large that bound = 9.2e18/9.2e17 = 10 < degree 20
+    val ex = intercept[IllegalArgumentException] {
+      LinkGraph.hits(nodes, col("id"), edges, col("s"), col("d"),
+        iterations = 1, scale = 922337203685477580L)
+    }
+    assert(ex.getMessage.contains("overflow-safe bound"))
+    // default scale: same graph is comfortably in envelope
+    assert(LinkGraph.hits(nodes, col("id"), edges, col("s"), col("d"),
+      iterations = 1).count() == 21L)
+  }
+
   test("labelPropagation matches the exact replay and finds disjoint blocks") {
     // two 4-cliques bridged by nothing, plus an isolated node
     val nodes = 0L to 8L

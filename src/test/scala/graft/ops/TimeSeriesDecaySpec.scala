@@ -31,6 +31,34 @@ class TimeSeriesDecaySpec extends AnyFunSuite with SparkTestSession {
     assert(!out.contains("u3")) // null ts excluded entirely
   }
 
+  test("decayedActivity enforces per-event and per-key overflow envelopes") {
+    import spark.implicits._
+    def chain(x: Throwable): Seq[Throwable] =
+      Iterator.iterate(x)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    def msgOf(x: Throwable): String =
+      chain(x).flatMap(c => Option(c.getMessage)).mkString(" | ")
+    // per-event: |round(v*1000)| > (2^63-1)/1e6 must raise, not wrap
+    val e1 = intercept[Exception] {
+      Decay.decayedActivity(Seq(("u", t(0), 1e10)).toDF("k", "ts", "v"),
+        col("k"), col("ts"), col("v"), 100L).collect()
+    }
+    assert(msgOf(e1).contains("overflow-safe per-event bound"))
+    // per-key: two near-max events sum past 2^63-1 in exact decimal — the
+    // BIGINT materialization must raise (a Long sum would silently wrap)
+    val vMax = 9.2e9 // vm 9.2e12, * 1e6 weight = 9.2e18 each
+    val e2 = intercept[Exception] {
+      Decay.decayedActivity(
+        Seq(("u", t(100), vMax), ("u", t(100), vMax)).toDF("k", "ts", "v"),
+        col("k"), col("ts"), col("v"), 100L).collect()
+    }
+    assert(msgOf(e2).contains("exceeds 2^63-1 for key"))
+    // and a single near-max event is IN envelope and exact
+    val ok = Decay.decayedActivity(
+      Seq(("u", t(100), vMax)).toDF("k", "ts", "v"),
+      col("k"), col("ts"), col("v"), 100L).collect()(0)
+    assert(ok.getLong(3) == 9200000000000L * 1000000L)
+  }
+
   // --- Drift.chi2Contingency ------------------------------------------------
 
   test("chi2Contingency zero under independence, hand-check 2x2, dof") {
@@ -91,5 +119,18 @@ class TimeSeriesDecaySpec extends AnyFunSuite with SparkTestSession {
     val const = (0 to 10).map(i => (t(i.toLong), 1)).toDF("ts", "x")
     val c = TimeSeries.lagAutocorr(const, col("ts"), 1L, Seq(1)).collect()(0)
     assert(c.isNullAt(5))            // zero variance: no correlation
+  }
+
+  test("lagAutocorr rejects series outside the B*maxC overflow envelope") {
+    import spark.implicits._
+    // two events 3.2e9 buckets apart: B*maxC = 3.2e9 > floor(sqrt(2^63-1)),
+    // so the driver-side envelope check must fire BEFORE the dense range
+    // (and its (B*maxC)^2-scale cross products) is ever built
+    val far = Seq((new Timestamp(0L), 1), (new Timestamp(3200000000000L), 1))
+      .toDF("ts", "x")
+    val ex = intercept[IllegalArgumentException] {
+      TimeSeries.lagAutocorr(far, col("ts"), 1L, Seq(1))
+    }
+    assert(ex.getMessage.contains("floor(sqrt(2^63-1))"))
   }
 }
