@@ -1,6 +1,7 @@
 package graft.extensions
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic, engine-reproducible sampling/splitting for training-data
@@ -203,6 +204,35 @@ object Sampling {
     * `sequence` explode emitting ≤ ⌈k·w/W⌉+1 hits per row, k total) — no
     * join against a probe table, no shuffle after the scan.
     */
+  /** Deterministic fixed-k sample PER STRATUM — "give me exactly k spot-
+    * check docs from every (lang, source) cell", the eval/annotation
+    * counterpart of the rate-based [[stratifiedSample]]: rates under-fill
+    * small strata and over-fill big ones, a fixed k does neither. Zero
+    * RNG: rows are ranked inside their stratum by `sha256(key ⊕ salt)`
+    * (ties broken by the key itself, so the rank is total) and the first
+    * k survive — reruns, re-partitioning, and any other engine reproduce
+    * the exact same sample, and a different `salt` draws an independent
+    * one.
+    *
+    * Scale design: ONE hash shuffle on the stratum and a per-stratum sort
+    * for the rank window — the canonical per-key top-k shape; no global
+    * window, no join. A stratum's partition holds that stratum's rows
+    * (the quantity any per-stratum sampler must see); for corpus-scale
+    * strata prefer rate-based sampling — fixed-k is for cells you can
+    * enumerate.
+    *
+    * Output: the sampled rows with `sample_rank` (1..k within stratum).
+    */
+  def fixedKPerStratum(df: DataFrame, stratum: Column, key: Column, k: Int,
+      salt: String = ""): DataFrame = {
+    require(k >= 1 && k <= 1000000, s"k must be in [1,1e6], got $k")
+    val ord = sha2(concat(key.cast("string"), lit(salt)), 256)
+    val w = Window.partitionBy(stratum)
+      .orderBy(ord.asc, key.cast("string").asc)
+    df.withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= k)
+  }
+
   def systematicSample(df: DataFrame, key: Column, weight: Column, k: Int,
       salt: String = ""): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")

@@ -4352,6 +4352,53 @@ object ExtensionQueries {
        WHERE doc_id % greatest(1, (SELECT count(*) FROM documents) // 5000) = 0
          AND doc_id % greatest(5, (SELECT count(*) FROM documents) // 100) = 0"""
 
+  // ---------------------------------------------------------------------------
+  // X123 — deterministic fixed-k per-stratum sample (Sampling.
+  // fixedKPerStratum): exactly 5 spot-check docs per language, ranked by
+  // sha256(doc_id ⊕ salt) — zero RNG, so the oracle replays the identical
+  // rank window and hash-matches the full sample.
+  // ---------------------------------------------------------------------------
+  private def x123(s: SparkSession, dir: String): DataFrame =
+    Sampling.fixedKPerStratum(docs(s, dir).select(col("doc_id"), col("lang")),
+      col("lang"), col("doc_id"), k = 5, salt = "sk10")
+
+  private val x123Sql =
+    """WITH r AS (
+         SELECT doc_id, lang,
+                CAST(row_number() OVER (PARTITION BY lang
+                  ORDER BY sha256(CAST(doc_id AS VARCHAR) || 'sk10'),
+                           CAST(doc_id AS VARCHAR)) AS BIGINT) AS sample_rank
+         FROM documents)
+       SELECT doc_id, lang, sample_rank FROM r WHERE sample_rank <= 5"""
+
+  // ---------------------------------------------------------------------------
+  // X124 — approx-distinct audit (ops.Cardinality.approxDistinctProfile):
+  // per-source HLL++ cardinality of the n_chars signal, pinned in-plan
+  // against the exact distinct count within the rsd error envelope
+  // (4·rsd·exact + 2 absolute slack — HLL++ is hash-deterministic, so the
+  // flag is stable). The estimate itself is engine-specific and stays out
+  // of the hashed columns; the exact count and the envelope verdict are
+  // what DuckDB replays.
+  // ---------------------------------------------------------------------------
+  private def x124(s: SparkSession, dir: String): DataFrame = {
+    val rsd = 0.05
+    val prof = graft.ops.Cardinality.approxDistinctProfile(
+      docs(s, dir), col("source"), col("n_chars"), rsd)
+    val exact = docs(s, dir).groupBy(col("source").as("grp"))
+      .agg(countDistinct(col("n_chars")).as("exact_distinct"))
+    prof.join(broadcast(exact), Seq("grp")) // enum-scale group relation
+      .select(col("grp").as("source"), col("n_rows"), col("exact_distinct"),
+        (abs(col("approx_distinct") - col("exact_distinct")) <=
+          greatest(round(lit(4 * rsd) * col("exact_distinct")), lit(2L)))
+          .as("approx_ok"))
+  }
+
+  private val x124Sql =
+    """SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(count(DISTINCT n_chars) AS BIGINT) AS exact_distinct,
+              TRUE AS approx_ok
+       FROM documents GROUP BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_dedup_exact" -> x1 _,
     "x02_dedup_ngram_jaccard" -> x2 _,
@@ -4474,7 +4521,9 @@ object ExtensionQueries {
     "x119_range_bounds" -> x119 _,
     "x120_interval_union" -> x120 _,
     "x121_zorder_multi" -> x121 _,
-    "x122_simhash_invariants" -> x122 _
+    "x122_simhash_invariants" -> x122 _,
+    "x123_fixedk_sample" -> x123 _,
+    "x124_approx_distinct" -> x124 _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -4590,6 +4639,8 @@ object ExtensionQueries {
     "x119_range_bounds" -> x119Sql,
     "x120_interval_union" -> x120Sql,
     "x121_zorder_multi" -> x121Sql,
-    "x122_simhash_invariants" -> x122Sql
+    "x122_simhash_invariants" -> x122Sql,
+    "x123_fixedk_sample" -> x123Sql,
+    "x124_approx_distinct" -> x124Sql
   )
 }

@@ -107,6 +107,31 @@ class SamplingSpec extends AnyFunSuite with SparkTestSession {
     assert(run(df.repartition(13)) == out)
   }
 
+  test("fixedKPerStratum: exactly k per stratum, deterministic, salt-independent") {
+    import spark.implicits._
+    val df = (1L to 100L).map(i => (i, if (i <= 60) "a" else if (i <= 97) "b" else "c"))
+      .toDF("id", "s")
+    def run(d: org.apache.spark.sql.DataFrame, salt: String) =
+      Sampling.fixedKPerStratum(d, col("s"), col("id"), k = 5, salt = salt)
+        .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(2)))
+        .sortBy(t => (t._1, t._3)).toSeq
+    val out = run(df, "s1")
+    // exactly k where the stratum has >= k rows; ALL rows where smaller
+    assert(out.count(_._1 == "a") == 5 && out.count(_._1 == "b") == 5)
+    assert(out.count(_._1 == "c") == 3) // stratum of 3 yields 3
+    assert(out.filter(_._1 == "c").map(_._3) == Seq(1L, 2L, 3L))
+    // deterministic under repartitioning
+    assert(run(df.repartition(17), "s1") == out)
+    // sha-replica: the sample is the first k ids by sha256(id ++ salt)
+    def sha(v: String): String = java.security.MessageDigest
+      .getInstance("SHA-256").digest(v.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val expA = (1L to 60L).sortBy(i => (sha(s"${i}s1"), i.toString)).take(5)
+    assert(out.filter(_._1 == "a").sortBy(_._3).map(_._2) == expA)
+    // a different salt draws a different sample (overwhelmingly)
+    assert(run(df, "s2") != out)
+  }
+
   test("systematicSample rejects total weight outside the 2kW envelope") {
     import spark.implicits._
     // k=10000 -> bound floor((2^63-1)/20000) ~ 4.6e14; one 1e15 weight
