@@ -40,31 +40,42 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty)
+    // dev knob: SPARK_GRAFT_REPS=N runs each query N times and reports the
+    // per-query MEDIAN — the round-10 variance study showed single-sample
+    // per-query numbers on the shared VM jitter up to ~6× (x51: 5.9 s
+    // in-sweep vs 1.0 s isolated, same code), so scale-ratio work should
+    // use medians. Default 1: the driver's per-round run is unchanged.
+    val reps = math.max(1,
+      sys.env.get("SPARK_GRAFT_REPS").flatMap(_.toIntOption).getOrElse(1))
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
       .map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink, not count(): count() lets Catalyst prune deterministic
-      // projections, so a projection-only query would benchmark an empty scan
-      // — the noop write materializes every output column.
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        failed += name
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-      }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // Isolation (untimed): drop every cached block a query left behind —
-      // catalog cache (Dataset.persist) AND RDD-level blocks (localCheckpoint)
-      // — so each number measures its own plan, not the memory pressure of
-      // everything that ran before it (the round-4 tail collapse).
-      // BLOCKING unpersist first: async removal (the clearCache default)
-      // overlaps block deletion with the next timed query and bleeds I/O into
-      // its measurement. RDD-level blocking unpersist covers cache-manager
-      // blocks too (persist registers the buffer RDD), so clearCache after it
-      // is pure bookkeeping.
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
-      spark.catalog.clearCache()
-      name -> dt
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        // noop sink, not count(): count() lets Catalyst prune deterministic
+        // projections, so a projection-only query would benchmark an empty
+        // scan — the noop write materializes every output column.
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          if (!failed.contains(name)) failed += name
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // Isolation (untimed): drop every cached block a query left behind —
+        // catalog cache (Dataset.persist) AND RDD-level blocks
+        // (localCheckpoint) — so each number measures its own plan, not the
+        // memory pressure of everything that ran before it (the round-4 tail
+        // collapse). BLOCKING unpersist first: async removal (the clearCache
+        // default) overlaps block deletion with the next timed query and
+        // bleeds I/O into its measurement. RDD-level blocking unpersist
+        // covers cache-manager blocks too (persist registers the buffer
+        // RDD), so clearCache after it is pure bookkeeping.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        spark.catalog.clearCache()
+        dt
+      }.sorted
+      name -> times(times.size / 2) // median (upper on even n)
     }
     // 3-decimal precision keeps the one-line JSON short enough to survive
     // log-tail capture (full-precision doubles pushed the line past the

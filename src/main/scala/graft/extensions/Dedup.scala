@@ -64,6 +64,28 @@ object Dedup {
   def minhashSignature(shingleArr: Column, k: Int = 32): Column =
     graft.functions.MinHashSig.minhashSig(shingleArr, k)
 
+  /** Pick `(bands, rows)` for a k-wide MinHash signature so the LSH
+    * S-curve's midpoint `(1/b)^(1/r)` (the similarity at which collision
+    * probability `1−(1−s^r)^b` crosses ~½) lands closest to `threshold` —
+    * the calculation every [[minhashPairs]] caller otherwise does by hand.
+    * Deterministic tie-break toward MORE bands (recall over precision: a
+    * missed true pair is unrecoverable, a false candidate dies in the
+    * verify). Pure arithmetic over the ≤ d(k) divisors of k — no data.
+    */
+  def lshBandPlan(k: Int, threshold: Double): (Int, Int) = {
+    require(k >= 2 && k <= 4096, s"k must be in [2,4096], got $k")
+    require(threshold > 0.0 && threshold < 1.0,
+      s"threshold must be in (0,1), got $threshold")
+    val candidates = (1 to k).filter(k % _ == 0).map { b =>
+      val r = k / b
+      (b, r, math.pow(1.0 / b, 1.0 / r))
+    }
+    val best = candidates.minBy { case (b, _, mid) =>
+      (math.abs(mid - threshold), -b)
+    }
+    (best._1, best._2)
+  }
+
   /** Banded-LSH candidate pairs with MinHash-estimated Jaccard ≥ `threshold`.
     *
     * bands×rows = k; two docs collide iff some band of their signatures is

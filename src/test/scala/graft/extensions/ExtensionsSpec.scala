@@ -32,6 +32,27 @@ class ExtensionsSpec extends AnyFunSuite with SparkTestSession {
     assert(out(100L) == 2 && out(102L) == 1)
   }
 
+  test("lshBandPlan picks the divisor pair whose S-curve midpoint is closest") {
+    // exhaustive replica over divisors for k=32 at several thresholds
+    for (t <- Seq(0.2, 0.5, 0.8, 0.95)) {
+      val (b, r) = Dedup.lshBandPlan(32, t)
+      assert(b * r == 32)
+      val mids = (1 to 32).filter(32 % _ == 0)
+        .map(bb => (bb, math.pow(1.0 / bb, 1.0 / (32 / bb))))
+      val bestErr = mids.map { case (_, m) => math.abs(m - t) }.min
+      assert(math.abs(math.pow(1.0 / b, 1.0 / r) - t) <= bestErr + 1e-12)
+    }
+    // the classic operating points: k=32 at 0.5 → many narrow bands (high
+    // recall); a very high threshold wants few wide bands
+    val (bLow, _) = Dedup.lshBandPlan(32, 0.3)
+    val (bHigh, _) = Dedup.lshBandPlan(32, 0.95)
+    assert(bLow > bHigh)
+    // midpoint of the shipped default (k=32, bands=8, rows=4) sits near 0.6:
+    // plan for that threshold must return it
+    assert(Dedup.lshBandPlan(32, math.pow(1.0 / 8, 1.0 / 4)) == ((8, 4)))
+    intercept[IllegalArgumentException] { Dedup.lshBandPlan(32, 1.0) }
+  }
+
   test("minhash estimate tracks exact jaccard on planted dups") {
     val pairs = Dedup.minhashPairs(docs, col("doc_id"), col("text"),
       k = 32, bands = 8, threshold = 0.5)
