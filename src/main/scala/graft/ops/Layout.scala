@@ -95,6 +95,50 @@ object Layout {
       s"zorderN supports 2-4 dimensions, got ${cols.size}")
   }
 
+  /** Inverse of [[zorderN]]: recover the `dims` original values from a
+    * Z-order key as `array<long>` — the audit/debug direction (verify a
+    * table's layout key, map a pruning range back to dimension bounds).
+    * Same magic-mask arithmetic run in reverse (bit-compact instead of
+    * bit-spread); `zorderDecode(zorderN(cols), cols.size)` round-trips
+    * exactly for in-range inputs (LayoutSpec pins the property). NULL key
+    * (an out-of-range encode) decodes to NULL.
+    */
+  def zorderDecode(key: Column, dims: Int): Column = {
+    require(dims >= 2 && dims <= 4, s"dims must be in [2,4], got $dims")
+    def c2(c: Column): Column = {
+      var v = c.bitwiseAND(lit(0x5555555555555555L))
+      v = (v.bitwiseOR(shiftright(v, 1))).bitwiseAND(lit(0x3333333333333333L))
+      v = (v.bitwiseOR(shiftright(v, 2))).bitwiseAND(lit(0x0F0F0F0F0F0F0F0FL))
+      v = (v.bitwiseOR(shiftright(v, 4))).bitwiseAND(lit(0x00FF00FF00FF00FFL))
+      v = (v.bitwiseOR(shiftright(v, 8))).bitwiseAND(lit(0x0000FFFF0000FFFFL))
+      (v.bitwiseOR(shiftright(v, 16))).bitwiseAND(lit(0xFFFFFFFFL))
+    }
+    def c3(c: Column): Column = {
+      var v = c.bitwiseAND(lit(0x1249249249249249L))
+      v = (v.bitwiseOR(shiftright(v, 2))).bitwiseAND(lit(0x10C30C30C30C30C3L))
+      v = (v.bitwiseOR(shiftright(v, 4))).bitwiseAND(lit(0x100F00F00F00F00FL))
+      v = (v.bitwiseOR(shiftright(v, 8))).bitwiseAND(lit(0x1F0000FF0000FFL))
+      v = (v.bitwiseOR(shiftright(v, 16))).bitwiseAND(lit(0x1F00000000FFFFL))
+      (v.bitwiseOR(shiftright(v, 32))).bitwiseAND(lit(0x1FFFFFL))
+    }
+    def c4(c: Column): Column = {
+      var v = c.bitwiseAND(lit(0x1111111111111111L))
+      v = (v.bitwiseOR(shiftright(v, 3))).bitwiseAND(lit(0x0303030303030303L))
+      v = (v.bitwiseOR(shiftright(v, 6))).bitwiseAND(lit(0x000F000F000F000FL))
+      v = (v.bitwiseOR(shiftright(v, 12))).bitwiseAND(lit(0x000000FF000000FFL))
+      (v.bitwiseOR(shiftright(v, 24))).bitwiseAND(lit(0xFFFFL))
+    }
+    val compact: Column => Column = dims match {
+      case 2 => c2
+      case 3 => c3
+      case 4 => c4
+    }
+    // array(null, null) is not a NULL array — gate on the key itself so an
+    // out-of-range encode decodes to NULL, not a vector of nulls
+    when(key.isNotNull,
+      array((0 until dims).map(j => compact(shiftright(key, j))): _*))
+  }
+
   /** Equal-mass range-partition boundaries: the `n − 1` exact interpolated
     * percentiles of `value` at fractions i/n — the bounds a
     * `repartitionByRange(n, col)` write should land on when the planner

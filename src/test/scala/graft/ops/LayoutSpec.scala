@@ -89,6 +89,41 @@ class LayoutSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("zorderDecode round-trips every arity; NULL keys stay NULL") {
+    import spark.implicits._
+    // pseudo-random in-range tuples per arity, plus the max corner
+    def vals(bits: Int, n: Int): Seq[Long] = {
+      val lim = 1L << bits
+      (1 to n).map(i => ((i * 2654435761L) ^ (i << 7)) & (lim - 1)) :+ (lim - 1)
+    }
+    val t2 = vals(31, 40).zip(vals(31, 40).reverse)
+    val dec2 = t2.toDF("x", "y")
+      .select(Layout.zorderDecode(Layout.zorder2(col("x"), col("y")), 2).as("d"),
+        col("x"), col("y")).collect()
+    dec2.foreach(r => assert(r.getSeq[Long](0) == Seq(r.getLong(1), r.getLong(2))))
+    val t3 = vals(21, 40).lazyZip(vals(21, 40).reverse).lazyZip(vals(21, 40).map(v => (v * 31) & 0x1FFFFF)).toSeq
+    val dec3 = t3.toDF("x", "y", "z")
+      .select(Layout.zorderDecode(
+        Layout.zorder3(col("x"), col("y"), col("z")), 3).as("d"),
+        col("x"), col("y"), col("z")).collect()
+    dec3.foreach(r => assert(r.getSeq[Long](0) ==
+      Seq(r.getLong(1), r.getLong(2), r.getLong(3))))
+    val t4 = vals(15, 40).map(v =>
+      (v, (v * 7) & 0x7FFFL, (v * 31) & 0x7FFFL, (v * 127) & 0x7FFFL))
+    val dec4 = t4.toDF("a", "b", "c", "e")
+      .select(Layout.zorderDecode(
+        Layout.zorder4(col("a"), col("b"), col("c"), col("e")), 4).as("d"),
+        col("a"), col("b"), col("c"), col("e")).collect()
+    dec4.foreach(r => assert(r.getSeq[Long](0) ==
+      Seq(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+    // a NULL key (out-of-range encode) decodes to NULL, not garbage
+    val nul = Seq((-1L, 0L)).toDF("x", "y")
+      .select(Layout.zorderDecode(Layout.zorder2(col("x"), col("y")), 2).as("d"))
+      .collect()
+    assert(nul(0).isNullAt(0))
+    intercept[IllegalArgumentException] { Layout.zorderDecode(col("x"), 5) }
+  }
+
   test("zorder3 clusters a 3-D grid: same-octant keys are contiguous") {
     import spark.implicits._
     val grid = for { x <- 0 to 3; y <- 0 to 3; z <- 0 to 3 }
