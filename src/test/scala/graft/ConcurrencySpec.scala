@@ -17,10 +17,13 @@ class ConcurrencySpec extends AnyFunSuite with SparkTestSession {
 
   private val dir = "/root/testdata/sf0.001"
   // round-7 additions: x47 (vocab checkpoint + total collect), x51 (two-pass
-  // prefix scan with driver-held offsets), x52 (the whole funnel chain)
+  // prefix scan with driver-held offsets), x52 (the whole funnel chain);
+  // round-10: x122 (adaptive-count sampling + three localCheckpoints + the
+  // banded/brute double run — the newest eager-internal composition)
   private val picked = Seq("x02_dedup_ngram_jaccard", "x24_dedup_clusters",
     "x36_heavy_hitters", "q21_pipeline_enrich",
-    "x47_lm_quality", "x51_token_budget", "x52_corpus_funnel")
+    "x47_lm_quality", "x51_token_budget", "x52_corpus_funnel",
+    "x122_simhash_invariants")
 
   test("4 eager-internal queries concurrently == serially, twice over") {
     implicit val ec: ExecutionContext = ExecutionContext.global
