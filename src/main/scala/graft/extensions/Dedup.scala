@@ -696,8 +696,14 @@ object Dedup {
         transform(col("__st"), s => s.getField("tok")).as("toks"),
         size(col("__st")).cast("long").as("sz"))
       .localCheckpoint(eager = false)   // prefix explode + both verify sides
-    // prefix length |d| − ⌈t·|d|⌉ + 1  (integral ceil; ≥ 1 whenever sz ≥ 1)
-    val prefLen = col("sz") - ((lit(t) * col("sz") + 99L) / 100L) + 1L
+    // prefix length |d| − ⌈t·|d|⌉ + 1  (integral ceil; ≥ 1 whenever sz ≥ 1).
+    // floor() is REQUIRED: Column `/` is double division, and the bare
+    // quotient fed to slice() used to truncate the whole expression — a
+    // one-token-short prefix that silently broke the losslessness theorem
+    // (sf0.001 caught pair (33,436): shared prefix token at exactly the
+    // boundary position the shortened prefix dropped).
+    val prefLen =
+      col("sz") - floor((lit(t) * col("sz") + 99L) / 100L).cast("long") + 1L
     val pre = sorted.select(col("id"), col("sz"),
       explode(slice(col("toks"), lit(1), prefLen.cast("int"))).as("tok"))
     val cand = pre.as("l").join(pre.as("r").hint("shuffle_hash"), Seq("tok"))

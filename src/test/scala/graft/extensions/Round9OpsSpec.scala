@@ -97,6 +97,23 @@ class Round9OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(brute.count() > 0)   // non-vacuous at this threshold
   }
 
+  test("prefixJaccardPairs ceil-boundary prefix keeps the (9,8)-set pair") {
+    import spark.implicits._
+    // the round-10 regression shape (sf0.001 pair 33/436): |A| = 9, |B| = 8
+    // shared tokens at t = 0.8 — J = 8/9 ≥ 0.8 — where A's one UNSHARED
+    // token is the globally rarest, so the only shared prefix token sits at
+    // EXACTLY position ⌈t·|A|⌉-boundary. A double-division prefix length
+    // truncated this prefix one short and silently dropped the pair.
+    val shared = ('a' to 'h').map(c => s"w$c$c")
+    val a = ("uniqueword" +: shared).mkString(" ")
+    val b = shared.mkString(" ")
+    val df = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val out = Dedup.prefixJaccardPairs(df, col("doc_id"), col("text"),
+        thresholdPct = 80, n = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((1L, 2L, 0.888889)))
+  }
+
   // --- TextAnalysis.boilerplateProfile --------------------------------------
 
   test("boilerplateProfile flags cross-doc repeated passages per group") {
