@@ -4,12 +4,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // engine defaults (Sessions): UTC, nanos-as-long, AQE skew-join split —
+    // the bench measures the configuration users actually get
+    val spark = Sessions.localBuilder(cpus)
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm-up (untimed): session/codegen/scan initialization costs ~4s and
@@ -40,26 +38,31 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty)
-    // dev knob: SPARK_GRAFT_REPS=N runs each query N times and reports the
-    // per-query MEDIAN — the round-10 variance study showed single-sample
-    // per-query numbers on the shared VM jitter up to ~6× (x51: 5.9 s
-    // in-sweep vs 1.0 s isolated, same code), so scale-ratio work should
-    // use medians. Default 1: the driver's per-round run is unchanged.
+    // SPARK_GRAFT_REPS=N runs each query N times and reports the per-query
+    // MEDIAN — the round-10 variance study showed single-sample per-query
+    // numbers on the shared VM jitter up to ~6× (x51: 5.9 s in-sweep vs
+    // 1.0 s isolated, same code). Default 3 since round 11: the driver's
+    // per-round artifact is median-native, so a VM-load spike during one
+    // rep no longer reads as a regression (the round-10 driver tail cost a
+    // full re-derivation to dismiss). Set SPARK_GRAFT_REPS=1 for a quick
+    // single-pass sweep.
     val reps = math.max(1,
-      sys.env.get("SPARK_GRAFT_REPS").flatMap(_.toIntOption).getOrElse(1))
+      sys.env.get("SPARK_GRAFT_REPS").flatMap(_.toIntOption).getOrElse(3))
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
       .map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+      val timed = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         // noop sink, not count(): count() lets Catalyst prune deterministic
         // projections, so a projection-only query would benchmark an empty
         // scan — the noop write materializes every output column.
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          if (!failed.contains(name)) failed += name
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-        }
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            if (!failed.contains(name)) failed += name
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            false
+          }
         val dt = (System.nanoTime() - t0) / 1e9
         // Isolation (untimed): drop every cached block a query left behind —
         // catalog cache (Dataset.persist) AND RDD-level blocks
@@ -73,8 +76,16 @@ object Bench {
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = true))
         spark.catalog.clearCache()
-        dt
-      }.sorted
+        (dt, ok)
+      }
+      // median over SUCCESSFUL reps only: a throwing rep fast-fails in
+      // near-zero time, and letting it into the vector would report an
+      // intermittently-failing query as misleadingly fast while only
+      // stderr recorded the failure. All-failed queries keep their raw
+      // times (the query is already in `failed`, which flags the number
+      // as not-a-measurement).
+      val okTimes = timed.collect { case (dt, true) => dt }
+      val times = (if (okTimes.nonEmpty) okTimes else timed.map(_._1)).sorted
       name -> times(times.size / 2) // median (upper on even n)
     }
     // 3-decimal precision keeps the one-line JSON short enough to survive
@@ -85,7 +96,7 @@ object Bench {
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"reps":$reps,"sf":"$sfDir"}""")
     if (failed.nonEmpty) System.err.println(s"[bench] ${failed.size} queries FAILED: ${failed.mkString(", ")}")
     spark.stop()
   }

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The engine's verified session defaults — ONE place where probe-proven
+  * configuration lives, so every entry point (Bench, Verify, JobRunner,
+  * user sessions built through [[localBuilder]]) runs the configuration the
+  * scale probes validated instead of rediscovering it per call site.
+  *
+  * Why these specific settings:
+  *
+  *   - **AQE skew-join split, forced**: the planted-skew probe
+  *     (`SKEWPROBE_r10.json` + SkewStressSpec) proved that a hot blocking
+  *     key holding ~30% of a blocked pair join's rows runs as ONE task
+  *     without the split and as 17 with it — 3.4× wall-clock on the probe,
+  *     unboundedly worse at 100 TB where a single hot LSH bucket / domain /
+  *     deletion-variant block is a certainty, not a risk.
+  *     `forceOptimizeSkewedJoin` additionally lets the split proceed when it
+  *     introduces an extra shuffle — at engine shapes (shuffled-hash pair
+  *     joins whose reduce side dwarfs the exchange) that trade is always
+  *     right. Neither flag changes results, only task partitioning; both
+  *     only activate when the runtime detects an actually-skewed partition
+  *     (≥ `skewedPartitionFactor` × median AND ≥ threshold bytes), so
+  *     balanced workloads plan exactly as before.
+  *   - **UTC session timezone**: every timestamp format/parse contract in
+  *     the engine (F6, archive sorts, windows) is pinned to UTC; a session
+  *     inheriting a machine-local zone would silently shift them.
+  *   - **Parquet TIMESTAMP(NANOS) as long**: the driver's `events.parquet`
+  *     carries nanosecond timestamps, which vanilla Spark rejects at scan
+  *     time; the engine reads them as nanos-since-epoch longs and converts
+  *     in the query layer (ParityQueries.events). Static conf — builder
+  *     path only.
+  *
+  * Deliberately NOT here: parallelism sizing (`master`,
+  * `spark.sql.shuffle.partitions`, memory) — those are deployment choices
+  * that must come from the caller/cluster manager, not a library.
+  */
+object Sessions {
+
+  /** Defaults settable on a LIVE session (`spark.conf.set`). Applied by
+    * every engine entry point; safe to re-apply.
+    */
+  val runtimeDefaults: Seq[(String, String)] = Seq(
+    "spark.sql.session.timeZone" -> "UTC",
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true")
+
+  /** Static SQL confs — only effective at session build time. */
+  val staticDefaults: Seq[(String, String)] = Seq(
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true")
+
+  /** Set the runtime-settable engine defaults on an existing session and
+    * return it. JobRunner calls this at its entry points: a pipeline run
+    * under a caller-provided session still gets the probe-verified skew
+    * handling. Overrides are intentional — these are the engine's contract,
+    * and a caller who needs different values sets them after the call.
+    */
+  def applyRuntimeDefaults(spark: SparkSession): SparkSession = {
+    runtimeDefaults.foreach { case (k, v) => spark.conf.set(k, v) }
+    spark
+  }
+
+  /** A builder pre-loaded with every engine default (runtime + static) for
+    * a `local[cpus]` session — the shape Bench/Verify/tests use. Callers
+    * append sizing (`shuffle.partitions`) and call `.getOrCreate()`.
+    */
+  def localBuilder(cpus: String): SparkSession.Builder = {
+    val b = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.ui.enabled", "false")
+    (runtimeDefaults ++ staticDefaults).foldLeft(b) {
+      case (acc, (k, v)) => acc.config(k, v)
+    }
+  }
+}

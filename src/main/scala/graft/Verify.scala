@@ -7,14 +7,11 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // engine defaults (Sessions): UTC, nanos-as-long (events.parquet carries
+    // TIMESTAMP(NANOS), converted in ParityQueries.events), AQE skew split —
+    // the oracle gate runs the same configuration users get
+    val spark = Sessions.localBuilder(cpus)
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // events.parquet carries TIMESTAMP(NANOS) which vanilla Spark rejects;
-      // read as long nanos, converted in the query layer (ParityQueries.events).
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -124,6 +124,9 @@ object JobRunner {
     */
   def runJob(spark: SparkSession, jobDir: String, inputDir: String, spec: JobSpec,
       clientFactory: () => Enrich.ModelClient = () => new Enrich.MockModelClient()): JobResult = {
+    // pipeline runs under the engine's probe-verified defaults (AQE skew
+    // split, UTC) even on a caller-built session — see graft.Sessions
+    graft.Sessions.applyRuntimeDefaults(spark)
     val resultsDir = Paths.get(jobDir, "results")
     Files.createDirectories(resultsDir)
 

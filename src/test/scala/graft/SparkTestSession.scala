@@ -5,13 +5,11 @@ import org.apache.spark.sql.SparkSession
 /** One shared local session for all suites (session startup dominates test time). */
 object SparkTestSession {
   lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
+    // built through the engine's defaults object so every suite exercises
+    // the configuration users get (AQE skew split, UTC, nanos-as-long)
+    val s = Sessions.localBuilder("4")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

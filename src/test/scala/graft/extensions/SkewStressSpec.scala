@@ -57,10 +57,19 @@ class SkewStressSpec extends AnyFunSuite with SparkTestSession {
     val smallBlocks = (1 to n).filter(_ > hot).groupBy(_ % 200).map(_._2.size)
     val expected = hot.toLong * (hot - 1) / 2 +
       smallBlocks.map(s => s.toLong * (s - 1) / 2).sum
+    // The skew-split ENABLEMENT comes from the engine defaults
+    // (graft.Sessions, baked into the shared test session) — this test only
+    // scales the SIZE thresholds down to test-data scale. If the defaults
+    // ever regress (the round-10 gap: the probe-verified flags lived in a
+    // spec, not the shipped sessions), the plan assertion below fails.
+    val defaults = graft.Sessions.runtimeDefaults.toMap
+    assert(defaults.get("spark.sql.adaptive.skewJoin.enabled").contains("true"))
+    assert(defaults.get("spark.sql.adaptive.forceOptimizeSkewedJoin").contains("true"))
+    assert(spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true",
+      "test session does not carry the engine skew defaults")
     // threshold -2 keeps every in-block pair: the count is the closed form
     withConfs(
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
-      "spark.sql.adaptive.skewJoin.enabled" -> "true",
       "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
       "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32k",
       "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16k") {
