@@ -56,8 +56,13 @@ object Drift {
       .withColumn("__na", sum(col("__ca")).over(wAll))
       .withColumn("__nb", sum(col("__cb")).over(wAll))
     // enforced envelope: cum·total products are bounded by n_a·n_b, so
-    // n_a ≤ (2⁶³−1) div n_b guarantees every Long product below is exact
-    val safe = col("__na") <= lit(Long.MaxValue) / greatest(col("__nb"), lit(1L))
+    // n_a ≤ (2⁶³−1) div n_b guarantees every Long product below is exact.
+    // INTEGRAL `div`, not Column `/`: double division rounds the quotient
+    // near 2⁶³ (ulp ≈ 1024 there), which could admit n_a values whose
+    // products slightly overflow — the same double-division pitfall the
+    // round-10 prefix-length fix in Dedup.prefixJaccardPairs closed
+    val safe = col("__na") <=
+      expr("9223372036854775807 div greatest(__nb, CAST(1 AS BIGINT))")
     val term = when(safe,
       abs(col("__cumA") * col("__nb") - col("__cumB") * col("__na")))
       .otherwise(raise_error(concat(

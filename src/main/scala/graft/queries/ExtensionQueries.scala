@@ -4244,7 +4244,11 @@ object ExtensionQueries {
   // ---------------------------------------------------------------------------
   private def x121(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"),
-        col("n_chars").as("x"),
+        // pmod into zorder3's 21-bit dim range (like every other dim here):
+        // a raw n_chars ≥ 2^21 would make zorder3 yield NULL while the
+        // oracle's literal mask chain silently truncates and emits a key —
+        // a data-dependent mismatch lying in wait for a >2M-char document
+        pmod(col("n_chars"), lit(1 << 21)).as("x"),
         pmod(col("doc_id"), lit(1 << 21)).as("y"),
         pmod(col("doc_id") * 7, lit(1 << 21)).as("z"),
         pmod(col("doc_id"), lit(1 << 15)).as("w"))
@@ -4272,7 +4276,8 @@ object ExtensionQueries {
       }
     def c3(src: String) = chain(spread3, 0x1FFFFFL, src)
     def c4(src: String) = chain(spread4, 0x7FFFL, src)
-    s"""WITH t AS (SELECT doc_id, n_chars AS x, doc_id % ${1 << 21} AS y,
+    s"""WITH t AS (SELECT doc_id, n_chars % ${1 << 21} AS x,
+              doc_id % ${1 << 21} AS y,
               (doc_id * 7) % ${1 << 21} AS z, doc_id % ${1 << 15} AS w
            FROM documents)
        SELECT doc_id, x, y, z, w,
@@ -4384,9 +4389,12 @@ object ExtensionQueries {
     val rsd = 0.05
     val prof = graft.ops.Cardinality.approxDistinctProfile(
       docs(s, dir), col("source"), col("n_chars"), rsd)
-    val exact = docs(s, dir).groupBy(col("source").as("grp"))
+    val exact = docs(s, dir).groupBy(col("source").as("__eg"))
       .agg(countDistinct(col("n_chars")).as("exact_distinct"))
-    prof.join(broadcast(exact), Seq("grp")) // enum-scale group relation
+    // null-safe <=> join: approxDistinctProfile's contract says NULL groups
+    // form their own group, and the oracle's GROUP BY emits the NULL row —
+    // an equi-join would silently drop it if `source` were ever NULL
+    prof.join(broadcast(exact), col("grp") <=> col("__eg")) // enum-scale
       .select(col("grp").as("source"), col("n_rows"), col("exact_distinct"),
         (abs(col("approx_distinct") - col("exact_distinct")) <=
           greatest(round(lit(4 * rsd) * col("exact_distinct")), lit(2L)))

@@ -63,8 +63,14 @@ object StreamingCardinality {
     val spark = events.sparkSession
     import spark.implicits._
     val base = events
+      // NULL values are dropped BEFORE hashing: xxhash64(NULL) returns the
+      // seed hash, which would count NULL as one distinct value and bump
+      // n_events — while the batch twin (Cardinality.approxDistinctProfile,
+      // i.e. approx_count_distinct) ignores NULLs. Stream ≡ batch on
+      // nullable value columns requires the same exclusion here; n_events
+      // therefore counts NON-NULL-valued events only.
+      .filter(key.isNotNull && value.isNotNull)
       .select(key.cast("string").as("key"), xxhash64(value).as("h"))
-      .filter(col("key").isNotNull)
       .as[CEv]
     val m = 1 << p
     base.groupByKey(_.key)

@@ -67,4 +67,43 @@ class StreamingCardinalitySpec extends AnyFunSuite with SparkTestSession {
   test("estimator helper: empty registers say 0") {
     assert(StreamingCardinality.estimate(new Array[Byte](4096)) == 0L)
   }
+
+  test("NULL values are not counted as a distinct value (batch-twin parity)") {
+    // xxhash64(NULL) would hash to the seed — without the pre-hash filter a
+    // NULL value read as one distinct value and bumped n_events, while the
+    // batch twin (approx_count_distinct) ignores NULLs entirely
+    val src = MemoryStream[(String, Option[Long])]
+    val q = StreamingCardinality
+      .distinctCountStream(src.toDF().toDF("key", "v"), col("key"), col("v"))
+      .writeStream.format("memory").queryName("cardnull").outputMode("append")
+      .start()
+    try {
+      src.addData(("k", Some(1L)), ("k", Some(2L)), ("k", None), ("k", None))
+      q.processAllAvailable()
+      // 2 distinct non-null values; the two NULL-valued events count nowhere
+      assert(latest("cardnull")("k") == ((2L, 2L)))
+    } finally q.stop()
+  }
+
+  test("stream and batch estimates both land in the exact count's envelope") {
+    // The stream estimator (classic HLL over xxhash64, p=12) and the batch
+    // twin (Spark's HLL++ in approx_count_distinct) use DIFFERENT register
+    // schemes — estimate EQUALITY is not the contract (COVERAGE documents
+    // the divergence bound). What is pinned: each estimator independently
+    // lands within ~3 standard errors (3·1.04/√4096 ≈ 4.9%) of the exact
+    // distinct count, so their mutual divergence is bounded by the sum of
+    // envelopes on ANY corpus, not just this one.
+    val n = 5000
+    val data = (1 to 3 * n).map(i => ("k", (i % n).toLong))
+    val (events, streamEst) = run("cardpar", Seq(data))("k")
+    assert(events == 3L * n)
+    val batchEst = data.toDF("key", "v")
+      .agg(approx_count_distinct(col("v"), 0.0163).as("e")) // rsd at p=12
+      .collect()(0).getLong(0)
+    val env = math.ceil(3 * 1.04 / math.sqrt(4096) * n).toLong
+    assert(math.abs(streamEst - n) <= env,
+      s"stream estimate $streamEst outside exact±$env")
+    assert(math.abs(batchEst - n) <= env,
+      s"batch estimate $batchEst outside exact±$env")
+  }
 }
