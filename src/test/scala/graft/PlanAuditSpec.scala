@@ -97,6 +97,20 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("rank-filter windows push into a WindowGroupLimit (x05, x123)") {
+    // the per-group rank ≤ k shape (top-k neighbors, fixed-k strata) must
+    // plan Spark's group-limit pushdown: without it, one corpus-scale
+    // stratum buffers ENTIRELY in its window task before the filter runs —
+    // the guard for the one-giant-stratum case at 100 TB. WindowGroupLimit
+    // keeps only k rows per group on each side of the shuffle.
+    for (name <- Seq("x05_embed_topk_cosine", "x123_fixedk_sample")) {
+      val plan = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.explainString(FormattedMode)
+      assert(plan.contains("WindowGroupLimit"),
+        s"$name rank filter did not push into a WindowGroupLimit:\n$plan")
+    }
+  }
+
   test("blocklist fold-back is a broadcast + hinted hash join (x58)") {
     val plan = SparkEntry.queries("x58_domain_blocklist")(spark, dir)
       .queryExecution.explainString(FormattedMode)
