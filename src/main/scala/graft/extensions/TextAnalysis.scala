@@ -1,6 +1,7 @@
 package graft.extensions
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for LLM training-data pipelines (north-star
@@ -187,6 +188,79 @@ object TextAnalysis {
     tagged
       .join(sizes.hint("shuffle_hash"), cond)
       .withColumn("suppress", col("sens_diversity") < l)
+      .drop(names ++ sNames: _*)
+  }
+
+  /** t-closeness audit — the third rung of the privacy-release ladder after
+    * [[kAnonymity]] and [[lDiversity]] (Li, Li & Venkatasubramanian 2007):
+    * a QI class can be k-large AND l-diverse yet still leak by SKEW — if
+    * 90% of one class shares a sensitive value that is rare globally, an
+    * attacker learns a lot from class membership alone. The audit: per QI
+    * class, the total-variation distance between the class's sensitive-value
+    * distribution and the global one,
+    * `tv = ½ · Σ_s |c_s/n − g_s/N|`, flagged when it exceeds `t`.
+    *
+    * Arithmetic contract: counts are exact integers; the per-value term is
+    * the cross-multiplied `|c_s·N − g_s·n|` in decimal(38,0) (≡ DuckDB
+    * HUGEINT — products are ≤ N², inside 38 digits for any corpus under
+    * 10^19 rows), summed per class; values ABSENT from a class contribute
+    * their full global mass via the closed form `(N − Σ_{s∈class} g_s)·n`
+    * — no dense (class × value) grid is ever materialized. Only the final
+    * ratio is float, rounded to 6 dp; `suppress` compares the ROUNDED
+    * distance (round-then-compare, the engine-wide boundary contract).
+    *
+    * NULL contract: NULL sensitive values are no disclosure — they are
+    * excluded from both distributions (same stance as [[lDiversity]]'s
+    * countDistinct) but their rows keep their class's verdict; a class with
+    * zero non-null sensitive rows has no distribution → NULL tv, suppress
+    * false. NULL quasi values are legitimate class members (`<=>` join,
+    * same contract as the siblings).
+    *
+    * Scale design: one (QI, sensitive) map-side-combined aggregate collapses
+    * the corpus; the class size rides an unbounded window over the SAME QI
+    * partitioning (no second corpus pass — the ksDrift idiom); the global
+    * distribution is sensitive-enum-scale and broadcasts; one QI-keyed
+    * re-aggregate, then the standard shuffle-hash join back to rows.
+    */
+  def tCloseness(df: DataFrame, quasi: Seq[Column], sensitive: Column,
+      t: Double): DataFrame = {
+    require(quasi.nonEmpty, "tCloseness needs at least one quasi-identifier")
+    require(t > 0.0 && t < 1.0, s"t must be in (0,1), got $t")
+    val qiCols = quasi.zipWithIndex.map { case (c, i) => c.as(s"__qi$i") }
+    val names = qiCols.indices.map(i => s"__qi$i")
+    val sNames = qiCols.indices.map(i => s"__qs$i")
+    val tagged = df.select(col("*") +: qiCols: _*)
+    val cell = tagged.filter(sensitive.isNotNull)
+      .groupBy(names.map(col) :+ sensitive.as("__s"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val wCls = Window.partitionBy(names.map(col): _*)
+    val global = cell.groupBy(col("__s")).agg(sum(col("__c")).as("__g"))
+    // the re-select breaks the shared-lineage attribute ambiguity the bare
+    // 1-row aggregate hits when cross-joined back over its own source
+    val tot = cell.agg(sum(col("__c")).as("__t"))
+      .select(col("__t").as("__totN"))
+    def d(c: Column): Column = c.cast("decimal(38,0)")
+    val perClass = cell
+      .withColumn("__n", sum(col("__c")).over(wCls))
+      .join(broadcast(global), Seq("__s"))
+      .crossJoin(broadcast(tot)) // 1-row total
+      .withColumn("__term",
+        abs(d(col("__c")) * d(col("__totN")) - d(col("__g")) * d(col("__n"))))
+      .groupBy(names.map(col): _*)
+      .agg(max(col("__n")).as("__n"), sum(col("__term")).as("__sumabs"),
+        sum(col("__g")).as("__cov"), max(col("__totN")).as("__NN"))
+      .withColumn("tv_distance", round(
+        (col("__sumabs") + (d(col("__NN")) - d(col("__cov"))) * d(col("__n")))
+          .cast("double") /
+          (lit(2.0) * col("__n").cast("double") * col("__NN").cast("double")),
+        6))
+      .select((names.zip(sNames).map { case (n, sn) => col(n).as(sn) } :+
+        col("__n").as("qi_class_nonnull") :+ col("tv_distance")): _*)
+    val cond = names.zip(sNames).map { case (n, sn) => col(n) <=> col(sn) }
+      .reduce(_ && _)
+    tagged
+      .join(perClass.hint("shuffle_hash"), cond, "left")
+      .withColumn("suppress", coalesce(col("tv_distance") > t, lit(false)))
       .drop(names ++ sNames: _*)
   }
 

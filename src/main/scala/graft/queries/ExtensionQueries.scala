@@ -4407,6 +4407,52 @@ object ExtensionQueries {
               TRUE AS approx_ok
        FROM documents GROUP BY 1"""
 
+  // ---------------------------------------------------------------------------
+  // X125 — t-closeness audit (TextAnalysis.tCloseness): the third rung of
+  // the privacy ladder after k-anonymity (x95) and l-diversity (x111) — a
+  // (lang, length-band) class leaks by SKEW when its source distribution
+  // diverges from the corpus-wide one. Exact integer cross-multiplied
+  // total-variation distance (decimal(38,0) ≡ HUGEINT), absent values via
+  // the closed form (N − cov)·n — no dense grid; only the final ratio is
+  // float, round-6.
+  // ---------------------------------------------------------------------------
+  private def x125(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tCloseness(
+      docs(s, dir).select(col("doc_id"), col("lang"),
+        when(col("n_chars") < 400, lit("short")).otherwise(lit("long"))
+          .as("band"),
+        col("source")),
+      Seq(col("lang"), col("band")), col("source"), t = 0.15)
+
+  private val x125Sql =
+    """WITH b AS (SELECT doc_id, lang,
+              CASE WHEN n_chars < 400 THEN 'short' ELSE 'long' END AS band,
+              source FROM documents),
+         cell AS (SELECT lang, band, source AS s,
+                    CAST(count(*) AS HUGEINT) AS c
+                  FROM b WHERE source IS NOT NULL GROUP BY 1, 2, 3),
+         g AS (SELECT s, sum(c) AS gcnt FROM cell GROUP BY 1),
+         t AS (SELECT sum(c) AS ntot FROM cell),
+         w AS (SELECT cell.lang, cell.band, cell.c,
+                      sum(cell.c) OVER (PARTITION BY cell.lang, cell.band)
+                        AS ncls,
+                      g.gcnt, t.ntot
+               FROM cell JOIN g USING (s) CROSS JOIN t),
+         cls AS (SELECT lang, band, max(ncls) AS ncls,
+                        sum(abs(c * ntot - gcnt * ncls)) AS sumabs,
+                        sum(gcnt) AS cov, max(ntot) AS ntot
+                 FROM w GROUP BY 1, 2),
+         tv AS (SELECT lang, band, CAST(ncls AS BIGINT) AS qi_class_nonnull,
+                       round(CAST(sumabs + (ntot - cov) * ncls AS DOUBLE) /
+                             (2.0 * CAST(ncls AS DOUBLE) *
+                              CAST(ntot AS DOUBLE)), 6) AS tv_distance
+                FROM cls)
+       SELECT b.doc_id, b.lang, b.band, b.source, tv.qi_class_nonnull,
+              tv.tv_distance,
+              coalesce(tv.tv_distance > 0.15, FALSE) AS suppress
+       FROM b LEFT JOIN tv ON b.lang IS NOT DISTINCT FROM tv.lang
+                          AND b.band IS NOT DISTINCT FROM tv.band"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_dedup_exact" -> x1 _,
     "x02_dedup_ngram_jaccard" -> x2 _,
@@ -4531,7 +4577,8 @@ object ExtensionQueries {
     "x121_zorder_multi" -> x121 _,
     "x122_simhash_invariants" -> x122 _,
     "x123_fixedk_sample" -> x123 _,
-    "x124_approx_distinct" -> x124 _
+    "x124_approx_distinct" -> x124 _,
+    "x125_t_closeness" -> x125 _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -4649,6 +4696,7 @@ object ExtensionQueries {
     "x121_zorder_multi" -> x121Sql,
     "x122_simhash_invariants" -> x122Sql,
     "x123_fixedk_sample" -> x123Sql,
-    "x124_approx_distinct" -> x124Sql
+    "x124_approx_distinct" -> x124Sql,
+    "x125_t_closeness" -> x125Sql
   )
 }

@@ -102,6 +102,68 @@ class FuzzyAndAuditOpsSpec extends AnyFunSuite with SparkTestSession {
 
   // --- TextAnalysis.lDiversity ----------------------------------------------
 
+  test("tCloseness: exact TV distance per class, null contracts, strict-> boundary") {
+    import spark.implicits._
+    // classes: A skewed toward s1 (plus one NULL-sensitive row that must
+    // inherit A's verdict without joining the distribution), B skewed to s2,
+    // D balanced, E holding a value absent everywhere else (exercises the
+    // (N−cov)·n closed form), C all-NULL (no distribution), and a NULL-QI
+    // class (legitimate class per the <=> contract)
+    val rows: Seq[(Option[String], Option[String])] = Seq(
+      Some("A") -> Some("s1"), Some("A") -> Some("s1"), Some("A") -> Some("s1"),
+      Some("A") -> Some("s2"), Some("A") -> None,
+      Some("B") -> Some("s1"), Some("B") -> Some("s2"), Some("B") -> Some("s2"),
+      Some("B") -> Some("s2"),
+      Some("D") -> Some("s1"), Some("D") -> Some("s2"),
+      Some("E") -> Some("s3"), Some("E") -> Some("s3"),
+      Some("C") -> None, Some("C") -> None,
+      None -> Some("s1"))
+    // independent integer-arithmetic reference (BigInt cross-multiply, one
+    // final double division — the operator's documented contract)
+    val nn = rows.collect { case (q, Some(s)) => (q, s) }
+    val bigN = BigInt(nn.size)
+    val g = nn.groupBy(_._2).view.mapValues(v => BigInt(v.size)).toMap
+    def refTv(q: Option[String]): Option[Double] = {
+      val cs = nn.filter(_._1 == q).groupBy(_._2)
+        .view.mapValues(v => BigInt(v.size)).toMap
+      if (cs.isEmpty) None else {
+        val n = cs.values.sum
+        val sumabs = cs.map { case (s, c) => (c * bigN - g(s) * n).abs }.sum
+        val extra = (bigN - cs.keys.map(g).sum) * n
+        Some(BigDecimal((sumabs + extra).toDouble /
+          (2.0 * n.toDouble * bigN.toDouble))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }
+    val out = TextAnalysis.tCloseness(rows.toDF("qi", "sens"),
+        Seq(col("qi")), col("sens"), t = 0.2)
+      .select(col("qi"), col("sens"), col("tv_distance"), col("suppress"))
+      .collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)),
+        Option(r.get(2)).map(_.asInstanceOf[Double]), r.getBoolean(3)))
+    assert(out.length == rows.size, "join-back must preserve every row")
+    for ((q, _, tv, sup) <- out) {
+      assert(tv == refTv(q), s"class $q: engine $tv vs reference ${refTv(q)}")
+      assert(sup == tv.exists(_ > 0.2), s"class $q suppress")
+    }
+    val tvByClass = out.map(o => o._1 -> o._3).toMap
+    // E's 2-row own-value class is maximally skewed; D is near-balanced
+    assert(tvByClass(Some("E")).exists(_ > 0.8))
+    assert(tvByClass(Some("C")).isEmpty) // no distribution → NULL tv
+    assert(!out.exists(o => o._1 == Some("C") && o._4)) // …and never suppressed
+    // NULL-sensitive member of A carries A's class verdict
+    val aNull = out.find(o => o._1 == Some("A") && o._2.isEmpty).get
+    assert(aNull._3 == refTv(Some("A")))
+    // strict-> boundary: with t set exactly to a class's rounded tv, that
+    // class is NOT suppressed (round-then-compare, > not >=)
+    val tA = refTv(Some("A")).get
+    val atBoundary = TextAnalysis.tCloseness(rows.toDF("qi", "sens"),
+        Seq(col("qi")), col("sens"), t = tA)
+      .filter(col("qi") === "A").select("suppress")
+      .collect().map(_.getBoolean(0))
+    assert(atBoundary.nonEmpty && atBoundary.forall(_ == false))
+  }
+
   test("lDiversity flags homogeneous classes, counts distinct non-null") {
     import spark.implicits._
     // class (x): 3 rows, sens {s1,s1,s2} -> diversity 2 -> suppress at l=3
