@@ -4453,6 +4453,27 @@ object ExtensionQueries {
        FROM b LEFT JOIN tv ON b.lang IS NOT DISTINCT FROM tv.lang
                           AND b.band IS NOT DISTINCT FROM tv.band"""
 
+  // ---------------------------------------------------------------------------
+  // X126 — approx-quantile audit (ops.Quantiles.approxQuantileProfile):
+  // x124's distribution-shaped sibling. Per-source GK sketch percentiles of
+  // n_chars at 250/500/900 permille, each estimate's exact rank pinned
+  // in-plan inside the n/accuracy guarantee envelope. The estimate itself
+  // is merge-order-dependent (engine-specific) and stays out of the hashed
+  // columns; the exact counts and the envelope verdict are what DuckDB
+  // replays.
+  // ---------------------------------------------------------------------------
+  private def x126(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Quantiles.approxQuantileProfile(docs(s, dir), col("source"),
+      col("n_chars"), permilles = Seq(250, 500, 900), accuracy = 1000)
+      .withColumnRenamed("grp", "source")
+
+  private val x126Sql =
+    """SELECT source, p AS pct_permille, CAST(count(*) AS BIGINT) AS n_rows,
+              TRUE AS approx_ok
+       FROM documents CROSS JOIN (VALUES (250), (500), (900)) AS t(p)
+       WHERE n_chars IS NOT NULL
+       GROUP BY 1, 2"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_dedup_exact" -> x1 _,
     "x02_dedup_ngram_jaccard" -> x2 _,
@@ -4578,7 +4599,8 @@ object ExtensionQueries {
     "x122_simhash_invariants" -> x122 _,
     "x123_fixedk_sample" -> x123 _,
     "x124_approx_distinct" -> x124 _,
-    "x125_t_closeness" -> x125 _
+    "x125_t_closeness" -> x125 _,
+    "x126_approx_quantile" -> x126 _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -4697,6 +4719,7 @@ object ExtensionQueries {
     "x122_simhash_invariants" -> x122Sql,
     "x123_fixedk_sample" -> x123Sql,
     "x124_approx_distinct" -> x124Sql,
-    "x125_t_closeness" -> x125Sql
+    "x125_t_closeness" -> x125Sql,
+    "x126_approx_quantile" -> x126Sql
   )
 }
