@@ -44,7 +44,18 @@ object Sessions {
     "spark.sql.session.timeZone" -> "UTC",
     "spark.sql.adaptive.enabled" -> "true",
     "spark.sql.adaptive.skewJoin.enabled" -> "true",
-    "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true")
+    "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+    // Start every shuffle fine-grained and let AQE COALESCE down to the
+    // advisory size, instead of pinning shuffles to the static
+    // spark.sql.shuffle.partitions. Why this matters at scale: a
+    // shuffled-hash join's build side must FIT IN MEMORY per task, so a
+    // corpus-scale relation divided by a small static partition count
+    // OOMs exactly when the data grows (the round-11 sf10 probe hit this:
+    // the prefix-join verify's token-array build side at 32 partitions
+    // exceeded the executor heap; at 1024 initial partitions each build
+    // is 32× smaller and AQE merges them back wherever data is small).
+    // Small queries pay nothing — AQE coalesces to the same few tasks.
+    "spark.sql.adaptive.coalescePartitions.initialPartitionNum" -> "1024")
 
   /** Static SQL confs — only effective at session build time. */
   val staticDefaults: Seq[(String, String)] = Seq(

@@ -546,8 +546,9 @@ object ExtensionQueries {
        FROM documents"""
 
   // ---------------------------------------------------------------------------
-  // X24 — dedup cluster resolution: the x02 Jaccard pairs → connected
-  // components (min-label + pointer-jump propagation) → one survivor per
+  // X24 — dedup cluster resolution: exact Jaccard≥0.7 pairs (lossless
+  // prefix join since round 11; x02 still oracles the blocked generator) →
+  // connected components (min-label + pointer-jump propagation) → one survivor per
   // cluster (max n_chars, tie-break min doc_id). The DuckDB oracle re-derives
   // components with a recursive-CTE transitive closure — feasible at oracle
   // scale, which is exactly why the engine side uses the O(log n)-round
@@ -555,28 +556,42 @@ object ExtensionQueries {
   // ---------------------------------------------------------------------------
   private def x24(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val pairs = Dedup.ngramJaccardPairs(
-      d.filter(size(TextAnalysis.tokens(col("text"))) > 0),
-      col("doc_id"), col("text"),
-      concat(col("lang"), lit("|"), (col("n_chars") / 25).cast("long")),
-      n = 1, threshold = 0.7)
+    // round-11 scale fix (same as x56): prefix-filtered LOSSLESS pair join
+    // instead of the lang|length-band blocked join whose blocks grow with
+    // the corpus (quadratic onset measured by the sf10 probe). Candidates
+    // now bound by rare-shingle DF; the relation is the full bigram
+    // Jaccard≥0.7 set (cross-band pairs included — strictly better cluster
+    // resolution). n=3 — the library's shingle default — NOT unigrams or
+    // bigrams: prefix filtering prunes by shingle document frequency, and
+    // on this corpus the measured DF distribution is flat below n=3
+    // (ProbePrefixVolumes at sf0.1: 931 distinct bigrams, top prefix-DF
+    // 271, 2.75M distinct candidates for 256 true pairs — the n≤2 variant
+    // exceeded local disk at sf10; trigrams: 27k vocab, top prefix-DF 9,
+    // 104k candidates, same 256 pairs). Order-sensitive shingle Jaccard is
+    // also the stronger near-dup signal than a bag-of-words ratio.
+    val pairs = Dedup.prefixJaccardPairs(
+      d, col("doc_id"), col("text"), thresholdPct = 70, n = 3)
     Dedup.resolveClusters(d, col("doc_id"), -col("n_chars"), pairs)
       .select(col("doc_id"), col("component"), col("cluster_size"), col("is_survivor"))
   }
 
   private val x24Sql =
-    """WITH RECURSIVE t AS (
-         SELECT doc_id, lang || '|' || CAST(n_chars // 25 AS VARCHAR) AS block,
-                list_distinct(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS toks
-         FROM documents
-         WHERE len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) > 0),
+    """WITH RECURSIVE w AS (
+         SELECT doc_id,
+                list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS wtoks
+         FROM documents),
+       t AS (
+         SELECT doc_id,
+                list_distinct(list_transform(range(1, len(wtoks) - 1),
+                  i -> wtoks[i] || ' ' || wtoks[i+1] || ' ' || wtoks[i+2])) AS toks
+         FROM w WHERE len(wtoks) >= 3),
        p AS (
-         SELECT * FROM (
+         SELECT id_a, id_b FROM (
            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                  round(len(list_intersect(a.toks, b.toks)) * 1.0 /
-                        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 6) AS jaccard
-           FROM t a JOIN t b ON a.block = b.block AND a.doc_id < b.doc_id)
-         WHERE jaccard >= 0.7),
+                  len(list_intersect(a.toks, b.toks)) AS inter,
+                  len(a.toks) AS sza, len(b.toks) AS szb
+           FROM t a JOIN t b ON a.doc_id < b.doc_id)
+         WHERE inter * 100 >= 70 * (sza + szb - inter)),
        edges AS (SELECT id_a AS src, id_b AS dst FROM p
                  UNION SELECT id_b AS src, id_a AS dst FROM p),
        reach(src, dst) AS (
@@ -1788,9 +1803,22 @@ object ExtensionQueries {
         TextAnalysis.alphaRatio(col("text")) >= 0.6 &&
         TextAnalysis.dupLineFrac(col("text")) <= 0.3)
     val exactSurv = Dedup.exact(quality, col("text"), col("doc_id"))
-    val pairs = Dedup.ngramJaccardPairs(exactSurv, col("doc_id"), col("text"),
-      concat(col("lang"), lit("|"), (col("n_chars") / 25).cast("long")),
-      n = 1, threshold = 0.7)
+    // round-11 scale fix: the near-dup stage used the BLOCKED pair join on
+    // a lang|length-band key — but those blocks grow linearly with the
+    // corpus, so the in-block self-join is quadratic in scale factor (the
+    // sf10 probe measured the onset: 5.6× cost for a 3.3× data step while
+    // x101's prefix join stayed sublinear on the same corpus). The lossless
+    // prefix-filtered join produces every bigram-Jaccard≥0.7 pair — a
+    // relation with cross-band pairs included, which is better dedup —
+    // with candidates bounded by rare-SHINGLE document frequency instead
+    // of block size. n=3 (the library shingle default; not unigrams or
+    // bigrams): prefix filtering needs a long-tailed shingle-DF
+    // distribution to prune, and this corpus's measured DF is flat below
+    // n=3 (ProbePrefixVolumes: 931 distinct bigrams at sf0.1, 2.75M
+    // candidates for 256 true pairs — the n≤2 variant exceeded local disk
+    // at sf10; trigrams cut candidates 26× to 104k).
+    val pairs = Dedup.prefixJaccardPairs(exactSurv, col("doc_id"),
+      col("text"), thresholdPct = 70, n = 3)
     // keep the LONGEST variant of each near-dup cluster (tie: min doc_id) —
     // the same election x24 pins against the oracle
     val ndSurv = Dedup.clusterSurvivors(exactSurv, col("doc_id"),
@@ -1823,15 +1851,16 @@ object ExtensionQueries {
            WHERE mwl BETWEEN 3.0 AND 10.0 AND ar >= 0.6 AND dlf <= 0.3),
          dd AS (SELECT doc_id, source, lang, n_chars, text, toks FROM q
                 QUALIFY row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) = 1),
-         ts AS (SELECT doc_id, lang || '|' || CAST(n_chars // 25 AS VARCHAR) AS block,
-                list_distinct(toks) AS dtoks
-                FROM dd),
+         ts AS (SELECT doc_id,
+                  list_distinct(list_transform(range(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS dtoks
+                FROM dd WHERE len(toks) >= 3),
          p AS (SELECT id_a, id_b FROM (
              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                    round(len(list_intersect(a.dtoks, b.dtoks)) * 1.0 /
-                          (len(a.dtoks) + len(b.dtoks) - len(list_intersect(a.dtoks, b.dtoks))), 6) AS j
-             FROM ts a JOIN ts b ON a.block = b.block AND a.doc_id < b.doc_id)
-           WHERE j >= 0.7),
+                    len(list_intersect(a.dtoks, b.dtoks)) AS inter,
+                    len(a.dtoks) AS sza, len(b.dtoks) AS szb
+             FROM ts a JOIN ts b ON a.doc_id < b.doc_id)
+           WHERE inter * 100 >= 70 * (sza + szb - inter)),
          edges AS (SELECT id_a AS src, id_b AS dst FROM p
                    UNION SELECT id_b AS src, id_a AS dst FROM p),
          reach(src, dst) AS (
@@ -1868,29 +1897,33 @@ object ExtensionQueries {
   // ---------------------------------------------------------------------------
   private def x57(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val pairs = Dedup.ngramJaccardPairs(
-      d.filter(size(TextAnalysis.tokens(col("text"))) > 0),
-      col("doc_id"), col("text"),
-      concat(col("lang"), lit("|"), (col("n_chars") / 25).cast("long")),
-      n = 1, threshold = 0.7)
+    // same round-11 scale fix as x24/x56: lossless trigram prefix join, no
+    // corpus-growing block key (x57's components must stay identical to
+    // x24's — both sides now derive from the same global pair relation)
+    val pairs = Dedup.prefixJaccardPairs(
+      d, col("doc_id"), col("text"), thresholdPct = 70, n = 3)
     Sampling.clusterAwareSplit(d, col("doc_id"), pairs,
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "cs1")
       .select(col("doc_id"), col("component"), col("split"))
   }
 
   private val x57Sql =
-    """WITH RECURSIVE t AS (
-         SELECT doc_id, lang || '|' || CAST(n_chars // 25 AS VARCHAR) AS block,
-                list_distinct(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS toks
-         FROM documents
-         WHERE len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) > 0),
+    """WITH RECURSIVE w AS (
+         SELECT doc_id,
+                list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS wtoks
+         FROM documents),
+       t AS (
+         SELECT doc_id,
+                list_distinct(list_transform(range(1, len(wtoks) - 1),
+                  i -> wtoks[i] || ' ' || wtoks[i+1] || ' ' || wtoks[i+2])) AS toks
+         FROM w WHERE len(wtoks) >= 3),
        p AS (
-         SELECT * FROM (
+         SELECT id_a, id_b FROM (
            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                  round(len(list_intersect(a.toks, b.toks)) * 1.0 /
-                        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 6) AS jaccard
-           FROM t a JOIN t b ON a.block = b.block AND a.doc_id < b.doc_id)
-         WHERE jaccard >= 0.7),
+                  len(list_intersect(a.toks, b.toks)) AS inter,
+                  len(a.toks) AS sza, len(b.toks) AS szb
+           FROM t a JOIN t b ON a.doc_id < b.doc_id)
+         WHERE inter * 100 >= 70 * (sza + szb - inter)),
        edges AS (SELECT id_a AS src, id_b AS dst FROM p
                  UNION SELECT id_b AS src, id_a AS dst FROM p),
        reach(src, dst) AS (
