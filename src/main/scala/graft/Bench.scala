@@ -88,15 +88,30 @@ object Bench {
       val times = (if (okTimes.nonEmpty) okTimes else timed.map(_._1)).sorted
       name -> times(times.size / 2) // median (upper on even n)
     }
-    // 3-decimal precision keeps the one-line JSON short enough to survive
-    // log-tail capture (full-precision doubles pushed the line past the
-    // harvester's window in round 2 and the totals went unparsed)
+    // The stdout JSON line must fit INSIDE the driver's 2000-char log-tail
+    // window or it never parses: every BENCH_r01..r11.json carries
+    // "parsed": null because the full 153-query map (~6 KB even at 3-decimal
+    // precision) pushed the line's "metric" head past the tail capture. So
+    // stdout gets a COMPACT line — totals, failure list, and the headline
+    // q* per-query medians (~700 chars) — and the full per-query map goes
+    // to a detail file (SPARK_GRAFT_BENCH_DETAIL, default
+    // bench_detail.json in cwd) plus stderr for ad-hoc runs.
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
+    def qjson(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"reps":$reps,"sf":"$sfDir"}""")
+    val (headline, extended) = results.partition(_._1.startsWith("q"))
+    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qjson(results)},"failed":$failedJson,"reps":$reps,"sf":"$sfDir"}"""
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "bench_detail.json")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+        (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] detail write to $detailPath failed: $e")
+    }
+    System.err.println(fullLine)
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qjson(headline)},"x_total":${fmt(extended.map(_._2).sum)},"n_queries":${results.size},"failed":$failedJson,"reps":$reps,"sf":"$sfDir","detail":"$detailPath"}""")
     if (failed.nonEmpty) System.err.println(s"[bench] ${failed.size} queries FAILED: ${failed.mkString(", ")}")
     spark.stop()
   }

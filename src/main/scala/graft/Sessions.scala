@@ -62,14 +62,35 @@ object Sessions {
     "spark.sql.legacy.parquet.nanosAsLong" -> "true")
 
   /** Set the runtime-settable engine defaults on an existing session and
-    * return it. JobRunner calls this at its entry points: a pipeline run
-    * under a caller-provided session still gets the probe-verified skew
-    * handling. Overrides are intentional — these are the engine's contract,
-    * and a caller who needs different values sets them after the call.
+    * return it. For engine-owned sessions (Bench/Verify/tests) where the
+    * defaults should persist. Library entry points that borrow a CALLER's
+    * session must use [[withRuntimeDefaults]] instead — leaving the
+    * caller's conf permanently flipped (their AQE choice, their timezone)
+    * is a side effect they never asked for.
     */
   def applyRuntimeDefaults(spark: SparkSession): SparkSession = {
     runtimeDefaults.foreach { case (k, v) => spark.conf.set(k, v) }
     spark
+  }
+
+  /** Run `body` with the engine runtime defaults set on `spark`, then
+    * restore every touched key to the caller's prior value (or unset it if
+    * the caller never set it). The scoped form JobRunner uses: the pipeline
+    * itself runs under the probe-verified skew/UTC configuration, but a
+    * caller who deliberately disabled AQE or runs a non-UTC session gets
+    * their session back exactly as they configured it. Safe because the
+    * pipeline materializes its results eagerly (checkpoint) before the
+    * scope exits — nothing engine-shaped is left lazily pending on the
+    * restored conf.
+    */
+  def withRuntimeDefaults[A](spark: SparkSession)(body: => A): A = {
+    val saved = runtimeDefaults.map { case (k, _) => k -> spark.conf.getOption(k) }
+    runtimeDefaults.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
   }
 
   /** A builder pre-loaded with every engine default (runtime + static) for

@@ -79,7 +79,11 @@ object Quantiles {
       .withColumn("__eps",
         d(expr("1000 * n_rows div " + accuracy)) + d(lit(2000)))
       .withColumn("approx_ok",
-        d(col("__rank_lt")) * d(lit(1000)) <=
+        // the estimate's exact rank interval is [rank_lt + 1, rank_le]:
+        // the INTERVAL must intersect [target − eps, target + eps], so the
+        // minimum rank (rank_lt + 1, not rank_lt) bounds the upper side —
+        // rank_lt alone would be one rank looser than the doc'd guarantee
+        (d(col("__rank_lt")) + d(lit(1))) * d(lit(1000)) <=
           d(col("pct_permille")) * d(col("n_rows")) + col("__eps") &&
         d(col("__rank_le")) * d(lit(1000)) >=
           d(col("pct_permille")) * d(col("n_rows")) - col("__eps"))

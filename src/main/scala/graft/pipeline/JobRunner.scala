@@ -125,8 +125,12 @@ object JobRunner {
   def runJob(spark: SparkSession, jobDir: String, inputDir: String, spec: JobSpec,
       clientFactory: () => Enrich.ModelClient = () => new Enrich.MockModelClient()): JobResult = {
     // pipeline runs under the engine's probe-verified defaults (AQE skew
-    // split, UTC) even on a caller-built session — see graft.Sessions
-    graft.Sessions.applyRuntimeDefaults(spark)
+    // split, UTC) even on a caller-built session — SCOPED: the caller's
+    // own conf (their AQE choice, their timezone) is restored on exit, so
+    // borrowing their session doesn't permanently reconfigure it. The
+    // checkpoint below materializes eagerly, so nothing in the returned
+    // JobResult still depends on the engine conf after restore.
+    graft.Sessions.withRuntimeDefaults(spark) {
     val resultsDir = Paths.get(jobDir, "results")
     Files.createDirectories(resultsDir)
 
@@ -171,6 +175,7 @@ object JobRunner {
     ZipUtil.writeDeterministicZip(resultsDir.toString, zipPath)
 
     JobResult(results, cost, zipPath)
+    }
   }
 
   /** Full lifecycle: register/dedup the source, extract the stored artifact

@@ -15,9 +15,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * the stateful operator only ever sees longs; the state per key is one
   * dense HLL register array of 2^p bytes (+ a row counter) — absolutely
   * bounded, no timeout, no value retention. After every micro-batch each
-  * updated key re-emits `(key, n_events, approx_distinct)` stamped with
-  * its running event total (the [[StreamingHeavyHitters]] consumer
-  * contract: keep the newest stamp per key).
+  * updated key re-emits `(key, n_events, n_valued, approx_distinct)`
+  * stamped with its running event total (the [[StreamingHeavyHitters]]
+  * consumer contract: keep the newest stamp per key). `n_events` counts
+  * EVERY event for the key (NULL values included — the throughput
+  * signal); `n_valued` counts the non-NULL-valued subset the estimate is
+  * actually built from.
   *
   * Estimator: classic HLL (Flajolet et al. 2007) with the standard
   * small-range linear-counting correction; 64-bit hashes need no
@@ -29,14 +32,21 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingCardinality {
 
-  /** One emission: key, events so far, current distinct estimate. */
-  case class CardRow(key: String, n_events: Long, approx_distinct: Long)
+  /** One emission: key, events so far (every event for the key, NULL
+    * values included — the raw throughput/volume signal), non-NULL-valued
+    * events (the subset the estimate is built from), current distinct
+    * estimate.
+    */
+  case class CardRow(key: String, n_events: Long, n_valued: Long,
+      approx_distinct: Long)
 
-  /** Internal keyed event (public: Catalyst codegen instantiates it). */
-  case class CEv(key: String, h: Long)
+  /** Internal keyed event (public: Catalyst codegen instantiates it).
+    * `h` is None when the value was NULL — counted, never hashed.
+    */
+  case class CEv(key: String, h: Option[Long])
 
-  /** Dense HLL registers + event counter. */
-  case class HllState(regs: Array[Byte], n: Long)
+  /** Dense HLL registers + counters (all events / non-NULL-valued). */
+  case class HllState(regs: Array[Byte], n: Long, nValued: Long)
 
   /** HLL estimate from dense registers (standard alpha_m + linear count). */
   private[streaming] def estimate(regs: Array[Byte]): Long = {
@@ -63,35 +73,43 @@ object StreamingCardinality {
     val spark = events.sparkSession
     import spark.implicits._
     val base = events
-      // NULL values are dropped BEFORE hashing: xxhash64(NULL) returns the
-      // seed hash, which would count NULL as one distinct value and bump
-      // n_events — while the batch twin (Cardinality.approxDistinctProfile,
-      // i.e. approx_count_distinct) ignores NULLs. Stream ≡ batch on
-      // nullable value columns requires the same exclusion here; n_events
-      // therefore counts NON-NULL-valued events only.
-      .filter(key.isNotNull && value.isNotNull)
-      .select(key.cast("string").as("key"), xxhash64(value).as("h"))
+      // NULL values are excluded from HASHING but not from COUNTING:
+      // xxhash64(NULL) returns the seed hash, which would count NULL as one
+      // distinct value — while the batch twin
+      // (Cardinality.approxDistinctProfile, i.e. approx_count_distinct)
+      // ignores NULLs. Stream ≡ batch on nullable value columns therefore
+      // requires NULLs out of the registers; but n_events is a
+      // throughput/volume signal and must keep counting every event, so the
+      // NULL-ness travels as a nullable hash (None) instead of a row filter.
+      // n_valued carries the estimate's own denominator separately.
+      .filter(key.isNotNull)
+      .select(key.cast("string").as("key"),
+        when(value.isNotNull, xxhash64(value)).as("h"))
       .as[CEv]
     val m = 1 << p
     base.groupByKey(_.key)
       .flatMapGroupsWithState[HllState, CardRow](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (k: String, it: Iterator[CEv], state: GroupState[HllState]) =>
-          val st = state.getOption.getOrElse(HllState(new Array[Byte](m), 0L))
+          val st = state.getOption.getOrElse(HllState(new Array[Byte](m), 0L, 0L))
           val regs = st.regs.clone()
           var n = st.n
+          var nValued = st.nValued
           it.foreach { ev =>
             n += 1
-            val idx = (ev.h >>> (64 - p)).toInt
-            val rest = ev.h << p
-            // rank = leading zeros of the remaining bits + 1; all-zero rest
-            // saturates at 64 - p + 1
-            val rank =
-              math.min(java.lang.Long.numberOfLeadingZeros(rest) + 1, 64 - p + 1)
-            if (rank > regs(idx)) regs(idx) = rank.toByte
+            ev.h.foreach { h =>
+              nValued += 1
+              val idx = (h >>> (64 - p)).toInt
+              val rest = h << p
+              // rank = leading zeros of the remaining bits + 1; all-zero rest
+              // saturates at 64 - p + 1
+              val rank =
+                math.min(java.lang.Long.numberOfLeadingZeros(rest) + 1, 64 - p + 1)
+              if (rank > regs(idx)) regs(idx) = rank.toByte
+            }
           }
-          state.update(HllState(regs, n))
-          Iterator.single(CardRow(k, n, estimate(regs)))
+          state.update(HllState(regs, n, nValued))
+          Iterator.single(CardRow(k, n, nValued, estimate(regs)))
       }
   }
 }

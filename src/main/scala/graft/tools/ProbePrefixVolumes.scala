@@ -16,9 +16,13 @@ object ProbePrefixVolumes {
     val n = if (args.length > 0) args(0).toInt else 2
     val t = if (args.length > 1) args(1).toLong else 70L
     val dir = sys.env("SPARK_GRAFT_SF_DIR")
+    // NOTE: driver heap must come from the JVM launch (SBT_OPTS=-Xmx12g or
+    // a forked run's javaOptions) — setting spark.driver.memory via the
+    // builder has NO effect in an already-launched local JVM (sbt runMain),
+    // and a probe silently running on the default heap would skew the very
+    // spill measurements it exists to collect.
     val spark = Sessions.localBuilder(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.driver.memory", "12g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -95,6 +95,31 @@ class JobRunnerSpec extends AnyFunSuite with SparkTestSession {
       s"no reliable-checkpoint rdd directory written under $ckpt")
   }
 
+  test("runJob restores the caller's session conf after the pipeline") {
+    // The pipeline runs under the engine defaults (AQE skew split, UTC),
+    // but a caller who deliberately disabled AQE or set a non-UTC zone must
+    // get their session back as configured — an unscoped applyRuntimeDefaults
+    // silently flipped it for every subsequent query on the session.
+    val keys = Seq("spark.sql.adaptive.enabled", "spark.sql.session.timeZone")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.session.timeZone", "America/Chicago")
+      val tree = mkFixtureTree()
+      val work = Files.createTempDirectory("graft-work-conf")
+      Files.createDirectories(work.resolve("in"))
+      val (_, result) = JobRunner.run(spark, work.resolve("job1").toString, tree,
+        work.resolve("store").toString, work.resolve("registry.json").toString,
+        JobRunner.JobSpec(jobId = "job1"), now = "2026-08-12 00:00:00")
+      assert(result.results.count() == 3) // pipeline itself ran fine
+      assert(spark.conf.get("spark.sql.adaptive.enabled") == "false")
+      assert(spark.conf.get("spark.sql.session.timeZone") == "America/Chicago")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("F11 storage naming: sanitize, cap, hash suffix, collision bump") {
     val sha = "ab" * 32
     assert(JobRunner.storageZipName("My Upload (v2).zip", sha, Set.empty)

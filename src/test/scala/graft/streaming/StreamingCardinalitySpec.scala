@@ -16,17 +16,19 @@ class StreamingCardinalitySpec extends AnyFunSuite with SparkTestSession {
     spark.sqlContext
   import spark.implicits._
 
-  /** Newest stamp per key (the documented consumer contract). */
-  private def latest(name: String): Map[String, (Long, Long)] = {
+  /** Newest stamp per key (the documented consumer contract):
+    * key -> (n_events, n_valued, approx_distinct).
+    */
+  private def latest(name: String): Map[String, (Long, Long, Long)] = {
     val rows = spark.table(name).collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     val newest = rows.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
     rows.filter(t => t._2 == newest(t._1))
-      .map(t => t._1 -> ((t._2, t._3))).toMap
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
   }
 
   private def run(name: String, batches: Seq[Seq[(String, Long)]])
-      : Map[String, (Long, Long)] = {
+      : Map[String, (Long, Long, Long)] = {
     val src = MemoryStream[(String, Long)]
     val q = StreamingCardinality
       .distinctCountStream(src.toDF().toDF("key", "v"), col("key"), col("v"))
@@ -44,10 +46,10 @@ class StreamingCardinalitySpec extends AnyFunSuite with SparkTestSession {
     val b = (1 to 50).map(_ => ("b", 7L))
     val out = run("card1", Seq(a.take(1200) ++ b.take(20),
       a.slice(1200, 2400) ++ b.drop(20), a.drop(2400)))
-    val (na, ea) = out("a")
-    assert(na == 3000L)
-    assert(math.abs(ea - 1000L) <= 50L) // ~3x the 1.6% rsd at p=12
-    assert(out("b") == ((50L, 1L)))     // tiny sets are near-exact
+    val (na, va, ea) = out("a")
+    assert(na == 3000L && va == 3000L)
+    assert(math.abs(ea - 1000L) <= 50L)   // ~3x the 1.6% rsd at p=12
+    assert(out("b") == ((50L, 50L, 1L)))  // tiny sets are near-exact
   }
 
   test("batch composition does not change the final estimate") {
@@ -60,18 +62,20 @@ class StreamingCardinalitySpec extends AnyFunSuite with SparkTestSession {
   test("keys hold independent registers") {
     val out = run("card4", Seq(
       (1 to 100).map(i => ("x", i.toLong)) ++ Seq(("y", 1L), ("y", 1L))))
-    assert(out("y") == ((2L, 1L)))
-    assert(math.abs(out("x")._2 - 100L) <= 10L)
+    assert(out("y") == ((2L, 2L, 1L)))
+    assert(math.abs(out("x")._3 - 100L) <= 10L)
   }
 
   test("estimator helper: empty registers say 0") {
     assert(StreamingCardinality.estimate(new Array[Byte](4096)) == 0L)
   }
 
-  test("NULL values are not counted as a distinct value (batch-twin parity)") {
-    // xxhash64(NULL) would hash to the seed — without the pre-hash filter a
-    // NULL value read as one distinct value and bumped n_events, while the
-    // batch twin (approx_count_distinct) ignores NULLs entirely
+  test("NULL values count as events but never as a distinct value") {
+    // xxhash64(NULL) would hash to the seed — without the null guard a NULL
+    // value read as one distinct value, while the batch twin
+    // (approx_count_distinct) ignores NULLs entirely. But n_events is a
+    // throughput signal: every event for the key counts, NULL-valued or
+    // not; n_valued carries the estimate's own denominator.
     val src = MemoryStream[(String, Option[Long])]
     val q = StreamingCardinality
       .distinctCountStream(src.toDF().toDF("key", "v"), col("key"), col("v"))
@@ -80,8 +84,8 @@ class StreamingCardinalitySpec extends AnyFunSuite with SparkTestSession {
     try {
       src.addData(("k", Some(1L)), ("k", Some(2L)), ("k", None), ("k", None))
       q.processAllAvailable()
-      // 2 distinct non-null values; the two NULL-valued events count nowhere
-      assert(latest("cardnull")("k") == ((2L, 2L)))
+      // 4 events total, 2 non-NULL-valued, 2 distinct non-null values
+      assert(latest("cardnull")("k") == ((4L, 2L, 2L)))
     } finally q.stop()
   }
 
@@ -95,8 +99,8 @@ class StreamingCardinalitySpec extends AnyFunSuite with SparkTestSession {
     // envelopes on ANY corpus, not just this one.
     val n = 5000
     val data = (1 to 3 * n).map(i => ("k", (i % n).toLong))
-    val (events, streamEst) = run("cardpar", Seq(data))("k")
-    assert(events == 3L * n)
+    val (events, valued, streamEst) = run("cardpar", Seq(data))("k")
+    assert(events == 3L * n && valued == 3L * n)
     val batchEst = data.toDF("key", "v")
       .agg(approx_count_distinct(col("v"), 0.0163).as("e")) // rsd at p=12
       .collect()(0).getLong(0)
