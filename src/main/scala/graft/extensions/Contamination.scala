@@ -38,6 +38,90 @@ object Contamination {
         round(col("n_contaminated").cast("double") / col("n_shingles"), 6))
   }
 
+  /** [[ngramContamination]] behind a Bloom-filter prefilter — IDENTICAL
+    * output (the filter is exact-confirmed, and Bloom filters have no false
+    * negatives: an actually-contaminated shingle hashes to the same
+    * positions the benchmark build set, so it always survives the
+    * prefilter), but the benchmark's shingle STRINGS never broadcast.
+    *
+    * Why this exists at 100 TB: [[ngramContamination]] broadcasts the
+    * benchmark's distinct shingles — fine for MB-scale eval suites,
+    * impossible when the "benchmark" is itself corpus-scale (decontaminating
+    * against an entire held-out split, or against last month's crawl). Here
+    * the only broadcast is the Bloom BITMAP, represented as a sparse
+    * (word_index → 64-bit word) relation of ≤ `mBits`/64 rows (4096 rows =
+    * 32 KiB at the default 2^18 bits) regardless of benchmark size; corpus
+    * shingles check membership with `kHashes` codegen'd hash probes against
+    * that broadcast, and only the surviving sliver (true hits + the bounded
+    * false-positive rate) reaches the exact confirm join — which therefore
+    * joins small-vs-small on a shuffle instead of corpus-vs-broadcast.
+    *
+    * Construction: k seeded hashes — position_j = xxhash64(sh, j) mod m —
+    * rather than the classic (h1 + j·h2) double-hashing form: the sum
+    * overflows bigint for full-range hashes, which ANSI mode (the Spark 4
+    * default) turns into a runtime error, and xxhash64's extra-argument
+    * seeding gives independent probes at the same one-expression cost.
+    * Both sides compute the same positions, which is all
+    * no-false-negatives needs.
+    * The bitmap build is one aggregate: explode k positions per distinct
+    * benchmark shingle, `bit_or` the single-bit masks per 64-bit word.
+    *
+    * Output: exactly [[ngramContamination]]'s
+    * (id, n_shingles, n_contaminated, contamination).
+    */
+  def bloomPrefilteredContamination(docs: DataFrame, benchmark: DataFrame,
+      id: Column, text: Column, n: Int = 13, mBits: Int = 1 << 18,
+      kHashes: Int = 3): DataFrame = {
+    require(mBits >= 64 && mBits % 64 == 0 && mBits <= (1 << 28),
+      s"mBits must be a multiple of 64 in [64,2^28], got $mBits")
+    require(kHashes >= 1 && kHashes <= 8,
+      s"kHashes must be in [1,8], got $kHashes")
+    val benchSh = benchmark
+      .filter(size(TextAnalysis.tokens(text)) > 0)
+      .select(explode(Dedup.shingles(text, n)).as("sh"))
+      .distinct()
+    def positions(sh: Column): Column =
+      transform(sequence(lit(0), lit(kHashes - 1)),
+        j => pmod(xxhash64(sh, j), lit(mBits.toLong)))
+    // sparse bitmap: one row per 64-bit word that has any bit set
+    val words = benchSh
+      .select(explode(positions(col("sh"))).as("__pos"))
+      .select(expr("__pos DIV 64").as("__w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(__pos % 64 AS INT))").as("__mask"))
+      .groupBy(col("__w"))
+      .agg(expr("bit_or(__mask)").as("__word"))
+    // per-instance shingles with a stable instance key (id, ordinal) so the
+    // k-probe fan-out can collapse back to one verdict per OCCURRENCE
+    // (ngramContamination counts occurrences, not distinct shingles)
+    val inst = docs
+      .filter(size(TextAnalysis.tokens(text)) > 0)
+      .select(id.as("id"), posexplode(Dedup.shingles(text, n)).as(Seq("__ord", "sh")))
+    val totals = inst.groupBy(col("id")).agg(count(lit(1)).as("n_shingles"))
+    val survivors = inst
+      .select(col("id"), col("__ord"), col("sh"),
+        explode(positions(col("sh"))).as("__pos"))
+      .select(col("id"), col("__ord"), col("sh"),
+        expr("__pos DIV 64").as("__w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(__pos % 64 AS INT))").as("__mask"))
+      .join(broadcast(words), Seq("__w"))
+      .filter((col("__mask").bitwiseAND(col("__word"))) =!= 0L)
+      .groupBy(col("id"), col("__ord"), col("sh"))
+      .agg(count(lit(1)).as("__hits"))
+      .filter(col("__hits") === kHashes)
+    // exact confirm on the PRUNED set: small-vs-small, shuffled — the
+    // benchmark side deliberately not broadcast (the whole point is that it
+    // may be corpus-scale); post-aggregate relations carry no stats, so the
+    // hint keeps Catalyst off sort-merge
+    val confirmed = survivors
+      .join(benchSh.hint("shuffle_hash"), Seq("sh"))
+      .groupBy(col("id")).agg(count(lit(1)).as("__n_cont"))
+    totals.join(confirmed, Seq("id"), "left")
+      .select(col("id"), col("n_shingles"),
+        coalesce(col("__n_cont"), lit(0L)).as("n_contaminated"))
+      .withColumn("contamination",
+        round(col("n_contaminated").cast("double") / col("n_shingles"), 6))
+  }
+
   /** NEAR-dup decontamination: flag every `train` row within n-gram Jaccard
     * ≥ `threshold` of ANY `eval` row — the paraphrase-level leakage that
     * [[ngramContamination]]'s shingle-overlap score under-weights when an

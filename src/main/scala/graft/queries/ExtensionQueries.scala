@@ -4507,6 +4507,96 @@ object ExtensionQueries {
        WHERE n_chars IS NOT NULL
        GROUP BY 1, 2"""
 
+  // ---------------------------------------------------------------------------
+  // X127 — Count–Min frequency audit (ops.Sketches.countMinProfile): the
+  // point-frequency sibling of x36's SpaceSaving top-k — per corpus token,
+  // the exact count plus the in-plan verdict for CMS's DETERMINISTIC
+  // guarantee (an estimate can never undercount). The estimate itself is a
+  // function of the hash family (engine-specific) and stays out of the
+  // hashed columns, like every sketch audit (x124/x126).
+  // ---------------------------------------------------------------------------
+  private def x127(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sketches.countMinProfile(
+        docs(s, dir).select(explode(TextAnalysis.tokens(col("text"))).as("tok")),
+        col("tok"), depth = 4, width = 2048)
+      .select(col("term"), col("exact_count"), col("ge_ok"))
+
+  private val x127Sql =
+    """WITH toks AS (
+         SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                x -> x <> '')) AS tok
+         FROM documents)
+       SELECT tok AS term, CAST(count(*) AS BIGINT) AS exact_count,
+              TRUE AS ge_ok
+       FROM toks GROUP BY 1"""
+
+  // ---------------------------------------------------------------------------
+  // X128 — bottom-k vocabulary overlap (ops.Sketches.bottomKOverlap):
+  // pair-wise Jaccard between sources' distinct-token sets from k=256 longs
+  // per source — "how much vocabulary do two strata share" without joining
+  // vocabularies. Exact counts + the envelope verdict are what the oracle
+  // replays; the KMV estimate (hash-family-specific) stays unhashed.
+  // ---------------------------------------------------------------------------
+  private def x128(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sketches.bottomKOverlap(
+        docs(s, dir).select(col("source"),
+          explode(TextAnalysis.tokens(col("text"))).as("tok")),
+        col("source"), col("tok"), k = 256)
+      .select(col("grp_a"), col("grp_b"), col("n_a"), col("n_b"),
+        col("n_common"), col("jaccard_exact"), col("approx_ok"))
+
+  private val x128Sql =
+    """WITH t AS (SELECT DISTINCT grp, tok FROM (
+           SELECT source AS grp,
+                  unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         x -> x <> '')) AS tok
+           FROM documents WHERE source IS NOT NULL)),
+         n AS (SELECT grp, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1),
+         p AS (SELECT a.grp AS grp_a, b.grp AS grp_b,
+                      CAST(count(*) AS BIGINT) AS n_common
+               FROM t a JOIN t b ON a.tok = b.tok AND a.grp < b.grp
+               GROUP BY 1, 2)
+       SELECT na.grp AS grp_a, nb.grp AS grp_b, na.n AS n_a, nb.n AS n_b,
+              CAST(coalesce(p.n_common, 0) AS BIGINT) AS n_common,
+              round(coalesce(p.n_common, 0) * 1.0 /
+                    (na.n + nb.n - coalesce(p.n_common, 0)), 6) AS jaccard_exact,
+              TRUE AS approx_ok
+       FROM n na JOIN n nb ON na.grp < nb.grp
+       LEFT JOIN p ON p.grp_a = na.grp AND p.grp_b = nb.grp"""
+
+  // ---------------------------------------------------------------------------
+  // X129 — Bloom-prefiltered decontamination
+  // (Contamination.bloomPrefilteredContamination): x30's semantics behind a
+  // broadcast Bloom bitmap instead of broadcasting the benchmark shingle
+  // strings — the shape that survives a corpus-scale benchmark side. Bloom
+  // has no false negatives and the survivors are exact-confirmed, so the
+  // output is EXACTLY the exhaustive contamination result and the oracle is
+  // a full hash compare, not a verdict.
+  // ---------------------------------------------------------------------------
+  private def x129(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Contamination.bloomPrefilteredContamination(d,
+      d.filter(col("doc_id") % 89 === 0), col("doc_id"), col("text"),
+      n = 3, mBits = 1 << 16, kHashes = 3)
+  }
+
+  private val x129Sql =
+    """WITH t AS (
+         SELECT doc_id,
+                list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                  i -> array_to_string(toks[i:i+2], ' '))) AS sh
+         FROM (SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+               FROM documents)
+         WHERE len(toks) > 0),
+       bench AS (SELECT DISTINCT unnest(sh) AS s FROM t WHERE doc_id % 89 = 0),
+       ex AS (SELECT doc_id, unnest(sh) AS s FROM t)
+       SELECT ex.doc_id AS id, count(*) AS n_shingles,
+              CAST(sum(CASE WHEN bench.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+              round(sum(CASE WHEN bench.s IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS contamination
+       FROM ex LEFT JOIN bench ON ex.s = bench.s
+       GROUP BY ex.doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_dedup_exact" -> x1 _,
     "x02_dedup_ngram_jaccard" -> x2 _,
@@ -4633,7 +4723,10 @@ object ExtensionQueries {
     "x123_fixedk_sample" -> x123 _,
     "x124_approx_distinct" -> x124 _,
     "x125_t_closeness" -> x125 _,
-    "x126_approx_quantile" -> x126 _
+    "x126_approx_quantile" -> x126 _,
+    "x127_count_min" -> x127 _,
+    "x128_vocab_overlap" -> x128 _,
+    "x129_bloom_decontam" -> x129 _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -4753,6 +4846,9 @@ object ExtensionQueries {
     "x123_fixedk_sample" -> x123Sql,
     "x124_approx_distinct" -> x124Sql,
     "x125_t_closeness" -> x125Sql,
-    "x126_approx_quantile" -> x126Sql
+    "x126_approx_quantile" -> x126Sql,
+    "x127_count_min" -> x127Sql,
+    "x128_vocab_overlap" -> x128Sql,
+    "x129_bloom_decontam" -> x129Sql
   )
 }
