@@ -117,19 +117,26 @@ object Sketches {
       .agg(sort_array(collect_list(col("h"))).as("hs"),
         count(lit(1)).as("__sk_n"))
     val exactN = dist.groupBy(col("grp")).agg(count(lit(1)).as("n"))
-    val exactPairs = dist.as("l").join(dist.as("r"),
+    // vocabulary-scale self-join on term: post-aggregate relations carry no
+    // stats, so without the hint Catalyst sort-merges — shuffled hash is the
+    // engine-shape join here (both sides hash-partition on term, no sort)
+    val exactPairs = dist.as("l").join(dist.hint("shuffle_hash").as("r"),
         col("l.term") === col("r.term") && col("l.grp") < col("r.grp"))
       .groupBy(col("l.grp").as("grp_a"), col("r.grp").as("grp_b"))
       .agg(count(lit(1)).as("n_common"))
-    // every unordered pair (including zero-overlap ones exactPairs misses)
+    // every unordered pair (including zero-overlap ones exactPairs misses);
+    // all relations from here down are enum-scale (|groups| or |groups|²
+    // rows) — broadcast them explicitly, statsless as they are
     val allPairs = exactN.select(col("grp").as("grp_a"), col("n").as("n_a"))
-      .join(exactN.select(col("grp").as("grp_b"), col("n").as("n_b")),
+      .join(broadcast(exactN.select(col("grp").as("grp_b"), col("n").as("n_b"))),
         col("grp_a") < col("grp_b"))
-      .join(exactPairs, Seq("grp_a", "grp_b"), "left")
+      .join(broadcast(exactPairs), Seq("grp_a", "grp_b"), "left")
       .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
     val withSk = allPairs
-      .join(sk.select(col("grp").as("grp_a"), col("hs").as("ha")), Seq("grp_a"))
-      .join(sk.select(col("grp").as("grp_b"), col("hs").as("hb")), Seq("grp_b"))
+      .join(broadcast(sk.select(col("grp").as("grp_a"), col("hs").as("ha"))),
+        Seq("grp_a"))
+      .join(broadcast(sk.select(col("grp").as("grp_b"), col("hs").as("hb"))),
+        Seq("grp_b"))
     // merged bottom-k of the union; estimate = |merged ∩ A ∩ B| / |merged|
     withSk
       .withColumn("__merged",

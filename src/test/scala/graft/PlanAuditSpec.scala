@@ -117,4 +117,31 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     assert(plan.contains("BroadcastHashJoin"), plan) // rules side
     assert(plan.contains("ShuffledHashJoin"), plan) // verdict fold-back
   }
+
+  test("CMS probe joins the fixed-size grid as a broadcast (x127)") {
+    // the counter grid is depth×width cells regardless of corpus size — if
+    // it ever shuffle-joins, the sketch's whole scale advantage is gone
+    val plan = SparkEntry.queries("x127_count_min")(spark, dir)
+      .queryExecution.explainString(FormattedMode)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("bottom-k sketch keeps k per group via WindowGroupLimit (x128)") {
+    // rank ≤ k over each group's hashed vocabulary: without the group-limit
+    // pushdown one giant source would buffer its full vocabulary in a
+    // single window task
+    val plan = SparkEntry.queries("x128_vocab_overlap")(spark, dir)
+      .queryExecution.explainString(FormattedMode)
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("bloom decontam broadcasts only the bitmap words (x129)") {
+    // the whole point of the bloom path: the ≤ mBits/64-row word relation
+    // broadcasts; the exact confirm join on the pruned survivors is a
+    // hinted hash join (benchmark side may be corpus-scale)
+    val plan = SparkEntry.queries("x129_bloom_decontam")(spark, dir)
+      .queryExecution.explainString(FormattedMode)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("ShuffledHashJoin"), plan)
+  }
 }
