@@ -793,4 +793,40 @@ object Dedup {
       .select(least(col("__ia"), col("__ib")).as("id_a"),
         greatest(col("__ia"), col("__ib")).as("id_b"), col("dist"))
   }
+
+  /** Jaro–Winkler fuzzy-link pairs: all id pairs within the same `block`
+    * whose `key` strings score ≥ `threshold` under the native
+    * [[graft.functions.JaroWinklerSimilarity]] — the record-linkage
+    * companion to [[editDistancePairs]] for the name/title/slug regime
+    * where edit distance over-penalizes transpositions and rewards are
+    * graded, not boolean. Output: (id_a, id_b, similarity round-6),
+    * id_a < id_b.
+    *
+    * Scale shape: one self equi-join on the blocking key — both sides
+    * hash-partition on `block` (hinted shuffled hash; a statsless
+    * projection would otherwise sort-merge), pairs form per-block, the
+    * scorer runs codegen'd per candidate pair. Blocking quality is the
+    * caller's lever exactly as in [[editDistancePairs]]: a hot block is
+    * quadratic in its size, and the engine's AQE skew-split defaults
+    * (graft.Sessions) spread it across tasks rather than one straggler.
+    */
+  def jaroWinklerPairs(df: DataFrame, id: Column, key: Column, block: Column,
+      threshold: Double = 0.85, maxLen: Int = 256): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0,1], got $threshold")
+    require(maxLen >= 1 && maxLen <= 4096,
+      s"maxLen must be in [1,4096], got $maxLen")
+    val keyed = df
+      .select(id.cast("long").as("id"), block.cast("string").as("blk"),
+        key.cast("string").as("nm"))
+      .filter(col("blk").isNotNull && col("nm").isNotNull &&
+        length(col("nm")).between(1, maxLen))
+    keyed.as("l")
+      .join(keyed.as("r").hint("shuffle_hash"),
+        col("l.blk") === col("r.blk") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        round(graft.functions.JaroWinklerSimilarity
+          .jaroWinkler(col("l.nm"), col("r.nm")), 6).as("similarity"))
+      .filter(col("similarity") >= threshold)
+  }
 }

@@ -4597,6 +4597,34 @@ object ExtensionQueries {
        FROM ex LEFT JOIN bench ON ex.s = bench.s
        GROUP BY ex.doc_id"""
 
+  // ---------------------------------------------------------------------------
+  // X130 — Jaro–Winkler fuzzy link (Dedup.jaroWinklerPairs over the native
+  // functions.JaroWinklerSimilarity): record-linkage pairs on 4-token
+  // "titles" blocked by source — the graded-similarity companion to x101's
+  // boolean edit-distance pairs. The native expression is pinned
+  // value-identical to DuckDB's jaro_winkler_similarity (JaroWinklerSpec),
+  // so unlike the sketch audits this oracle compares the SCORES themselves.
+  // ---------------------------------------------------------------------------
+  private def x130(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaroWinklerPairs(
+      docs(s, dir).select(col("doc_id"), col("source"),
+        concat_ws(" ", slice(TextAnalysis.tokens(col("text")), 1, 4)).as("title")),
+      col("doc_id"), col("title"), col("source"), threshold = 0.8)
+
+  private val x130Sql =
+    """WITH t AS (
+         SELECT doc_id, source,
+                array_to_string((list_filter(regexp_split_to_array(lower(text), '\s+'),
+                  x -> x <> ''))[1:4], ' ') AS title
+         FROM documents
+         WHERE source IS NOT NULL)
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              round(jaro_winkler_similarity(a.title, b.title), 6) AS similarity
+       FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+       WHERE a.title IS NOT NULL AND a.title <> ''
+         AND b.title IS NOT NULL AND b.title <> ''
+         AND round(jaro_winkler_similarity(a.title, b.title), 6) >= 0.8"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_dedup_exact" -> x1 _,
     "x02_dedup_ngram_jaccard" -> x2 _,
@@ -4726,7 +4754,8 @@ object ExtensionQueries {
     "x126_approx_quantile" -> x126 _,
     "x127_count_min" -> x127 _,
     "x128_vocab_overlap" -> x128 _,
-    "x129_bloom_decontam" -> x129 _
+    "x129_bloom_decontam" -> x129 _,
+    "x130_jaro_winkler" -> x130 _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -4849,6 +4878,7 @@ object ExtensionQueries {
     "x126_approx_quantile" -> x126Sql,
     "x127_count_min" -> x127Sql,
     "x128_vocab_overlap" -> x128Sql,
-    "x129_bloom_decontam" -> x129Sql
+    "x129_bloom_decontam" -> x129Sql,
+    "x130_jaro_winkler" -> x130Sql
   )
 }
