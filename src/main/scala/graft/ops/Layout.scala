@@ -139,6 +139,20 @@ object Layout {
       array((0 until dims).map(j => compact(shiftright(key, j))): _*))
   }
 
+  /** 2-D Hilbert index — the locality-first sibling of [[zorder2]]: same
+    * cell→key contract, but consecutive keys are always grid NEIGHBORS (no
+    * Z-diagonal jumps), so min/max-zoned range scans touch fewer files for
+    * the same 2-D box. Native expression pair
+    * ([[graft.functions.HilbertCurve]]) — the per-plane rotation has no
+    * magic-mask closed form. Out-of-range/negative inputs → NULL.
+    */
+  def hilbert2(x: Column, y: Column, order: Int = 16): Column =
+    graft.functions.HilbertCurve.hilbert2(x, y, order)
+
+  /** Exact inverse of [[hilbert2]]: key → [x, y]; NULL key → NULL. */
+  def hilbert2Decode(key: Column, order: Int = 16): Column =
+    graft.functions.HilbertCurve.hilbert2Decode(key, order)
+
   /** Equal-mass range-partition boundaries: the `n − 1` exact interpolated
     * percentiles of `value` at fractions i/n — the bounds a
     * `repartitionByRange(n, col)` write should land on when the planner

@@ -4625,6 +4625,45 @@ object ExtensionQueries {
          AND b.title IS NOT NULL AND b.title <> ''
          AND round(jaro_winkler_similarity(a.title, b.title), 6) >= 0.8"""
 
+  // ---------------------------------------------------------------------------
+  // X131 — Hilbert layout key (Layout.hilbert2 / hilbert2Decode, native
+  // functions.HilbertCurve): x121's locality-first sibling — consecutive
+  // keys are always grid neighbors (HilbertCurveSpec pins the unit-step
+  // property Z-order lacks). The oracle replays the textbook xy2d bit-plane
+  // loop as a DuckDB RECURSIVE CTE (10 rotation steps, two's-complement &
+  // on the flipped intermediates), so the KEYS themselves hash-compare;
+  // the in-plan decode roundtrip rides along as a verdict.
+  // ---------------------------------------------------------------------------
+  private def x131(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+        pmod(col("n_chars"), lit(1L << 10)).as("x"),
+        pmod(col("doc_id") * 31, lit(1L << 10)).as("y"))
+      .withColumn("hkey", graft.ops.Layout.hilbert2(col("x"), col("y"), 10))
+      .withColumn("__xy", graft.ops.Layout.hilbert2Decode(col("hkey"), 10))
+      .select(col("doc_id"), col("x"), col("y"), col("hkey"),
+        (col("__xy")(0) === col("x") && col("__xy")(1) === col("y"))
+          .as("roundtrip_ok"))
+
+  private val x131Sql =
+    """WITH RECURSIVE base AS (
+         SELECT doc_id, n_chars % 1024 AS x0, (doc_id * 31) % 1024 AS y0
+         FROM documents),
+       it AS (
+         SELECT doc_id, x0, y0, CAST(x0 AS BIGINT) AS x, CAST(y0 AS BIGINT) AS y,
+                CAST(512 AS BIGINT) AS s, CAST(0 AS BIGINT) AS d
+         FROM base
+         UNION ALL
+         SELECT doc_id, x0, y0,
+           CASE WHEN (y & s) = 0 THEN (CASE WHEN (x & s) != 0 THEN s-1-y ELSE y END) ELSE x END,
+           CASE WHEN (y & s) = 0 THEN (CASE WHEN (x & s) != 0 THEN s-1-x ELSE x END) ELSE y END,
+           s // 2,
+           d + s*s*xor(3*(CASE WHEN (x & s) != 0 THEN 1 ELSE 0 END),
+                       CASE WHEN (y & s) != 0 THEN 1 ELSE 0 END)
+         FROM it WHERE s > 0)
+       SELECT doc_id, CAST(x0 AS BIGINT) AS x, CAST(y0 AS BIGINT) AS y,
+              d AS hkey, TRUE AS roundtrip_ok
+       FROM it WHERE s = 0"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_dedup_exact" -> x1 _,
     "x02_dedup_ngram_jaccard" -> x2 _,
@@ -4755,7 +4794,8 @@ object ExtensionQueries {
     "x127_count_min" -> x127 _,
     "x128_vocab_overlap" -> x128 _,
     "x129_bloom_decontam" -> x129 _,
-    "x130_jaro_winkler" -> x130 _
+    "x130_jaro_winkler" -> x130 _,
+    "x131_hilbert_layout" -> x131 _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -4879,6 +4919,7 @@ object ExtensionQueries {
     "x127_count_min" -> x127Sql,
     "x128_vocab_overlap" -> x128Sql,
     "x129_bloom_decontam" -> x129Sql,
-    "x130_jaro_winkler" -> x130Sql
+    "x130_jaro_winkler" -> x130Sql,
+    "x131_hilbert_layout" -> x131Sql
   )
 }
