@@ -829,4 +829,55 @@ object Dedup {
           .jaroWinkler(col("l.nm"), col("r.nm")), 6).as("similarity"))
       .filter(col("similarity") >= threshold)
   }
+
+  /** Entity-resolution crosswalk: for every LEFT record, its single best
+    * fuzzy match among RIGHT records sharing its block — the "link this
+    * catalog to that catalog" shape on top of [[jaroWinklerPairs]]'
+    * scorer. Output: (id_l, id_r, similarity, margin) where `margin` is
+    * the gap to the runner-up (NULL when the best match is the only
+    * candidate ≥ threshold) — the standard accept/review signal: a high
+    * score with a tiny margin is an ambiguous link, not a confident one.
+    *
+    * Ties break by smallest right id (engine-deterministic). Left rows
+    * with no candidate ≥ threshold are absent from the output (a crosswalk
+    * row means "we propose this link").
+    *
+    * Scale shape: blocked equi-join (hinted shuffled hash) exactly as
+    * [[jaroWinklerPairs]]; the best/runner-up pick is a rank ≤ 2 window
+    * per left id, which plans a WindowGroupLimit — no left record buffers
+    * more than 2 candidates per shuffle side regardless of block size.
+    */
+  def bestFuzzyMatch(left: DataFrame, right: DataFrame,
+      leftId: Column, leftKey: Column, leftBlock: Column,
+      rightId: Column, rightKey: Column, rightBlock: Column,
+      threshold: Double = 0.85, maxLen: Int = 256): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0,1], got $threshold")
+    def side(df: DataFrame, id: Column, key: Column, block: Column,
+        suffix: String) =
+      df.select(id.cast("long").as(s"id_$suffix"),
+          block.cast("string").as("blk"), key.cast("string").as(s"nm_$suffix"))
+        .filter(col("blk").isNotNull && col(s"nm_$suffix").isNotNull &&
+          length(col(s"nm_$suffix")).between(1, maxLen))
+    val l = side(left, leftId, leftKey, leftBlock, "l")
+    val r = side(right, rightId, rightKey, rightBlock, "r")
+    import org.apache.spark.sql.expressions.Window
+    val scored = l.join(r.hint("shuffle_hash"), Seq("blk"))
+      .withColumn("similarity", round(graft.functions.JaroWinklerSimilarity
+        .jaroWinkler(col("nm_l"), col("nm_r")), 6))
+      .filter(col("similarity") >= threshold)
+      .withColumn("__rn", row_number().over(Window.partitionBy(col("id_l"))
+        .orderBy(col("similarity").desc, col("id_r"))))
+      .filter(col("__rn") <= 2)
+    val best = scored.filter(col("__rn") === 1)
+      .select(col("id_l"), col("id_r"), col("similarity"))
+    val second = scored.filter(col("__rn") === 2)
+      .select(col("id_l").as("__il2"), col("similarity").as("__sim2"))
+    // both sides are ≤ |left| rows — corpus-scale, so hash-join on id, not
+    // broadcast (and statsless post-window relations would sort-merge
+    // without the hint)
+    best.join(second.hint("shuffle_hash"), col("id_l") === col("__il2"), "left")
+      .select(col("id_l"), col("id_r"), col("similarity"),
+        round(col("similarity") - col("__sim2"), 6).as("margin"))
+  }
 }

@@ -38,6 +38,45 @@ object Sampling {
     df.filter(hashBucket(key, salt) < math.round(fraction * Buckets))
   }
 
+  /** Deterministic weighted sample WITHOUT replacement, k per stratum —
+    * Efraimidis–Spirakis (2006) A-ES: each row draws a uniform u from its
+    * key and survives if `u^(1/w)` ranks in the stratum's top k. Inclusion
+    * probability is proportional to weight in the without-replacement
+    * sense, and the "randomness" is the same portable sha-derived uniform
+    * as [[hashBucket]] — reruns, engines, and the DuckDB oracle all draw
+    * identical samples (the xxhash64 family would be cheaper but
+    * engine-specific; portability wins for split/sample primitives, the
+    * [[hashBucket]] trade).
+    *
+    * Non-positive and NULL weights are excluded by contract (a zero weight
+    * must never be sampled; A-ES keys aren't defined for w ≤ 0). Ties
+    * (identical keys) break by id for engine determinism.
+    *
+    * Scale shape: one rank-k window per stratum over a scan-local key
+    * computation — plans a WindowGroupLimit, so no stratum buffers more
+    * than k rows per side of its shuffle (the fixedKPerStratum guard).
+    *
+    * Output: the stratum/id/weight columns of the kept rows.
+    */
+  def weightedSample(df: DataFrame, stratum: Column, id: Column,
+      weight: Column, k: Int, salt: String = ""): DataFrame = {
+    require(k >= 1 && k <= 1000000, s"k must be in [1,1e6], got $k")
+    import org.apache.spark.sql.expressions.Window
+    // u in (0,1): 8 sha hex chars → [0,2^32), +0.5 then /2^32 — strictly
+    // inside the open interval, so pow(u, 1/w) is never 0^x or 1 exactly
+    df.select(stratum.as("stratum"), id.as("id"),
+        weight.cast("double").as("weight"))
+      .filter(col("stratum").isNotNull && col("weight") > 0.0)
+      .withColumn("__u", (conv(substring(sha2(concat(col("id").cast("string"),
+        lit(salt)), 256), 1, 8), 16, 10).cast("double") + lit(0.5)) /
+        lit(4294967296.0))
+      .withColumn("__key", pow(col("__u"), lit(1.0) / col("weight")))
+      .withColumn("__rn", row_number().over(Window.partitionBy(col("stratum"))
+        .orderBy(col("__key").desc, col("id"))))
+      .filter(col("__rn") <= k)
+      .select(col("stratum"), col("id"), col("weight"))
+  }
+
   /** Stratified deterministic sample: a per-stratum keep fraction (e.g.
     * down-sample over-represented languages, keep rare ones whole — the
     * corpus-balancing op). Same hash-bucket determinism as

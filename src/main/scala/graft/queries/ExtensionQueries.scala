@@ -4664,6 +4664,64 @@ object ExtensionQueries {
               d AS hkey, TRUE AS roundtrip_ok
        FROM it WHERE s = 0"""
 
+  // ---------------------------------------------------------------------------
+  // X132 — best-fuzzy-match crosswalk (Dedup.bestFuzzyMatch): per LEFT doc
+  // (even ids) the single best Jaro–Winkler title match among RIGHT docs
+  // (odd ids) in the same source block, plus the margin to the runner-up —
+  // the entity-resolution accept/review signal. Rank ≤ 2 window plans a
+  // WindowGroupLimit; oracle replays the identical window in DuckDB.
+  // ---------------------------------------------------------------------------
+  private def x132(s: SparkSession, dir: String): DataFrame = {
+    val titled = docs(s, dir).select(col("doc_id"), col("source"),
+      concat_ws(" ", slice(TextAnalysis.tokens(col("text")), 1, 4)).as("title"))
+    Dedup.bestFuzzyMatch(
+      titled.filter(col("doc_id") % 2 === 0),
+      titled.filter(col("doc_id") % 2 === 1),
+      col("doc_id"), col("title"), col("source"),
+      col("doc_id"), col("title"), col("source"), threshold = 0.75)
+  }
+
+  private val x132Sql =
+    """WITH t AS (
+         SELECT doc_id, source,
+                array_to_string((list_filter(regexp_split_to_array(lower(text), '\s+'),
+                  x -> x <> ''))[1:4], ' ') AS title
+         FROM documents WHERE source IS NOT NULL),
+       l AS (SELECT * FROM t WHERE doc_id % 2 = 0 AND title IS NOT NULL AND title <> ''),
+       r AS (SELECT * FROM t WHERE doc_id % 2 = 1 AND title IS NOT NULL AND title <> ''),
+       sc AS (SELECT l.doc_id AS id_l, r.doc_id AS id_r,
+                round(jaro_winkler_similarity(l.title, r.title), 6) AS sim
+              FROM l JOIN r ON l.source = r.source
+              WHERE round(jaro_winkler_similarity(l.title, r.title), 6) >= 0.75),
+       rk AS (SELECT id_l, id_r, sim,
+                row_number() OVER (PARTITION BY id_l ORDER BY sim DESC, id_r) AS rn
+              FROM sc)
+       SELECT b.id_l, b.id_r, b.sim AS similarity,
+              round(b.sim - s2.sim, 6) AS margin
+       FROM rk b LEFT JOIN rk s2 ON s2.id_l = b.id_l AND s2.rn = 2
+       WHERE b.rn = 1"""
+
+  // ---------------------------------------------------------------------------
+  // X133 — deterministic weighted sample (Sampling.weightedSample):
+  // Efraimidis–Spirakis A-ES without replacement, k=5 per source weighted
+  // by n_chars. The uniform is the PORTABLE sha-derived one (the hashBucket
+  // trade: xxhash64 would be cheaper but engine-specific), so the oracle
+  // draws the IDENTICAL sample — full hash compare, no verdict.
+  // ---------------------------------------------------------------------------
+  private def x133(s: SparkSession, dir: String): DataFrame =
+    Sampling.weightedSample(docs(s, dir), col("source"), col("doc_id"),
+      col("n_chars"), k = 5, salt = "ws1")
+
+  private val x133Sql =
+    """WITH b AS (
+         SELECT source AS stratum, doc_id AS id, CAST(n_chars AS DOUBLE) AS weight,
+                (CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || 'ws1'), 1, 8) AS BIGINT)
+                  + 0.5) / 4294967296.0 AS u
+         FROM documents WHERE source IS NOT NULL AND n_chars > 0)
+       SELECT stratum, id, weight FROM b
+       QUALIFY row_number() OVER (PARTITION BY stratum
+         ORDER BY pow(u, 1.0/weight) DESC, id) <= 5"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_dedup_exact" -> x1 _,
     "x02_dedup_ngram_jaccard" -> x2 _,
@@ -4795,7 +4853,9 @@ object ExtensionQueries {
     "x128_vocab_overlap" -> x128 _,
     "x129_bloom_decontam" -> x129 _,
     "x130_jaro_winkler" -> x130 _,
-    "x131_hilbert_layout" -> x131 _
+    "x131_hilbert_layout" -> x131 _,
+    "x132_best_match" -> x132 _,
+    "x133_weighted_sample" -> x133 _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -4920,6 +4980,8 @@ object ExtensionQueries {
     "x128_vocab_overlap" -> x128Sql,
     "x129_bloom_decontam" -> x129Sql,
     "x130_jaro_winkler" -> x130Sql,
-    "x131_hilbert_layout" -> x131Sql
+    "x131_hilbert_layout" -> x131Sql,
+    "x132_best_match" -> x132Sql,
+    "x133_weighted_sample" -> x133Sql
   )
 }

@@ -184,4 +184,47 @@ class SamplingSpec extends AnyFunSuite with SparkTestSession {
       Seq((1L, 0L), (2L, 0L)).toDF("id", "w"), col("id"), col("w"), 5)
     assert(z.count() == 0L)
   }
+
+  test("weightedSample: A-ES formula replica, exact k, determinism") {
+    import spark.implicits._
+    val df = (1L to 40L).map(i => ("s", i, (i % 7 + 1) * 100.0)).toDF("g", "id", "w")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sampling.weightedSample(d, col("g"), col("id"), col("w"), k = 8,
+        salt = "t1").collect().map(_.getLong(1)).toSet
+    val out = run(df)
+    assert(out.size == 8)
+    // independent local replica of the A-ES pick (sha-derived u, top-8 key)
+    val expected = df.select(col("id"), col("w"),
+        (conv(substring(sha2(concat(col("id").cast("string"), lit("t1")), 256),
+          1, 8), 16, 10).cast("double") + lit(0.5)) / lit(4294967296.0))
+      .collect()
+      .map(r => (r.getLong(0), math.pow(r.getDouble(2), 1.0 / r.getDouble(1))))
+      .sortBy { case (id, key) => (-key, id) }.take(8).map(_._1).toSet
+    assert(out == expected)
+    assert(run(df.repartition(7)) == out) // partition-independent
+  }
+
+  test("weightedSample: heavier rows win more often across salts") {
+    import spark.implicits._
+    // two rows, weights 1 vs 50: the heavy one should take the k=1 slot in
+    // the overwhelming majority of independent draws (salts)
+    val df = Seq(("s", 1L, 50.0), ("s", 2L, 1.0)).toDF("g", "id", "w")
+    val wins = (1 to 60).count { i =>
+      Sampling.weightedSample(df, col("g"), col("id"), col("w"), k = 1,
+        salt = s"salt$i").collect().head.getLong(1) == 1L
+    }
+    assert(wins >= 50, s"heavy row won only $wins/60 draws") // E ≈ 58.8
+  }
+
+  test("weightedSample: non-positive weights and null strata excluded; guards") {
+    import spark.implicits._
+    val df = Seq(("s", 1L, 0.0), ("s", 2L, -3.0), ("s", 3L, 5.0),
+      (null.asInstanceOf[String], 4L, 5.0)).toDF("g", "id", "w")
+    val out = Sampling.weightedSample(df, col("g"), col("id"), col("w"), k = 10)
+      .collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(3L))
+    intercept[IllegalArgumentException] {
+      Sampling.weightedSample(df, col("g"), col("id"), col("w"), k = 0)
+    }
+  }
 }

@@ -63,6 +63,26 @@ class JaroWinklerSpec extends AnyFunSuite with SparkTestSession {
       err.getMessage.contains("STRING"))
   }
 
+  test("bestFuzzyMatch: best link, margin, null margin, tie-break, no-match") {
+    val left = Seq((10L, "b", "martha"), (20L, "b", "qqqqq"), (30L, "c", "dwayne"))
+      .toDF("id", "blk", "nm")
+    val right = Seq(
+      (1L, "b", "marhta"),   // best for 10 (0.961111)
+      (2L, "b", "martha"),   // exact 1.0 — beats 1
+      (3L, "b", "martha"),   // tie with 2 at 1.0 → smaller id wins
+      (4L, "c", "duane")     // only candidate for 30 → margin NULL
+    ).toDF("id", "blk", "nm")
+    val out = graft.extensions.Dedup.bestFuzzyMatch(left, right,
+        col("id"), col("nm"), col("blk"), col("id"), col("nm"), col("blk"),
+        threshold = 0.8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(out.keySet == Set(10L, 30L)) // 20 has no candidate ≥ 0.8
+    assert(out(10L) == ((2L, 1.0, Some(0.0))))  // tie → id 2; runner-up also 1.0
+    assert(out(30L) == ((4L, 0.84, None)))
+  }
+
   test("jaroWinklerPairs: blocked pairs, threshold on rounded score, order") {
     val df = Seq(
       (1L, "b1", "martha"), (2L, "b1", "marhta"), (3L, "b1", "zzzzz"),
