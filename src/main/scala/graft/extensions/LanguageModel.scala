@@ -572,4 +572,58 @@ object LanguageModel {
         coalesce(col("n_word_chars"), lit(0L)).as("n_word_chars"),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009) — the hybrid
+    * retrieval merge: given several independently-scored candidate lists for
+    * the same queries (lexical BM25, a semantic index, a freshness prior,
+    * ...), fuse them into one ranking with
+    * `rrf(d) = Σ_lists 1/(rrfK + rank_list(d))`. Rank-based fusion needs no
+    * score calibration between lists — the reason RRF is the standard first
+    * fusion in hybrid search.
+    *
+    * Inputs: `lists` maps a list name to a DataFrame with columns
+    * `(qid, id, score)` — one candidate relation per retrieval modality,
+    * scored per query `qid`. Within each list, rank is `row_number` over
+    * (round-6 score desc, id asc) per qid — scores are rounded BEFORE
+    * ranking ([[tfIdfTopTerms]]'s engine-portability idiom) — and only
+    * `rank ≤ topN` survives into the fusion.
+    *
+    * Engine-stable float contract: each surviving rank contributes
+    * `round(1/(rrfK + rank), 6)` cast DECIMAL(18,6); the fused score is the
+    * exact decimal sum, so aggregation order cannot wiggle it.
+    *
+    * Output: (qid, id, n_lists, best_rank, rrf_score) — one row per
+    * candidate that survived any list's top-N, `n_lists` = how many lists
+    * proposed it (the agreement signal), `best_rank` = its best per-list
+    * rank.
+    *
+    * Scale shape: the per-list rank window partitions by qid and its
+    * `rank ≤ topN` filter plans a WindowGroupLimit (PlanAuditSpec-enforced
+    * shape) — every map task keeps ≤ topN rows per qid BEFORE the shuffle,
+    * so even a single giant query cannot buffer a corpus-scale candidate
+    * list in one window task. The fusion itself is one map-side-combined
+    * (qid, id) aggregate over ≤ lists·topN rows per query; no joins.
+    */
+  def rrfFuse(lists: Seq[(String, DataFrame)], rrfK: Int = 60,
+      topN: Int = 100): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one candidate list")
+    require(rrfK >= 1, s"rrfK must be >= 1, got $rrfK")
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+      .orderBy(col("__s6").desc, col("id").asc)
+    val ranked = lists.map { case (name, df) =>
+      df.select(col("qid"), col("id"), round(col("score"), 6).as("__s6"))
+        .filter(col("qid").isNotNull && col("id").isNotNull &&
+          col("score").isNotNull)
+        .withColumn("__rank", row_number().over(w))
+        .filter(col("__rank") <= topN)
+        .select(col("qid"), col("id"), col("__rank"))
+    }.reduce(_.unionByName(_))
+    ranked
+      .withColumn("__c", round(lit(1.0) / (lit(rrfK) + col("__rank")), 6)
+        .cast("decimal(18,6)"))
+      .groupBy("qid", "id")
+      .agg(count(lit(1)).as("n_lists"), min(col("__rank")).as("best_rank"),
+        sum(col("__c")).cast("double").as("rrf_score"))
+  }
 }

@@ -4743,6 +4743,79 @@ object ExtensionQueries {
        QUALIFY row_number() OVER (PARTITION BY stratum
          ORDER BY pow(u, 1.0/weight) DESC, id) <= 5"""
 
+  // ---------------------------------------------------------------------------
+  // X134 — reciprocal-rank fusion (LanguageModel.rrfFuse): hybrid retrieval
+  // merge of two modalities — BM25 (idf-weighted, length-normalized) and raw
+  // term-frequency — for two query bags, rrf = Σ round(1/(60+rank), 6) over
+  // each list's top-20. Rank-based fusion needs no score calibration, which
+  // is why the ranks (not the scores) cross lists; the oracle replays both
+  // scoring chains, both rank windows, and the decimal fusion sum — full
+  // hash compare including best_rank and the n_lists agreement signal.
+  // ---------------------------------------------------------------------------
+  private val x134Bags = Seq(
+    "q_spark" -> Seq("spark", "join", "window"),
+    "q_scan" -> Seq("hash", "scan", "filter"))
+
+  private def x134(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val bm = x134Bags.map { case (q, terms) =>
+      LanguageModel.bm25(d, col("doc_id"), col("text"), terms)
+        .select(lit(q).as("qid"), col("id"), col("score"))
+    }.reduce(_.unionByName(_))
+    val tf = x134Bags.map { case (q, terms) =>
+      d.select(col("doc_id").as("id"),
+          explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .filter(col("tok").isin(terms: _*))
+        .groupBy("id").agg(count(lit(1)).cast("double").as("score"))
+        .select(lit(q).as("qid"), col("id"), col("score"))
+    }.reduce(_.unionByName(_))
+    LanguageModel.rrfFuse(Seq("bm25" -> bm, "tf" -> tf), rrfK = 60, topN = 20)
+      .withColumnRenamed("id", "doc_id")
+  }
+
+  private val x134Sql =
+    """WITH base AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+           FROM documents),
+         dl AS (SELECT doc_id, len(toks) AS dl FROM base),
+         c AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                      CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+               FROM dl),
+         terms(qid, tok) AS (VALUES
+           ('q_spark', 'spark'), ('q_spark', 'join'), ('q_spark', 'window'),
+           ('q_scan', 'hash'), ('q_scan', 'scan'), ('q_scan', 'filter')),
+         tokstream AS (SELECT doc_id, unnest(toks) AS tok FROM base),
+         tf AS (SELECT t.qid, k.doc_id, k.tok, count(*) AS tf
+                FROM tokstream k JOIN terms t USING (tok) GROUP BY 1, 2, 3),
+         idf AS (SELECT qid, tok,
+                   ln(((SELECT n FROM c) - count(*) + 0.5) / (count(*) + 0.5) + 1.0) AS idf
+                 FROM tf GROUP BY 1, 2),
+         contrib AS (SELECT tf.qid, tf.doc_id,
+                CAST(round(idf.idf * (tf.tf * (1.2 + 1.0) /
+                    (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 *
+                      (CAST(dl.dl AS DOUBLE) / (SELECT avgdl FROM c))))), 6)
+                  AS DECIMAL(18,6)) AS contr
+              FROM tf JOIN dl USING (doc_id)
+                JOIN idf ON idf.qid = tf.qid AND idf.tok = tf.tok),
+         bm AS (SELECT qid, doc_id, CAST(sum(contr) AS DOUBLE) AS score
+                FROM contrib GROUP BY 1, 2),
+         tfl AS (SELECT t.qid, k.doc_id, CAST(count(*) AS DOUBLE) AS score
+                 FROM tokstream k JOIN terms t USING (tok) GROUP BY 1, 2),
+         ranked AS (
+           SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+               ORDER BY round(score, 6) DESC, doc_id) AS rnk
+           FROM bm
+           UNION ALL
+           SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+               ORDER BY round(score, 6) DESC, doc_id) AS rnk
+           FROM tfl),
+         kept AS (SELECT qid, doc_id, rnk,
+                    CAST(round(1.0 / (60 + rnk), 6) AS DECIMAL(18,6)) AS contr
+                  FROM ranked WHERE rnk <= 20)
+       SELECT qid, doc_id, count(*) AS n_lists, min(rnk) AS best_rank,
+              CAST(sum(contr) AS DOUBLE) AS rrf_score
+       FROM kept GROUP BY 1, 2"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_dedup_exact" -> x1 _,
     "x02_dedup_ngram_jaccard" -> x2 _,
@@ -4876,7 +4949,8 @@ object ExtensionQueries {
     "x130_jaro_winkler" -> x130 _,
     "x131_hilbert_layout" -> x131 _,
     "x132_best_match" -> x132 _,
-    "x133_weighted_sample" -> x133 _
+    "x133_weighted_sample" -> x133 _,
+    "x134_rrf_fusion" -> x134 _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -5003,6 +5077,7 @@ object ExtensionQueries {
     "x130_jaro_winkler" -> x130Sql,
     "x131_hilbert_layout" -> x131Sql,
     "x132_best_match" -> x132Sql,
-    "x133_weighted_sample" -> x133Sql
+    "x133_weighted_sample" -> x133Sql,
+    "x134_rrf_fusion" -> x134Sql
   )
 }

@@ -103,7 +103,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     // stratum buffers ENTIRELY in its window task before the filter runs —
     // the guard for the one-giant-stratum case at 100 TB. WindowGroupLimit
     // keeps only k rows per group on each side of the shuffle.
-    for (name <- Seq("x05_embed_topk_cosine", "x123_fixedk_sample")) {
+    for (name <- Seq("x05_embed_topk_cosine", "x123_fixedk_sample",
+        "x134_rrf_fusion")) {
       val plan = SparkEntry.queries(name)(spark, dir)
         .queryExecution.explainString(FormattedMode)
       assert(plan.contains("WindowGroupLimit"),

@@ -264,4 +264,45 @@ class LanguageModelSpec extends AnyFunSuite with SparkTestSession {
       .collect().map(_.toSeq).toSeq
     assert(a == b)
   }
+
+  test("rrfFuse: hand-computed fusion, topN cut, agreement and best rank") {
+    import spark.implicits._
+    val a = Seq(("q1", 10L, 0.9), ("q1", 11L, 0.8), ("q1", 12L, 0.7))
+      .toDF("qid", "id", "score")
+    val b = Seq(("q1", 12L, 0.9), ("q1", 11L, 0.5), ("q1", 13L, 0.2))
+      .toDF("qid", "id", "score")
+    val out = LanguageModel.rrfFuse(Seq("a" -> a, "b" -> b), rrfK = 60, topN = 2)
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(2), r.getInt(3), r.getDouble(4)))).toMap
+    // ranks: a → 10:1, 11:2 (12 cut); b → 12:1, 11:2 (13 cut)
+    val r1 = round6(1.0 / 61)
+    val r2 = round6(1.0 / 62)
+    assert(out == Map(
+      10L -> ((1L, 1, r1)),
+      11L -> ((2L, 2, round6(r2 + r2))),
+      12L -> ((1L, 1, r1))))
+  }
+
+  test("rrfFuse: scores round to 6dp before ranking so near-ties break by id") {
+    import spark.implicits._
+    // 0.5 vs 0.5 + 1e-9 are the same score at 6dp → rank by id asc
+    val l = Seq(("q", 2L, 0.5 + 1e-9), ("q", 1L, 0.5)).toDF("qid", "id", "score")
+    val out = LanguageModel.rrfFuse(Seq("l" -> l), rrfK = 60, topN = 10)
+      .collect().map(r => r.getLong(1) -> r.getInt(3)).toMap
+    assert(out == Map(1L -> 1, 2L -> 2))
+  }
+
+  test("rrfFuse: null qid/id/score rows drop; guards reject bad parameters") {
+    import spark.implicits._
+    val l = Seq((Option("q"), Option(1L), Option(1.0)),
+        (None, Option(2L), Option(1.0)),
+        (Option("q"), None, Option(1.0)),
+        (Option("q"), Option(3L), None))
+      .toDF("qid", "id", "score")
+    val out = LanguageModel.rrfFuse(Seq("l" -> l)).collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L))
+    intercept[IllegalArgumentException](LanguageModel.rrfFuse(Seq.empty))
+    intercept[IllegalArgumentException](LanguageModel.rrfFuse(Seq("l" -> l), rrfK = 0))
+    intercept[IllegalArgumentException](LanguageModel.rrfFuse(Seq("l" -> l), topN = 0))
+  }
 }
