@@ -4816,6 +4816,43 @@ object ExtensionQueries {
               CAST(sum(contr) AS DOUBLE) AS rrf_score
        FROM kept GROUP BY 1, 2"""
 
+  // ---------------------------------------------------------------------------
+  // X135 — exact-capacity context packing (Batching.packContextSpans): the
+  // corpus token stream concatenated in doc_id order and cut at every
+  // 256-token boundary, one row per (document, block) span — documents cross
+  // block boundaries, so every block except the last is a full padding-free
+  // training tensor (the GPT-style packing; x33 is the whole-chunk variant
+  // that never splits but can leave packs short). The oracle re-derives the
+  // stream offsets with a plain ordered cumsum window (fine at oracle scale
+  // — the engine side uses the parallel prefix scan instead) and every span
+  // endpoint hash-compares.
+  // ---------------------------------------------------------------------------
+  private def x135(s: SparkSession, dir: String): DataFrame =
+    Batching.packContextSpans(
+      docs(s, dir).select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).as("n_tok")),
+      col("doc_id"), col("n_tok"), blockSize = 256)
+      .withColumnRenamed("id", "doc_id")
+
+  private val x135Sql =
+    """WITH t AS (
+         SELECT doc_id,
+                CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                  x -> x <> '')) AS BIGINT) AS n
+         FROM documents),
+       d AS (SELECT doc_id, n FROM t WHERE n > 0),
+       c AS (SELECT doc_id, n,
+               CAST(sum(n) OVER (ORDER BY doc_id) AS BIGINT) AS cum FROM d),
+       e AS (SELECT doc_id, n, cum - n AS strt, cum AS en FROM c),
+       blocks AS (SELECT doc_id, n, strt, en,
+                    unnest(range(strt // 256, (en - 1) // 256 + 1)) AS b
+                  FROM e)
+       SELECT doc_id, n AS n_tokens, b AS block_id,
+              greatest(b * 256, strt) - strt AS tok_start,
+              least((b + 1) * 256, en) - strt AS tok_end,
+              greatest(b * 256, strt) - b * 256 AS block_off
+       FROM blocks"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_dedup_exact" -> x1 _,
     "x02_dedup_ngram_jaccard" -> x2 _,
@@ -4950,7 +4987,8 @@ object ExtensionQueries {
     "x131_hilbert_layout" -> x131 _,
     "x132_best_match" -> x132 _,
     "x133_weighted_sample" -> x133 _,
-    "x134_rrf_fusion" -> x134 _
+    "x134_rrf_fusion" -> x134 _,
+    "x135_context_spans" -> x135 _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -5078,6 +5116,7 @@ object ExtensionQueries {
     "x131_hilbert_layout" -> x131Sql,
     "x132_best_match" -> x132Sql,
     "x133_weighted_sample" -> x133Sql,
-    "x134_rrf_fusion" -> x134Sql
+    "x134_rrf_fusion" -> x134Sql,
+    "x135_context_spans" -> x135Sql
   )
 }

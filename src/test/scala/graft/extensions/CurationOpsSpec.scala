@@ -323,4 +323,54 @@ class CurationOpsSpec extends AnyFunSuite with SparkTestSession {
       .collect().map(r => r.getAs[String]("grp") -> r.getAs[Double]("weight")).toMap
     assert(unif("a") == 0.5 && unif("b") == 0.5)
   }
+
+  test("packContextSpans: hand-traced boundary crossings, exclusions, guard") {
+    import spark.implicits._
+    // stream in id order: doc1 [0,3) doc2 [3,8) doc3 [8,12); blocks of 4
+    val docs = Seq((1L, Option(3L)), (2L, Option(5L)), (3L, Option(4L)),
+        (4L, Option(0L)), (5L, None))
+      .toDF("id", "n_tok")
+    val out = Batching.packContextSpans(docs, col("id"), col("n_tok"), 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5))).toSet
+    assert(out == Set(
+      (1L, 0L, 0L, 3L, 0L), // doc1 wholly in block 0 at offset 0
+      (2L, 0L, 0L, 1L, 3L), // doc2's first token tops off block 0
+      (2L, 1L, 1L, 5L, 0L), // ...the rest fills block 1
+      (3L, 2L, 0L, 4L, 0L))) // doc3 is exactly block 2; 4 and 5 excluded
+    intercept[IllegalArgumentException](
+      Batching.packContextSpans(docs, col("id"), col("n_tok"), 0))
+  }
+
+  test("packContextSpans: blocks are exactly full, docs reassemble exactly") {
+    import spark.implicits._
+    // irregular lengths, many crossings at blockSize 7
+    val lens = Seq(5L, 13L, 1L, 1L, 9L, 2L, 21L, 3L)
+    val docs = lens.zipWithIndex.map { case (n, i) => (i.toLong, n) }
+      .toDF("id", "n_tok")
+    val rows = Batching.packContextSpans(docs, col("id"), col("n_tok"), 7)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val total = lens.sum
+    // per-block coverage: every block holds exactly 7 tokens (last: remainder)
+    val perBlock = rows.groupBy(_._3).view
+      .mapValues(_.map(t => t._5 - t._4).sum).toMap
+    val lastBlock = (total - 1) / 7
+    for ((b, cov) <- perBlock)
+      assert(cov == (if (b == lastBlock) total - 7 * lastBlock else 7L),
+        s"block $b covers $cov")
+    assert(perBlock.keySet == (0L to lastBlock).toSet, "no empty/missing block")
+    // per-doc reassembly: spans tile [0, n) contiguously in block order,
+    // and block_off is consistent with the span landing inside the block
+    for ((id, g) <- rows.groupBy(_._1)) {
+      val spans = g.sortBy(_._3).map(t => (t._4, t._5))
+      assert(spans.head._1 == 0L && spans.last._2 == g.head._2)
+      for (w <- spans.sliding(2) if w.length == 2)
+        assert(w(0)._2 == w(1)._1, s"doc $id spans not contiguous")
+      for ((_, _, _, s, e, off) <- g)
+        assert(off >= 0 && off + (e - s) <= 7, s"doc $id span exceeds block")
+    }
+  }
 }
