@@ -264,6 +264,57 @@ object TextAnalysis {
       .drop(names ++ sNames: _*)
   }
 
+  /** ε-differentially-private count release (Dwork et al. 2006) — the
+    * privacy ladder's fourth rung after [[kAnonymity]]/[[lDiversity]]/
+    * [[tCloseness]]: those AUDIT a release for re-identification risk; this
+    * PRODUCES a release whose per-group counts carry calibrated Laplace
+    * noise (scale 1/ε — count has add/remove sensitivity 1), so no single
+    * row's presence moves any released count's distribution by more than
+    * e^ε. The exact counts never appear in the output.
+    *
+    * Noise is DETERMINISTIC per (group, salt): u ∈ (0,1) is the portable
+    * sha-derived uniform ([[Sampling.hashBucket]]'s trade) seeded by the
+    * group key ⊕ salt, pushed through the Laplace inverse CDF
+    * `−(1/ε)·sign(u−½)·ln(1−2|u−½|)`. That buys exact re-run/engine/oracle
+    * reproducibility (the whole release hash-compares against an
+    * independent engine) at a documented cost: the DP guarantee holds only
+    * against adversaries who cannot guess the salt, and re-releasing the
+    * SAME groups under a fresh salt composes ε-additively just like any
+    * repeated DP query — rotate salts only as the privacy budget allows.
+    *
+    * NULL quasi values are legitimate groups (the [[kAnonymity]] stance);
+    * in the seed they appear as a `\u0001` sentinel (distinct from the
+    * empty string; a real `\u0001` in a QI value would alias — QI columns
+    * are enum-like metadata, not free text). Released counts are clamped
+    * at 0 (a negative count is self-evidently noise, and clamping is
+    * post-processing — DP survives it).
+    *
+    * Output: the quasi columns (caller's names) + `n_released` +
+    * `epsilon`. Scale shape: ONE map-side-combined groupBy on the QI tuple;
+    * the noise chain is scan-local arithmetic on the (class-count-sized)
+    * aggregate — nothing else touches the corpus.
+    */
+  def dpCountRelease(df: DataFrame, quasi: Seq[Column], epsilon: Double,
+      salt: String = ""): DataFrame = {
+    require(quasi.nonEmpty, "dpCountRelease needs at least one group column")
+    require(epsilon > 0.0 && epsilon <= 20.0,
+      s"epsilon must be in (0,20], got $epsilon")
+    val grouped = df.groupBy(quasi: _*).agg(count(lit(1)).as("__n"))
+    val outNames = grouped.columns.dropRight(1)
+    val seed = concat_ws("|",
+      outNames.map(n => coalesce(col(n).cast("string"), lit("\u0001"))) :+
+        lit(salt): _*)
+    val u = (conv(substring(sha2(seed, 256), 1, 8), 16, 10).cast("double") +
+      lit(0.5)) / lit(4294967296.0)
+    val noise = round((lit(-1.0 / epsilon) * signum(u - lit(0.5))) *
+      log(lit(1.0) - lit(2.0) * abs(u - lit(0.5))), 6)
+    grouped
+      .withColumn("n_released",
+        greatest(lit(0L), round(col("__n") + noise).cast("long")))
+      .withColumn("epsilon", lit(epsilon))
+      .drop("__n")
+  }
+
   // ------------------------------------------------- cleaning / canon --
 
   /** Crawl-grade text cleaning — the scrub every web corpus runs before any

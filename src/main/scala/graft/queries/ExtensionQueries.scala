@@ -4853,6 +4853,34 @@ object ExtensionQueries {
               greatest(b * 256, strt) - b * 256 AS block_off
        FROM blocks"""
 
+  // ---------------------------------------------------------------------------
+  // X136 — ε-DP count release (TextAnalysis.dpCountRelease): noisy
+  // (lang × source) histogram at ε = 0.5, Laplace noise through the inverse
+  // CDF of the portable sha-derived uniform — the privacy ladder's release
+  // rung after the x58/x125 audit rungs. Deterministic seeding is the
+  // documented replayability trade, and it is exactly what lets the oracle
+  // re-derive the ENTIRE release (uniform, noise, clamp) — full hash
+  // compare; the exact counts appear on neither side's output.
+  // ---------------------------------------------------------------------------
+  private def x136(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.dpCountRelease(docs(s, dir),
+      Seq(col("lang"), col("source")), epsilon = 0.5, salt = "dp1")
+
+  private val x136Sql =
+    """WITH g AS (SELECT lang, source, count(*) AS n
+                  FROM documents GROUP BY 1, 2),
+         s AS (SELECT lang, source, n,
+                 (CAST('0x' || substr(sha256(concat_ws('|',
+                     coalesce(CAST(lang AS VARCHAR), chr(1)),
+                     coalesce(CAST(source AS VARCHAR), chr(1)),
+                     'dp1')), 1, 8) AS BIGINT) + 0.5) / 4294967296.0 AS u
+               FROM g)
+       SELECT lang, source,
+              greatest(0, CAST(round(n + round(-(1.0 / 0.5) * sign(u - 0.5) *
+                ln(1.0 - 2.0 * abs(u - 0.5)), 6)) AS BIGINT)) AS n_released,
+              CAST(0.5 AS DOUBLE) AS epsilon
+       FROM s"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_dedup_exact" -> x1 _,
     "x02_dedup_ngram_jaccard" -> x2 _,
@@ -4988,7 +5016,8 @@ object ExtensionQueries {
     "x132_best_match" -> x132 _,
     "x133_weighted_sample" -> x133 _,
     "x134_rrf_fusion" -> x134 _,
-    "x135_context_spans" -> x135 _
+    "x135_context_spans" -> x135 _,
+    "x136_dp_release" -> x136 _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -5117,6 +5146,7 @@ object ExtensionQueries {
     "x132_best_match" -> x132Sql,
     "x133_weighted_sample" -> x133Sql,
     "x134_rrf_fusion" -> x134Sql,
-    "x135_context_spans" -> x135Sql
+    "x135_context_spans" -> x135Sql,
+    "x136_dp_release" -> x136Sql
   )
 }

@@ -180,4 +180,73 @@ class FuzzyAndAuditOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(out(4L) == ((3L, 3L, false)))
     assert(out(7L) == ((2L, 1L, true))) // null class: 2 rows, 1 distinct
   }
+
+  // --- TextAnalysis.dpCountRelease ------------------------------------------
+
+  /** Driver-side replica of the release chain: sha-uniform → Laplace inverse
+    * CDF → round-6 → add → round → clamp. */
+  private def dpExpect(seedParts: Seq[String], salt: String, n: Long,
+      epsilon: Double): Long = {
+    val seed = (seedParts :+ salt).mkString("|")
+    val hex = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(seed.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val u = (java.lang.Long.parseLong(hex, 16).toDouble + 0.5) / 4294967296.0
+    val raw = -(1.0 / epsilon) * math.signum(u - 0.5) *
+      math.log(1.0 - 2.0 * math.abs(u - 0.5))
+    val noise6 = BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+    math.max(0L, BigDecimal(n + noise6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+  }
+
+  test("dpCountRelease matches the driver-side chain; exact counts absent") {
+    import spark.implicits._
+    val df = Seq.tabulate(40)(i => (i.toLong, if (i % 3 == 0) "en" else "lv",
+        s"s${i % 2}"))
+      .toDF("id", "lang", "source")
+    val out = TextAnalysis.dpCountRelease(df,
+      Seq(col("lang"), col("source")), epsilon = 0.5, salt = "t1")
+    assert(out.columns.toSeq == Seq("lang", "source", "n_released", "epsilon"))
+    val got = out.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val exact = df.groupBy("lang", "source").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got.keySet == exact.keySet)
+    for ((k @ (l, s), n) <- exact)
+      assert(got(k) == dpExpect(Seq(l, s), "t1", n, 0.5), s"group $k")
+    // repartition invariance: the release is a pure function of the groups
+    val re = TextAnalysis.dpCountRelease(df.repartition(17),
+        Seq(col("lang"), col("source")), epsilon = 0.5, salt = "t1")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(re == got)
+  }
+
+  test("dpCountRelease: NULL group is real and distinct from ''; clamp; salt") {
+    import spark.implicits._
+    val df = Seq((1L, Option("")), (2L, Option("")), (3L, None), (4L, None),
+        (5L, Option("a")))
+      .toDF("id", "lang")
+    // tiny epsilon → scale 20 noise → small counts can go negative → clamp to 0
+    val out = TextAnalysis.dpCountRelease(df, Seq(col("lang")),
+        epsilon = 0.05, salt = "t2")
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(out.keySet == Set(Option(""), None, Option("a")))
+    assert(out(Option("")) ==
+      dpExpect(Seq(""), "t2", 2L, 0.05), "empty-string group seeds as ''")
+    assert(out(None) ==
+      dpExpect(Seq(""), "t2", 2L, 0.05), "NULL group seeds as sentinel")
+    assert(out(Option("")) != out(None),
+      "sentinel-distinct seeds draw distinct noise here (1 vs 10)")
+    // a different salt is a fresh draw, and under t3 the 'a' group's draw is
+    // −14.84 on a count of 1 — the clamp genuinely fires
+    val other = TextAnalysis.dpCountRelease(df, Seq(col("lang")),
+        epsilon = 0.05, salt = "t3")
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(other != out)
+    assert(other(Option("a")) == 0L, "negative noisy count clamps to 0")
+    intercept[IllegalArgumentException](
+      TextAnalysis.dpCountRelease(df, Seq.empty, epsilon = 0.5))
+    intercept[IllegalArgumentException](
+      TextAnalysis.dpCountRelease(df, Seq(col("lang")), epsilon = 0.0))
+  }
 }
