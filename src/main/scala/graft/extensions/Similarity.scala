@@ -259,6 +259,100 @@ object Similarity {
           lit(0.0), (acc, d) => acc + d).as("dist2"))
   }
 
+  /** Product-quantization codebooks (Jégou et al. 2011): split the d-dim
+    * embedding space into `m` contiguous subspaces and fit `k` centroids per
+    * subspace over a bounded deterministic sample — the compression rung of
+    * the ANN stack ([[ivfTopK]] prunes WHICH vectors to score; PQ shrinks
+    * each stored vector to `m` small codes so a 100 TB vector corpus's index
+    * fits in executor memory: 64 float dims → 8 bytes at m=8, k≤256).
+    * Returns codebooks(j)(c) = subspace-j centroid c, each of d/m dims.
+    * Same determinism contract as [[fitCentroids]] (fixed seed + bounded
+    * sample); `d` must be divisible by `m`.
+    */
+  def pqFit(df: DataFrame, vec: Column, d: Int, m: Int, k: Int,
+      seed: Long = 42L, maxTrainRows: Int = 100000, maxIter: Int = 8)
+      : Seq[Seq[Seq[Double]]] = {
+    require(m >= 1 && d >= m && d % m == 0,
+      s"d=$d must be a positive multiple of m=$m")
+    require(k >= 2 && k <= 256, s"k must be in [2,256], got $k")
+    val sub = d / m
+    (0 until m).map { j =>
+      fitCentroids(df, slice(vec.cast("array<double>"), j * sub + 1, sub),
+        k, seed + j, maxTrainRows, maxIter)
+    }
+  }
+
+  /** PQ encoding: each vector becomes `codes` = the m-array of its nearest
+    * per-subspace centroid ids (ties to the lower id — [[ivfTopK]]'s
+    * NearestCells contract). Scan-local: the codebooks ride inside the plan
+    * as literals, the per-subspace argmin is the same native codegen'd
+    * NearestCells expression the IVF path uses — no join, no shuffle, no
+    * model artifact. Output: (id, codes array<int>).
+    */
+  def pqEncode(df: DataFrame, id: Column, vec: Column,
+      codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+    require(codebooks.nonEmpty, "pqEncode needs at least one codebook")
+    val sub = codebooks.head.head.size
+    val v = vec.cast("array<double>")
+    val codes = array(codebooks.zipWithIndex.map { case (book, j) =>
+      element_at(graft.functions.NearestCells.nearestCells(
+        slice(v, j * sub + 1, sub), book, 1), 1)
+    }: _*)
+    df.select(id.as("id"), codes.as("codes"))
+  }
+
+  /** PQ asymmetric-distance top-k (the ADC scan): approximate L2² from each
+    * query to every ENCODED corpus vector as
+    * `Σ_j ‖q_j − codebook_j(codes_j)‖²` — exactly the L2² between the query
+    * and the corpus vector's reconstruction (subspaces partition the
+    * coordinates, so the per-subspace sums compose exactly). The query side
+    * precomputes its m×k distance table in-plan; each corpus row then costs
+    * m table lookups against its codes — never a d-dim float scan.
+    *
+    * Output: (query_id, neighbor_id, dist2_est, rank), rank ≤ `k` per query
+    * by (round-6 estimate asc, neighbor_id) — [[ivfTopK]]'s determinism
+    * contract.
+    *
+    * Scale shape: the corpus is scanned once as (id, codes); the query
+    * relation (with its tables) broadcasts — queries are the bounded side
+    * of an ANN probe by contract — and the per-query rank ≤ k filter plans
+    * a WindowGroupLimit, so no task buffers more than k candidates per
+    * query. The distance sum is a fixed-order fold over j (IEEE-stable),
+    * rounded to 6 dp.
+    */
+  def pqAdcTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(codebooks.nonEmpty, "pqAdcTopK needs codebooks")
+    val m = codebooks.size
+    val sub = codebooks.head.head.size
+    val booksLit = typedLit(codebooks)
+    val qv = col("__qv")
+    // tables(j)(c) = ‖q_j − codebook_j(c)‖², computed once per query row
+    val tables = transform(booksLit, (book, j) =>
+      transform(book, cvec => aggregate(
+        zip_with(slice(qv, j * lit(sub) + 1, lit(sub)), cvec,
+          (x, c) => (x - c) * (x - c)),
+        lit(0.0), (acc, d) => acc + d)))
+    val q = queries.select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("__qv"))
+      .withColumn("__tbl", tables).drop("__qv")
+    val enc = pqEncode(corpus, col("vec_id"), col("embedding"), codebooks)
+    val dist = (0 until m).map(j =>
+      element_at(element_at(col("__tbl"), j + 1),
+        element_at(col("codes"), j + 1) + 1))
+      .reduce(_ + _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("dist2_est").asc, col("neighbor_id").asc)
+    enc.select(col("id").as("neighbor_id"), col("codes"))
+      .crossJoin(broadcast(q))
+      .withColumn("dist2_est", round(dist, 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "dist2_est", "rank")
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold within a blocking key
     * (e.g. label, or an LSH bucket at scale). Pairs emitted once (a<b).
     */

@@ -4881,6 +4881,101 @@ object ExtensionQueries {
               CAST(0.5 AS DOUBLE) AS epsilon
        FROM s"""
 
+  // ---------------------------------------------------------------------------
+  // X137 — product-quantization ADC top-k (Similarity.pqFit/pqEncode/
+  // pqAdcTopK): the compression rung of the ANN stack — 64-dim floats
+  // become m=4 codes (k=16 per subspace), and each of 8 probe queries
+  // scores the WHOLE corpus through its in-plan m×k distance table (m
+  // lookups per corpus row, never a 64-dim float scan). Like the other
+  // estimator-backed queries (x03/x06/x13/x86) the per-subspace k-means
+  // fit is not SQL-expressible, so this row is rows-only BY CONTRACT and
+  // x138 is its oracle-checked invariant twin.
+  // ---------------------------------------------------------------------------
+  private val pqM = 4
+  private val pqCodes = 16
+
+  private def x137(s: SparkSession, dir: String): DataFrame = {
+    val e = embeds(s, dir)
+    val books = Similarity.pqFit(e, col("embedding"), d = 64, m = pqM,
+      k = pqCodes)
+    Similarity.pqAdcTopK(e.filter(col("vec_id") < 8), e, k = 10, books)
+  }
+
+  // ---------------------------------------------------------------------------
+  // X138 — PQ invariant audit (x137's oracle twin, the x87 pattern): refits
+  // the SAME bounded-sample codebooks (deterministic for fixed seed/sample),
+  // re-derives every corpus code through the INTERPRETED HOF argmin over the
+  // centroid literals (same ‖c‖²−2·v·c ranking as the native NearestCells,
+  // so ties cannot split the formulations), and checks the x137 relation
+  // end-to-end in-plan: every ADC estimate must equal the L2² to the code's
+  // full reconstruction re-derived over the CONCATENATED vector (the
+  // subspace-decomposition identity, 1e-6 bookkeeping), and every query's
+  // ranks must be 1..k with non-decreasing estimates. Any FALSE hash-fails
+  // against the all-TRUE oracle.
+  // ---------------------------------------------------------------------------
+  private def x138(s: SparkSession, dir: String): DataFrame = {
+    val e = embeds(s, dir)
+    val books = Similarity.pqFit(e, col("embedding"), d = 64, m = pqM,
+      k = pqCodes)
+    val sub = 64 / pqM
+    val booksLit = typedLit(books)
+    val enc = Similarity.pqEncode(e, col("vec_id"), col("embedding"), books)
+    val v = col("__v")
+    // interpreted HOF argmin per subspace, same ranking form as NearestCells
+    val hofCodes = array((0 until pqM).map { j =>
+      val book = books(j)
+      val bookLit = typedLit(book)
+      val normsLit = typedLit(book.map(c => c.map(x => x * x).sum))
+      element_at(transform(array_sort(zip_with(
+        zip_with(bookLit, normsLit, (cvec, n2) => n2 - lit(2.0) *
+          graft.functions.DotProduct.dotProduct(slice(v, j * sub + 1, sub), cvec)),
+        sequence(lit(0), lit(pqCodes - 1)),
+        (d, i) => struct(d.as("d"), i.as("cell")))), p => p("cell")), 1)
+    }: _*)
+    val encChecks = enc
+      .join(e.select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("__v")).hint("shuffle_hash"),
+        Seq("id"))
+      .select(col("id").as("vec_id"),
+        forall(col("codes"), c => c >= 0 && c < pqCodes).as("ok_range"),
+        (col("codes") === hofCodes).as("ok_argmin"))
+    // ADC reconstruction identity over the x137 top-k relation
+    val topk = Similarity.pqAdcTopK(e.filter(col("vec_id") < 8), e, k = 10,
+      books)
+    val recon = flatten(transform(sequence(lit(0), lit(pqM - 1)), j =>
+      element_at(element_at(booksLit, j + 1),
+        element_at(col("codes"), j + 1) + 1)))
+    val adcOk = topk
+      .join(broadcast(e.select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("__qv"))), Seq("query_id"))
+      .join(Similarity.pqEncode(e, col("vec_id"), col("embedding"), books)
+        .select(col("id").as("neighbor_id"), col("codes"))
+        .hint("shuffle_hash"), Seq("neighbor_id"))
+      .select((abs(col("dist2_est") - round(aggregate(
+        zip_with(col("__qv"), recon, (x, c) => (x - c) * (x - c)),
+        lit(0.0), (acc, d) => acc + d), 6)) < 1e-6).as("__ok"))
+      .agg(coalesce(bool_and(col("__ok")), lit(false)).as("__adc_ok"))
+    val rankOk = topk.groupBy("query_id")
+      .agg(array_sort(collect_list(struct(col("rank").as("r"),
+        col("dist2_est").as("d")))).as("__a"), count(lit(1)).as("__n"))
+      .select((col("__n") === 10 &&
+        element_at(col("__a"), 1)("r") === 1 &&
+        element_at(col("__a"), 10)("r") === 10 &&
+        forall(zip_with(slice(col("__a"), 1, 9), slice(col("__a"), 2, 9),
+          (a, b) => b("d") >= a("d")), x => x)).as("__ok"))
+      .agg(coalesce(bool_and(col("__ok")), lit(false)).as("__rank_ok"))
+    encChecks
+      .crossJoin(broadcast(adcOk))
+      .crossJoin(broadcast(rankOk))
+      .select(col("vec_id"), col("ok_range"), col("ok_argmin"),
+        col("__adc_ok").as("ok_adc"), col("__rank_ok").as("ok_rank"))
+  }
+
+  private val x138Sql =
+    """SELECT vec_id, TRUE AS ok_range, TRUE AS ok_argmin,
+              TRUE AS ok_adc, TRUE AS ok_rank
+       FROM embeddings"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_dedup_exact" -> x1 _,
     "x02_dedup_ngram_jaccard" -> x2 _,
@@ -5017,7 +5112,9 @@ object ExtensionQueries {
     "x133_weighted_sample" -> x133 _,
     "x134_rrf_fusion" -> x134 _,
     "x135_context_spans" -> x135 _,
-    "x136_dp_release" -> x136 _
+    "x136_dp_release" -> x136 _,
+    "x137_pq_adc_topk" -> x137 _,
+    "x138_pq_invariants" -> x138 _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -5147,6 +5244,7 @@ object ExtensionQueries {
     "x133_weighted_sample" -> x133Sql,
     "x134_rrf_fusion" -> x134Sql,
     "x135_context_spans" -> x135Sql,
-    "x136_dp_release" -> x136Sql
+    "x136_dp_release" -> x136Sql,
+    "x138_pq_invariants" -> x138Sql
   )
 }

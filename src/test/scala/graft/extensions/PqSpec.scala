@@ -1,0 +1,78 @@
+package graft.extensions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Product-quantization semantics on hand-crafted codebooks (the fit itself
+  * is invariant-audited by x138; here the codebooks are inputs, so encode
+  * and ADC are fully deterministic hand-checkable arithmetic).
+  */
+class PqSpec extends AnyFunSuite with SparkTestSession {
+
+  // 4-dim space, m=2 subspaces of 2 dims, k=2 codes each
+  private val books: Seq[Seq[Seq[Double]]] = Seq(
+    Seq(Seq(0.0, 0.0), Seq(10.0, 10.0)),
+    Seq(Seq(0.0, 5.0), Seq(5.0, 0.0)))
+
+  private def corpus = {
+    import spark.implicits._
+    Seq((1L, Seq(1.0, 1.0, 1.0, 4.0)),
+        (2L, Seq(9.0, 9.0, 4.0, 1.0)),
+        (3L, Seq(6.0, 6.0, 2.5, 2.5)))
+      .toDF("vec_id", "embedding")
+  }
+
+  test("pqEncode: per-subspace argmin with ties to the lower code") {
+    val got = Similarity.pqEncode(corpus, col("vec_id"), col("embedding"), books)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    // doc3 subspace 2 is equidistant (12.5) to both codes → code 0
+    assert(got == Map(1L -> Seq(0, 0), 2L -> Seq(1, 1), 3L -> Seq(1, 0)))
+  }
+
+  test("pqAdcTopK: table-sum estimates, rank order, id tie-break") {
+    import spark.implicits._
+    val q = Seq((100L, Seq(0.0, 0.0, 0.0, 0.0))).toDF("vec_id", "embedding")
+    val got = Similarity.pqAdcTopK(q, corpus, k = 3, books)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    // tables for q=0: sub1 → (0, 200); sub2 → (25, 25)
+    // doc1 = 0+25, doc2 = 200+25, doc3 = 200+25 → tie breaks by id
+    assert(got == Set((100L, 1L, 25.0, 1), (100L, 2L, 225.0, 2),
+      (100L, 3L, 225.0, 3)))
+  }
+
+  test("pqAdcTopK estimate equals L2^2 to the reconstruction") {
+    import spark.implicits._
+    val q = Seq((100L, Seq(2.0, -1.0, 3.0, 0.5))).toDF("vec_id", "embedding")
+    val est = Similarity.pqAdcTopK(q, corpus, k = 3, books)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    val codes = Similarity.pqEncode(corpus, col("vec_id"), col("embedding"),
+        books)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    val qv = Seq(2.0, -1.0, 3.0, 0.5)
+    for ((id, cs) <- codes) {
+      val recon = cs.zipWithIndex.flatMap { case (c, j) => books(j)(c) }
+      val d2 = qv.zip(recon).map { case (x, c) => (x - c) * (x - c) }.sum
+      assert(math.abs(est(id) -
+        BigDecimal(d2).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        < 1e-9, s"doc $id")
+    }
+  }
+
+  test("pqFit: shape contract and guards") {
+    val fitted = Similarity.pqFit(corpus, col("embedding"), d = 4, m = 2,
+      k = 2, maxTrainRows = 10, maxIter = 4)
+    assert(fitted.size == 2 && fitted.forall(b => b.size == 2 &&
+      b.forall(_.size == 2)))
+    intercept[IllegalArgumentException](
+      Similarity.pqFit(corpus, col("embedding"), d = 4, m = 3, k = 2))
+    intercept[IllegalArgumentException](
+      Similarity.pqFit(corpus, col("embedding"), d = 4, m = 2, k = 1))
+    intercept[IllegalArgumentException](
+      Similarity.pqAdcTopK(corpus, corpus, k = 0, books))
+    intercept[IllegalArgumentException](
+      Similarity.pqEncode(corpus, col("vec_id"), col("embedding"), Seq.empty))
+  }
+}
