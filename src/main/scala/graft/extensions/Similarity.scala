@@ -353,6 +353,75 @@ object Similarity {
       .select("query_id", "neighbor_id", "dist2_est", "rank")
   }
 
+  /** IVF-PQ top-k — the production big-ANN composition (FAISS's default
+    * index family): [[ivfTopK]]'s coarse cells prune WHICH corpus vectors a
+    * query scores (nProbe of nCells cells ≈ nProbe/nCells of the corpus),
+    * and [[pqAdcTopK]]'s code tables make each scored candidate cost m
+    * lookups instead of a d-dim float scan. At 100 TB neither half works
+    * alone: unpruned ADC still touches every row; uncompressed IVF still
+    * ships full vectors through the probe join.
+    *
+    * Simplification vs FAISS: codes quantize the RAW vectors, not the
+    * per-cell residuals (residual PQ needs a codebook join keyed by cell;
+    * raw-vector PQ keeps the encode scan-local — the documented trade).
+    *
+    * Output: (query_id, neighbor_id, cell, dist2_est, rank), rank ≤ k per
+    * query by (round-6 ADC estimate asc, neighbor_id) over the PROBED
+    * cells only — a neighbor outside the probed cells is out of scope by
+    * IVF contract (the x11-style documented recall semantics).
+    *
+    * Scale shape: ONE corpus scan assigns cells and codes (both argmins
+    * over in-plan literals); the query relation — nProbe rows per query,
+    * each carrying the m×k table — broadcasts (bounded probe set by ANN
+    * contract); the probe is a broadcast equi-join ON CELL (never a full
+    * cross product); rank ≤ k plans a WindowGroupLimit.
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      cells: Seq[Seq[Double]], nProbe: Int,
+      codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(cells.nonEmpty, "ivfPqTopK needs coarse cells")
+    require(nProbe >= 1 && nProbe <= cells.size,
+      s"nProbe must be in [1,${cells.size}], got $nProbe")
+    require(codebooks.nonEmpty, "ivfPqTopK needs codebooks")
+    val m = codebooks.size
+    val sub = codebooks.head.head.size
+    val booksLit = typedLit(codebooks)
+    val qv = col("__qv")
+    val tables = transform(booksLit, (book, j) =>
+      transform(book, cvec => aggregate(
+        zip_with(slice(qv, j * lit(sub) + 1, lit(sub)), cvec,
+          (x, c) => (x - c) * (x - c)),
+        lit(0.0), (acc, d) => acc + d)))
+    val q = queries.select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("__qv"))
+      .withColumn("__tbl", tables)
+      .withColumn("cell", explode(
+        graft.functions.NearestCells.nearestCells(col("__qv"), cells, nProbe)))
+      .drop("__qv")
+    val enc = corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding").cast("array<double>").as("__v"))
+      .select(col("neighbor_id"),
+        element_at(graft.functions.NearestCells.nearestCells(col("__v"),
+          cells, 1), 1).as("cell"),
+        array(codebooks.zipWithIndex.map { case (book, j) =>
+          element_at(graft.functions.NearestCells.nearestCells(
+            slice(col("__v"), j * sub + 1, sub), book, 1), 1)
+        }: _*).as("codes"))
+    val dist = (0 until m).map(j =>
+      element_at(element_at(col("__tbl"), j + 1),
+        element_at(col("codes"), j + 1) + 1))
+      .reduce(_ + _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("dist2_est").asc, col("neighbor_id").asc)
+    enc.join(broadcast(q), Seq("cell"))
+      .withColumn("dist2_est", round(dist, 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cell", "dist2_est", "rank")
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold within a blocking key
     * (e.g. label, or an LSH bucket at scale). Pairs emitted once (a<b).
     */

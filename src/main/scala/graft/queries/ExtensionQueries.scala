@@ -4976,6 +4976,107 @@ object ExtensionQueries {
               TRUE AS ok_adc, TRUE AS ok_rank
        FROM embeddings"""
 
+  // ---------------------------------------------------------------------------
+  // X139 — IVF-PQ top-k (Similarity.ivfPqTopK): the production big-ANN
+  // composition — coarse cells prune which vectors each of 8 queries scores
+  // (nProbe=2 of 8 cells), PQ codes make each candidate cost m=4 table
+  // lookups. One corpus scan assigns cells + codes; the probe is a
+  // broadcast equi-join ON CELL, never a cross product. Estimator-backed →
+  // rows-only BY CONTRACT (the x03/x13/x86/x137 family); x140 is its
+  // oracle-checked invariant twin.
+  // ---------------------------------------------------------------------------
+  private val ivfPqCells = 8
+  private val ivfPqProbe = 2
+
+  private def x139(s: SparkSession, dir: String): DataFrame = {
+    val e = embeds(s, dir)
+    val cells = Similarity.fitCentroids(e, col("embedding"), ivfPqCells)
+    val books = Similarity.pqFit(e, col("embedding"), d = 64, m = pqM,
+      k = pqCodes)
+    Similarity.ivfPqTopK(e.filter(col("vec_id") < 8), e, k = 10, cells,
+      ivfPqProbe, books)
+  }
+
+  // ---------------------------------------------------------------------------
+  // X140 — IVF-PQ invariant audit (x139's oracle twin): refits the SAME
+  // deterministic cells + codebooks, then checks per corpus vector that the
+  // scan's cell assignment matches the interpreted HOF argmin (x87's
+  // independent formulation, same ‖c‖²−2·v·c ranking), and over the x139
+  // relation that (a) every returned neighbor sits in one of its query's
+  // re-derived nProbe probed cells AND in its own re-derived cell, (b) every
+  // ADC estimate equals the L2² to the full code reconstruction (the x138
+  // identity), and (c) per query the ranks are 1..n≤k with non-decreasing
+  // estimates. Any FALSE hash-fails against the all-TRUE oracle.
+  // ---------------------------------------------------------------------------
+  private def x140(s: SparkSession, dir: String): DataFrame = {
+    val e = embeds(s, dir)
+    val cells = Similarity.fitCentroids(e, col("embedding"), ivfPqCells)
+    val books = Similarity.pqFit(e, col("embedding"), d = 64, m = pqM,
+      k = pqCodes)
+    val booksLit = typedLit(books)
+    val cellsLit = typedLit(cells)
+    val cellNorms = typedLit(cells.map(c => c.map(x => x * x).sum))
+    def rankedCells(v: Column): Column = transform(array_sort(zip_with(
+      zip_with(cellsLit, cellNorms, (cvec, n2) => n2 - lit(2.0) *
+        graft.functions.DotProduct.dotProduct(v, cvec)),
+      sequence(lit(0), lit(ivfPqCells - 1)),
+      (d, i) => struct(d.as("d"), i.as("cell")))), p => p("cell"))
+    val topk = Similarity.ivfPqTopK(e.filter(col("vec_id") < 8), e, k = 10,
+      cells, ivfPqProbe, books)
+    // per corpus vector: scan cell assignment ≡ interpreted HOF argmin
+    val scanCells = e.select(col("vec_id"),
+      element_at(graft.functions.NearestCells.nearestCells(
+        col("embedding").cast("array<double>"), cells, 1), 1).as("__c"),
+      element_at(rankedCells(col("embedding").cast("array<double>")), 1)
+        .as("__hof"))
+    val recon = flatten(transform(sequence(lit(0), lit(pqM - 1)), j =>
+      element_at(element_at(booksLit, j + 1),
+        element_at(col("codes"), j + 1) + 1)))
+    val probeOk = topk
+      .join(broadcast(e.select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("__qv"))), Seq("query_id"))
+      .join(e.select(col("vec_id").as("neighbor_id"),
+          col("embedding").cast("array<double>").as("__nv"))
+        .hint("shuffle_hash"), Seq("neighbor_id"))
+      .join(Similarity.pqEncode(e, col("vec_id"), col("embedding"), books)
+        .select(col("id").as("neighbor_id"), col("codes"))
+        .hint("shuffle_hash"), Seq("neighbor_id"))
+      .select(
+        array_contains(slice(rankedCells(col("__qv")), 1, ivfPqProbe),
+          col("cell")).as("__in_probe"),
+        (element_at(rankedCells(col("__nv")), 1) === col("cell"))
+          .as("__own_cell"),
+        (abs(col("dist2_est") - round(aggregate(
+          zip_with(col("__qv"), recon, (x, c) => (x - c) * (x - c)),
+          lit(0.0), (acc, d) => acc + d), 6)) < 1e-6).as("__adc"))
+      .agg(coalesce(bool_and(col("__in_probe") && col("__own_cell") &&
+        col("__adc")), lit(false)).as("__probe_ok"))
+    val rankOk = topk.groupBy("query_id")
+      .agg(array_sort(collect_list(struct(col("rank").as("r"),
+        col("dist2_est").as("d")))).as("__a"), count(lit(1)).as("__n"))
+      .select((col("__n") <= 10 &&
+        element_at(col("__a"), 1)("r") === 1 &&
+        element_at(col("__a"), col("__n").cast("int"))("r") ===
+          col("__n").cast("int") &&
+        forall(zip_with(
+          slice(col("__a"), lit(1), col("__n").cast("int") - 1),
+          slice(col("__a"), lit(2), col("__n").cast("int") - 1),
+          (a, b) => b("d") >= a("d")), x => x)).as("__ok"))
+      .agg(coalesce(bool_and(col("__ok")), lit(false)).as("__rank_ok"))
+    scanCells
+      .crossJoin(broadcast(probeOk))
+      .crossJoin(broadcast(rankOk))
+      .select(col("vec_id"),
+        (col("__c") === col("__hof")).as("ok_cell_assign"),
+        col("__probe_ok").as("ok_probe"),
+        col("__rank_ok").as("ok_rank"))
+  }
+
+  private val x140Sql =
+    """SELECT vec_id, TRUE AS ok_cell_assign, TRUE AS ok_probe,
+              TRUE AS ok_rank
+       FROM embeddings"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_dedup_exact" -> x1 _,
     "x02_dedup_ngram_jaccard" -> x2 _,
@@ -5114,7 +5215,9 @@ object ExtensionQueries {
     "x135_context_spans" -> x135 _,
     "x136_dp_release" -> x136 _,
     "x137_pq_adc_topk" -> x137 _,
-    "x138_pq_invariants" -> x138 _
+    "x138_pq_invariants" -> x138 _,
+    "x139_ivfpq_topk" -> x139 _,
+    "x140_ivfpq_invariants" -> x140 _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -5245,6 +5348,7 @@ object ExtensionQueries {
     "x134_rrf_fusion" -> x134Sql,
     "x135_context_spans" -> x135Sql,
     "x136_dp_release" -> x136Sql,
-    "x138_pq_invariants" -> x138Sql
+    "x138_pq_invariants" -> x138Sql,
+    "x140_ivfpq_invariants" -> x140Sql
   )
 }

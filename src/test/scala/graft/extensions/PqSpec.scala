@@ -61,6 +61,27 @@ class PqSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("ivfPqTopK: probed-cell pruning, ADC estimates, rank per query") {
+    import spark.implicits._
+    val cells = Seq(Seq(0.0, 0.0, 0.0, 0.0), Seq(10.0, 10.0, 10.0, 10.0))
+    // corpus cells: doc1 → 0 (19 vs 279), doc2 → 1 (179 vs 119), doc3 → 0
+    // (84.5 vs 144.5); query 0-vector probes only cell 0 at nProbe=1
+    val q = Seq((100L, Seq(0.0, 0.0, 0.0, 0.0))).toDF("vec_id", "embedding")
+    val got = Similarity.ivfPqTopK(q, corpus, k = 10, cells, nProbe = 1, books)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3), r.getInt(4))).toSet
+    // doc2 is excluded (cell 1 unprobed); ADC estimates as in the ADC test
+    assert(got == Set((100L, 1L, 0, 25.0, 1), (100L, 3L, 0, 225.0, 2)))
+    // nProbe = all cells → pruning off, doc2 reappears by its ADC estimate
+    val all = Similarity.ivfPqTopK(q, corpus, k = 10, cells, nProbe = 2, books)
+      .collect().map(r => (r.getLong(1), r.getDouble(3), r.getInt(4))).toSet
+    assert(all == Set((1L, 25.0, 1), (2L, 225.0, 2), (3L, 225.0, 3)))
+    intercept[IllegalArgumentException](
+      Similarity.ivfPqTopK(q, corpus, 10, cells, nProbe = 3, books))
+    intercept[IllegalArgumentException](
+      Similarity.ivfPqTopK(q, corpus, 10, Seq.empty, 1, books))
+  }
+
   test("pqFit: shape contract and guards") {
     val fitted = Similarity.pqFit(corpus, col("embedding"), d = 4, m = 2,
       k = 2, maxTrainRows = 10, maxIter = 4)
