@@ -90,7 +90,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     // batch packing and percentile ranks are the two ops whose naive
     // formulation is a per-stratum window — the exact single-task buffering
     // trap PrefixSum exists to avoid
-    for (name <- Seq("x60_length_batches", "x62_quality_pct_rank")) {
+    for (name <- Seq("x60_length_batches", "x62_quality_pct_rank",
+        "x135_context_spans")) {
       val plan = SparkEntry.queries(name)(spark, dir)
         .queryExecution.explainString(FormattedMode)
       assert(!plan.contains("Window"), s"$name windows: $plan")
