@@ -284,6 +284,67 @@ object LinkGraph {
     * Returns one row per node appearing in ≥1 triangle: `node_id`,
     * `n_triangles` (each triangle credits all three corners).
     */
+  /** Bounded k-core peel — the graph-density ladder's rung between degree
+    * (x53-style profiles) and triangles: iteratively delete every node whose
+    * undirected degree is < `k`; what survives is the k-core, the classic
+    * "dense, mutually-connected neighborhood" signal crawl curation uses to
+    * find organic link communities (and spam cliques) that raw degree and
+    * local closure both miss.
+    *
+    * Runs EXACTLY `rounds` peel rounds — no driver-side convergence loop, so
+    * the result is a pure function of (edges, k, rounds) that an independent
+    * engine replays round for round. A converged graph makes later rounds
+    * no-ops (peeling a fixed point removes nothing), so fixed rounds ≡ the
+    * true k-core whenever the peel converges inside the budget; the
+    * `converged` column reports exactly that (recomputed min degree ≥ k on
+    * the surviving graph — FALSE means the budget was too small for this
+    * graph and the output is the round-`rounds` peel prefix, a SUPERSET of
+    * the true k-core). Adversarial chains need O(n) rounds; real link
+    * graphs peel in a handful.
+    *
+    * Output: one row per surviving node — (node_id, core_degree, converged)
+    * with `core_degree` its degree INSIDE the surviving subgraph (≥ k when
+    * converged). Self-loops dropped, parallel/reverse duplicates collapsed,
+    * the [[triangleCounts]] canonicalization.
+    *
+    * Scale shape: each round is one map-combined degree aggregate + two
+    * hinted shuffle-hash semi-joins of the (shrinking) edge set against the
+    * (node-sized) keep set; per-round `localCheckpoint` truncates the
+    * lineage (the [[labelPropagation]] pattern). The convergence verdict is
+    * one more bounded aggregate, broadcast as a 1-row relation.
+    */
+  def kCore(edges: DataFrame, src: Column, dst: Column, k: Int,
+      rounds: Int = 8): DataFrame = {
+    require(k >= 1 && k <= 1000000, s"k must be in [1,1e6], got $k")
+    require(rounds >= 1 && rounds <= 64,
+      s"rounds must be in [1,64], got $rounds")
+    val e = edges.select(src.cast("long").as("src"), dst.cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    var und = e.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    def degrees(g: DataFrame): DataFrame =
+      g.select(col("a").as("v")).union(g.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("__deg"))
+    for (_ <- 1 to rounds) {
+      val keep = degrees(und).filter(col("__deg") >= k).select(col("v"))
+      und = und
+        .join(keep.select(col("v").as("a")).hint("shuffle_hash"), Seq("a"),
+          "left_semi")
+        .join(keep.select(col("v").as("b")).hint("shuffle_hash"), Seq("b"),
+          "left_semi")
+        .localCheckpoint(eager = false)
+    }
+    val finalDeg = degrees(und).localCheckpoint(eager = false)
+    // bounded 1-row verdict: would the NEXT round remove anything?
+    val conv = finalDeg
+      .agg(coalesce(min(col("__deg")) >= k, lit(true)).as("converged"))
+    finalDeg.crossJoin(broadcast(conv))
+      .select(col("v").as("node_id"), col("__deg").as("core_degree"),
+        col("converged"))
+  }
+
   def triangleCounts(edges: DataFrame, src: Column, dst: Column): DataFrame = {
     val e = edges.select(src.cast("long").as("src"), dst.cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))

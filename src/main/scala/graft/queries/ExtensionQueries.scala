@@ -5077,6 +5077,62 @@ object ExtensionQueries {
               TRUE AS ok_rank
        FROM embeddings"""
 
+  // ---------------------------------------------------------------------------
+  // X141 — k-core decomposition (LinkGraph.kCore): 8 fixed peel rounds at
+  // k=4 — the density rung between degree profiles and x89's triangles.
+  // x83's near-regular multiplicative graph peels vacuously (bijective
+  // shells give everyone degree ~6), so this one is QUADRATIC-hash
+  // manufactured — (doc_id² + j·97) mod N collides into hubs and leaves a
+  // degree tail — and the k=4 peel genuinely cascades for 6 rounds to a
+  // non-trivial converged core (~half the surviving nodes drop). Fixed
+  // rounds (no driver convergence loop) make the peel a pure function of
+  // (edges, k, rounds): the oracle replays every round as a DuckDB CTE
+  // pair generated by the SAME Scala loop count (the x83 pattern), and the
+  // in-plan `converged` verdict — recomputed min surviving degree ≥ k —
+  // hash-compares alongside the core degrees.
+  // ---------------------------------------------------------------------------
+  private val x141K = 4
+  private val x141Rounds = 8
+
+  private def x141(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val nRow = d.agg((max(col("doc_id")) + 1L).as("__n"))
+    val edges = d.select(col("doc_id"))
+      .crossJoin(broadcast(nRow))
+      .select(col("doc_id").as("src"),
+        explode(array((1 to 3).map(j =>
+          pmod(col("doc_id") * col("doc_id") + lit(j * 97L), col("__n"))): _*))
+          .as("dst"))
+    graft.ops.LinkGraph.kCore(edges, col("src"), col("dst"), k = x141K,
+      rounds = x141Rounds)
+  }
+
+  private val x141Sql: String = {
+    val rounds = (1 to x141Rounds).map { i =>
+      val p = i - 1
+      s"""d$i AS MATERIALIZED (SELECT v, count(*) AS c FROM (
+              SELECT a AS v FROM e$p UNION ALL SELECT b AS v FROM e$p)
+            GROUP BY 1),
+          e$i AS MATERIALIZED (SELECT a, b FROM e$p
+            WHERE a IN (SELECT v FROM d$i WHERE c >= $x141K)
+              AND b IN (SELECT v FROM d$i WHERE c >= $x141K))"""
+    }.mkString(",\n          ")
+    s"""WITH nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
+         raw AS (SELECT doc_id AS src,
+                   (doc_id*doc_id + j*97) % (SELECT n FROM nn) AS dst
+                 FROM documents, (SELECT unnest([1, 2, 3]) AS j)),
+         e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                FROM raw WHERE src <> dst),
+         $rounds,
+         df AS (SELECT v, count(*) AS c FROM (
+             SELECT a AS v FROM e$x141Rounds
+             UNION ALL SELECT b AS v FROM e$x141Rounds) GROUP BY 1),
+         cv AS (SELECT coalesce(min(c) >= $x141K, TRUE) AS converged FROM df)
+       SELECT v AS node_id, c AS core_degree,
+              (SELECT converged FROM cv) AS converged
+       FROM df"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_dedup_exact" -> x1 _,
     "x02_dedup_ngram_jaccard" -> x2 _,
@@ -5217,7 +5273,8 @@ object ExtensionQueries {
     "x137_pq_adc_topk" -> x137 _,
     "x138_pq_invariants" -> x138 _,
     "x139_ivfpq_topk" -> x139 _,
-    "x140_ivfpq_invariants" -> x140 _
+    "x140_ivfpq_invariants" -> x140 _,
+    "x141_kcore" -> x141 _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -5349,6 +5406,7 @@ object ExtensionQueries {
     "x135_context_spans" -> x135Sql,
     "x136_dp_release" -> x136Sql,
     "x138_pq_invariants" -> x138Sql,
-    "x140_ivfpq_invariants" -> x140Sql
+    "x140_ivfpq_invariants" -> x140Sql,
+    "x141_kcore" -> x141Sql
   )
 }

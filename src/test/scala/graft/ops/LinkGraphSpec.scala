@@ -226,4 +226,43 @@ class LinkGraphSpec extends AnyFunSuite with SparkTestSession {
       assert(out(5L) == 5L && out(9L) == 5L, s"iters=$k must already agree")
     }
   }
+
+  private def runKCore(edges: Seq[(Long, Long)], k: Int, rounds: Int)
+      : (Map[Long, Long], Boolean) = {
+    import spark.implicits._
+    val out = graft.ops.LinkGraph.kCore(edges.toDF("src", "dst"),
+        col("src"), col("dst"), k, rounds)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    (out.map(t => t._1 -> t._2).toMap, out.headOption.forall(_._3))
+  }
+
+  test("kCore: pendant chain peels off, the clique survives as the 3-core") {
+    // 4-clique {1,2,3,4} + chain 1–5–6; k=3 removes 5 and 6 in one round
+    val clique = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val (core, conv) = runKCore(clique ++ Seq(1L -> 5L, 5L -> 6L), 3, 8)
+    assert(conv)
+    assert(core == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("kCore: cascade needs rounds; a short budget reports converged=false") {
+    // triangle 1-2-3 + chain 3–4–5: k=2 peels 5 (round 1) THEN 4 (round 2)
+    val edges = Seq(1L -> 2L, 2L -> 3L, 3L -> 1L, 3L -> 4L, 4L -> 5L)
+    val (full, conv) = runKCore(edges, 2, 8)
+    assert(conv && full == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    val (prefix, conv1) = runKCore(edges, 2, 1)
+    assert(!conv1, "node 4 still has degree 1 after one round")
+    assert(prefix.keySet == Set(1L, 2L, 3L, 4L), "peel prefix is a superset")
+  }
+
+  test("kCore: self-loops and duplicates are canonicalized; guards hold") {
+    // parallel + reverse edges collapse to one; self-loop contributes nothing
+    val edges = Seq(1L -> 2L, 2L -> 1L, 1L -> 2L, 1L -> 1L, 2L -> 3L, 3L -> 1L)
+    val (core, conv) = runKCore(edges, 2, 4)
+    assert(conv && core == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    import spark.implicits._
+    intercept[IllegalArgumentException](graft.ops.LinkGraph.kCore(
+      edges.toDF("src", "dst"), col("src"), col("dst"), 0, 4))
+    intercept[IllegalArgumentException](graft.ops.LinkGraph.kCore(
+      edges.toDF("src", "dst"), col("src"), col("dst"), 2, 0))
+  }
 }
