@@ -15,7 +15,12 @@ import graft.functions.{DotProduct, MinHashSig, NGrams, SignLshBucket, SimHash64
   * Functions: `ngrams(ARRAY<STRING>, n)`, `minhash_sig(ARRAY<STRING>, k)`,
   * `simhash64(ARRAY<STRING>)`, `dot_product(ARRAY<FLOAT|DOUBLE>,
   * ARRAY<FLOAT|DOUBLE>)`, `sign_lsh_bucket(ARRAY<FLOAT|DOUBLE>, nBits)`,
-  * `bitset_intersect_count(ARRAY<BIGINT>, ARRAY<BIGINT>)`.
+  * `bitset_intersect_count(ARRAY<BIGINT>, ARRAY<BIGINT>)`,
+  * `ngram_stats(ARRAY<STRING>, n)`, `bitset_from_positions(ARRAY<INT>,
+  * nBits)`, `jaro_winkler_similarity(STRING, STRING)`,
+  * `hilbert2(BIGINT, BIGINT, order)`, `hilbert2_decode(BIGINT, order)`,
+  * `token_entropy(ARRAY<STRING>)`, `doc_fingerprint64(STRING, shingleLen,
+  * maxSamples)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -41,6 +46,17 @@ object GraftExtensions {
     if (args.length != n) throw new IllegalArgumentException(
       s"$fn expects $n argument(s), got ${args.length}")
     args
+  }
+
+  /** Lossless widen to BIGINT for strict-typed expressions (SQL integer
+    * literals arrive as INT). Non-integral types pass through so the
+    * expression's own type check reports them. */
+  private def asLong(e: Expression): Expression = e.dataType match {
+    case org.apache.spark.sql.types.ByteType |
+         org.apache.spark.sql.types.ShortType | IntegerType =>
+      org.apache.spark.sql.catalyst.expressions.Cast(e,
+        org.apache.spark.sql.types.LongType)
+    case _ => e
   }
 
   val functions: Seq[(FunctionIdentifier, ExpressionInfo,
@@ -78,7 +94,38 @@ object GraftExtensions {
         "bitset_from_positions"),
       (args: Seq[Expression]) => { arity("bitset_from_positions", 2, args)
         graft.functions.BitsetFromPositions(args(0),
-          litInt(args(1), "bitset_from_positions")) }))
+          litInt(args(1), "bitset_from_positions")) }),
+    (FunctionIdentifier("jaro_winkler_similarity"),
+      new ExpressionInfo(classOf[graft.functions.JaroWinklerSimilarity].getName,
+        "jaro_winkler_similarity"),
+      (args: Seq[Expression]) => { arity("jaro_winkler_similarity", 2, args)
+        graft.functions.JaroWinklerSimilarity(args(0), args(1)) }),
+    (FunctionIdentifier("hilbert2"),
+      new ExpressionInfo(classOf[graft.functions.HilbertIndex2].getName,
+        "hilbert2"),
+      (args: Seq[Expression]) => { arity("hilbert2", 3, args)
+        // the expression wants strict BIGINT; SQL integer literals arrive
+        // as INT, so cast here (lossless widening) instead of failing
+        graft.functions.HilbertIndex2(asLong(args(0)), asLong(args(1)),
+          litInt(args(2), "hilbert2")) }),
+    (FunctionIdentifier("hilbert2_decode"),
+      new ExpressionInfo(classOf[graft.functions.HilbertDecode2].getName,
+        "hilbert2_decode"),
+      (args: Seq[Expression]) => { arity("hilbert2_decode", 2, args)
+        graft.functions.HilbertDecode2(asLong(args(0)),
+          litInt(args(1), "hilbert2_decode")) }),
+    (FunctionIdentifier("token_entropy"),
+      new ExpressionInfo(classOf[graft.functions.TokenEntropy].getName,
+        "token_entropy"),
+      (args: Seq[Expression]) =>
+        graft.functions.TokenEntropy(arity("token_entropy", 1, args).head)),
+    (FunctionIdentifier("doc_fingerprint64"),
+      new ExpressionInfo(classOf[graft.functions.DocFingerprint64].getName,
+        "doc_fingerprint64"),
+      (args: Seq[Expression]) => { arity("doc_fingerprint64", 3, args)
+        graft.functions.DocFingerprint64(args(0),
+          litInt(args(1), "doc_fingerprint64"),
+          litInt(args(2), "doc_fingerprint64")) }))
 
   /** Imperative registration on an existing session (same builders as the
     * config-driven path; the optimizer rule goes through the experimental

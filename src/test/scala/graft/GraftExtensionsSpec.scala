@@ -35,6 +35,33 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestSession {
     assert(st.getLong(0) == 4 && st.getLong(1) == 2 && st.getLong(2) == 2)
   }
 
+  test("register() exposes the round-12 expressions to SQL") {
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      """SELECT jaro_winkler_similarity('martha', 'marhta') AS jw,
+                hilbert2(3, 5, 4) AS h,
+                hilbert2_decode(hilbert2(3, 5, 4), 4) AS xy,
+                token_entropy(array('a','a','b','b')) AS ent,
+                doc_fingerprint64('hello world doc', 8, 64) AS fp""").head()
+    assert(math.abs(row.getDouble(0) - 0.9611111111111111) < 1e-12)
+    // decode must invert encode exactly
+    assert(row.getSeq[Long](2) == Seq(3L, 5L))
+    // 4 tokens, 2 types, uniform → entropy ln(2) nats = 693148 micros
+    val ent = row.getStruct(3)
+    assert(ent.getLong(0) == 4L && ent.getLong(1) == 2L &&
+      ent.getLong(2) == 693148L)
+    // SQL path ≡ Column path
+    import org.apache.spark.sql.functions._
+    val viaCol = spark.range(1).select(
+        graft.functions.JaroWinklerSimilarity.jaroWinkler(lit("martha"), lit("marhta")),
+        graft.functions.HilbertCurve.hilbert2(lit(3L), lit(5L), 4),
+        graft.functions.DocFingerprint64.docFingerprint64(lit("hello world doc"), 8, 64))
+      .head()
+    assert(row.getDouble(0) == viaCol.getDouble(0))
+    assert(row.getLong(1) == viaCol.getLong(1))
+    assert(row.get(4) == viaCol.get(2))
+  }
+
   test("builder.withExtensions(new GraftExtensions) injects the same functions") {
     // `spark.sql.extensions=graft.GraftExtensions` is the cluster-config route,
     // but it is read at SparkContext creation — unreachable from a shared test
