@@ -873,4 +873,67 @@ object Similarity {
       (rank.toLong, cid, sd, r2)
     }.toDF("rank", "id", "sel_dist2", "radius2")
   }
+
+  /** Triplet-margin mining — the semi-hard negative statistics that drive a
+    * triplet / contrastive training loop (FaceNet-style). For each anchor
+    * vector the POSITIVE is its most-cosine-similar SAME-label vector
+    * (excluding itself); the mined set is every DIFFERENT-label vector whose
+    * similarity lands inside the margin band `sim_neg > sim_pos − margin`
+    * (hard + semi-hard negatives — the ones with non-zero triplet loss).
+    * Output, one row per anchor that has a positive: the positive, the
+    * violation count, the hardest negative, and the summed hinge loss
+    * `Σ max(0, sim_neg − sim_pos + margin)`.
+    *
+    * All similarity comparisons and the loss run in integer MICRO-units
+    * (`round(sim·1e6)` as BIGINT): the band test and the loss sum are exact
+    * integer arithmetic, so results hash-reproduce across engines with no
+    * float-boundary risk — the x101 lesson applied to a float threshold.
+    *
+    * Scale shape: anchors are a bounded sample and broadcast ([[bruteForceTopK]]
+    * contract); the corpus is scanned once and never shuffled by the join.
+    * The positive pick and the per-anchor rollup aggregate |anchors|-bounded
+    * rows; the positive→negative join broadcasts the one-row-per-anchor side.
+    */
+  def tripletMarginMine(anchors: DataFrame, corpus: DataFrame,
+      marginMicro: Long): DataFrame = {
+    val q = broadcast(anchors.select(col("vec_id").as("anchor_id"),
+      col("label").as("anchor_label"), col("embedding").as("qv"),
+      norm(col("embedding")).as("qn")))
+    val c = corpus.select(col("vec_id").as("other_id"),
+      col("label").as("other_label"), col("embedding").as("cv"),
+      norm(col("embedding")).as("cn"))
+    val scored = q.join(c, col("anchor_id") =!= col("other_id"))
+      .withColumn("sim_micro",
+        round(when(col("qn") === 0.0 || col("cn") === 0.0, 0.0)
+          .otherwise(dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+          * 1e6).cast("long"))
+      .select("anchor_id", "anchor_label", "other_id", "other_label",
+        "sim_micro")
+    // positive = argmax sim over same-label others; max(struct(sim, -id))
+    // realizes ORDER BY sim DESC, id ASC deterministically in one aggregate.
+    val pos = scored.filter(col("anchor_label") === col("other_label"))
+      .groupBy("anchor_id", "anchor_label")
+      .agg(max(struct(col("sim_micro"), (-col("other_id")).as("nid"))).as("p"))
+      .select(col("anchor_id"), col("anchor_label"),
+        (-col("p.nid")).as("pos_id"), col("p.sim_micro").as("pos_sim_micro"))
+    val viol = scored.filter(col("anchor_label") =!= col("other_label"))
+      .join(broadcast(pos.select("anchor_id", "pos_sim_micro")), "anchor_id")
+      .filter(col("sim_micro") > col("pos_sim_micro") - marginMicro)
+      .groupBy("anchor_id")
+      .agg(count(lit(1)).as("n_violations"),
+        max(struct(col("sim_micro"), (-col("other_id")).as("nid"))).as("h"),
+        sum(greatest(lit(0L),
+          col("sim_micro") - col("pos_sim_micro") + marginMicro))
+          .as("loss_sum_micro"))
+      .select(col("anchor_id"), col("n_violations"),
+        (-col("h.nid")).as("hardest_neg_id"),
+        col("h.sim_micro").as("hardest_neg_sim_micro"),
+        col("loss_sum_micro"))
+    pos.join(viol, Seq("anchor_id"), "left")
+      .select(col("anchor_id"), col("anchor_label"), col("pos_id"),
+        col("pos_sim_micro"),
+        coalesce(col("n_violations"), lit(0L)).as("n_violations"),
+        col("hardest_neg_id"), col("hardest_neg_sim_micro"),
+        coalesce(col("loss_sum_micro"), lit(0L)).as("loss_sum_micro"))
+  }
 }

@@ -5133,6 +5133,70 @@ object ExtensionQueries {
        FROM df"""
   }
 
+  // ---------------------------------------------------------------------------
+  // X142 — triplet-margin mining (Similarity.tripletMarginMine): per sampled
+  // anchor, the best same-label positive, then every different-label vector
+  // inside the 0.05 margin band (hard + semi-hard negatives), rolled up to
+  // violation count / hardest negative / summed hinge loss — the statistics a
+  // contrastive-training loop reads each epoch (x105 mines per-anchor lists;
+  // this is the loss-side rollup against the anchor's OWN positive). All
+  // comparisons and the loss run in integer micro-similarity units
+  // (round(sim·1e6) as BIGINT), so the band test and the sum are exact and
+  // the oracle replays them with zero float-boundary risk.
+  // ---------------------------------------------------------------------------
+  private def x142(s: SparkSession, dir: String): DataFrame = {
+    val e = embeds(s, dir)
+    val step = math.max(50L, e.count() / 100L)
+    Similarity.tripletMarginMine(e.filter(col("vec_id") % step === 0), e,
+      marginMicro = 50000L)
+  }
+
+  private val x142Sql =
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+       a AS (SELECT * FROM e
+             WHERE vec_id % greatest(50,
+               (SELECT count(*) FROM embeddings) // 100) = 0),
+       scored AS (
+         SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+                c.vec_id AS other_id, c.label AS other_label,
+                CAST(round((CASE WHEN list_dot_product(a.v,a.v) = 0
+                              OR list_dot_product(c.v,c.v) = 0 THEN 0
+                       ELSE list_dot_product(a.v,c.v) /
+                            (sqrt(list_dot_product(a.v,a.v)) *
+                             sqrt(list_dot_product(c.v,c.v))) END)
+                  * 1000000) AS BIGINT) AS sim_micro
+         FROM a JOIN e c ON a.vec_id <> c.vec_id),
+       pos AS (
+         SELECT anchor_id, anchor_label, other_id AS pos_id,
+                sim_micro AS pos_sim_micro,
+                row_number() OVER (PARTITION BY anchor_id
+                  ORDER BY sim_micro DESC, other_id ASC) AS rnk
+         FROM scored WHERE anchor_label = other_label QUALIFY rnk = 1),
+       vrows AS (
+         SELECT s.anchor_id, s.other_id, s.sim_micro, p.pos_sim_micro
+         FROM scored s JOIN pos p USING (anchor_id)
+         WHERE s.anchor_label <> s.other_label
+           AND s.sim_micro > p.pos_sim_micro - 50000),
+       hard AS (
+         SELECT anchor_id, other_id AS hardest_neg_id,
+                sim_micro AS hardest_neg_sim_micro,
+                row_number() OVER (PARTITION BY anchor_id
+                  ORDER BY sim_micro DESC, other_id ASC) AS rnk
+         FROM vrows QUALIFY rnk = 1),
+       agg AS (
+         SELECT anchor_id, count(*) AS n_violations,
+                CAST(sum(sim_micro - pos_sim_micro + 50000) AS BIGINT)
+                  AS loss_sum_micro
+         FROM vrows GROUP BY 1)
+       SELECT p.anchor_id, p.anchor_label, p.pos_id, p.pos_sim_micro,
+              CAST(coalesce(g.n_violations, 0) AS BIGINT) AS n_violations,
+              h.hardest_neg_id, h.hardest_neg_sim_micro,
+              CAST(coalesce(g.loss_sum_micro, 0) AS BIGINT) AS loss_sum_micro
+       FROM pos p
+         LEFT JOIN agg g USING (anchor_id)
+         LEFT JOIN hard h USING (anchor_id)"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_dedup_exact" -> x1 _,
     "x02_dedup_ngram_jaccard" -> x2 _,
@@ -5274,7 +5338,8 @@ object ExtensionQueries {
     "x138_pq_invariants" -> x138 _,
     "x139_ivfpq_topk" -> x139 _,
     "x140_ivfpq_invariants" -> x140 _,
-    "x141_kcore" -> x141 _
+    "x141_kcore" -> x141 _,
+    "x142_triplet_margin" -> x142 _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -5407,6 +5472,7 @@ object ExtensionQueries {
     "x136_dp_release" -> x136Sql,
     "x138_pq_invariants" -> x138Sql,
     "x140_ivfpq_invariants" -> x140Sql,
-    "x141_kcore" -> x141Sql
+    "x141_kcore" -> x141Sql,
+    "x142_triplet_margin" -> x142Sql
   )
 }
