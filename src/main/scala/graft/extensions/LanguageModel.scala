@@ -626,4 +626,98 @@ object LanguageModel {
       .agg(count(lit(1)).as("n_lists"), min(col("__rank")).as("best_rank"),
         sum(col("__c")).cast("double").as("rrf_score"))
   }
+
+  /** Self-BLEU diversity audit over a BOUNDED document sample (Zhu et al.
+    * 2018 — the standard synthetic-data mode-collapse check: score each
+    * sampled document as a BLEU hypothesis against ALL other sampled
+    * documents as references; a high score means the document re-treads
+    * n-grams the rest of the sample already covers).
+    *
+    * Per document, BLEU-2's exact integer components: multi-reference
+    * clipped unigram/bigram counts (`p1_num/p1_den`, `p2_num/p2_den`, where
+    * each hypothesis n-gram count is clipped at the MAX count of that gram
+    * in any other sampled document), the hypothesis length `c_len`, and the
+    * closest reference length `r_len` (ties break to the SHORTER reference,
+    * the NIST convention). `geo2_micro` is the micro-scaled geometric mean
+    * `√(p1·p2)` — one integer product, one IEEE division, one IEEE sqrt, so
+    * it reproduces across engines; the exp-based brevity penalty is left to
+    * the consumer from (c_len, r_len) so no non-correctly-rounded libm call
+    * enters the hashed columns. `diverse` is an EXACT integer verdict:
+    * geo2 < threshold‰ decided by cross-multiplication
+    * (`p1_num·p2_num·10⁶ < p1_den·p2_den·threshold²`), never the float.
+    * Documents with no bigram (`< 2` tokens) or no unigram are diverse by
+    * convention (no evidence of reuse).
+    *
+    * The multi-reference clip needs, per (doc, gram), the max count among
+    * the OTHER documents — computed WITHOUT a pairwise join from three
+    * per-gram statistics (top count, how many docs attain it, runner-up):
+    * `max_other = top1 if (own < top1 or n_top > 1) else top2`.
+    *
+    * Scale shape: the caller passes an already-bounded sample (same
+    * contract as [[Similarity.tripletMarginMine]]'s anchors); grams, the
+    * per-gram stats, and the length table are all sample-bounded, the stats
+    * and lengths broadcast, and the only non-broadcast shuffles are
+    * sample-bounded groupBys. Output drops nothing: one row per sampled
+    * document that has at least one OTHER document to reference.
+    */
+  def selfBleu(sample: DataFrame, id: Column, text: Column,
+      diverseThresholdPermille: Int = 300): DataFrame = {
+    require(diverseThresholdPermille >= 0 && diverseThresholdPermille <= 1000,
+      s"threshold must be a permille in [0,1000], got $diverseThresholdPermille")
+    val toks = sample.select(id.as("doc_id"),
+        TextAnalysis.tokens(text).as("toks"))
+      .withColumn("c_len", size(col("toks")).cast("long"))
+    val uni = toks.select(col("doc_id"), explode(col("toks")).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+    val bi = toks
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
+        slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b))).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+    // per-doc clipped numerator/denominator from the 3-stat per-gram trick
+    def clipStats(gc: DataFrame): DataFrame = {
+      val st2 = gc.join(
+          broadcast(gc.groupBy("g").agg(max(col("c")).as("top1"))), Seq("g"))
+        .groupBy("g", "top1")
+        .agg(sum(when(col("c") === col("top1"), 1L).otherwise(0L)).as("n_top"),
+          max(when(col("c") < col("top1"), col("c"))).as("top2"))
+      gc.join(broadcast(st2), Seq("g"))
+        .withColumn("__maxref",
+          when(col("c") < col("top1") || col("n_top") > 1L, col("top1"))
+            .otherwise(coalesce(col("top2"), lit(0L))))
+        .groupBy("doc_id")
+        .agg(sum(least(col("c"), col("__maxref"))).as("num"),
+          sum(col("c")).as("den"))
+    }
+    val p1 = clipStats(uni).withColumnRenamed("num", "p1_num")
+      .withColumnRenamed("den", "p1_den")
+    val p2 = clipStats(bi).withColumnRenamed("num", "p2_num")
+      .withColumnRenamed("den", "p2_den")
+    // closest OTHER length; tie -> shorter reference
+    val lens = toks.select(col("doc_id").as("__rid"), col("c_len").as("__rl"))
+    val rLen = toks.select(col("doc_id"), col("c_len"))
+      .join(broadcast(lens), col("doc_id") =!= col("__rid"))
+      .groupBy("doc_id")
+      .agg(min(struct(abs(col("__rl") - col("c_len")).as("d"),
+        col("__rl").as("r"))).as("m"))
+      .select(col("doc_id"), col("m.r").as("r_len"))
+    val t = lit(diverseThresholdPermille.toLong)
+    toks.select("doc_id", "c_len").join(rLen, Seq("doc_id"))
+      .join(p1, Seq("doc_id"), "left").join(p2, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("c_len"), col("r_len"),
+        coalesce(col("p1_num"), lit(0L)).as("p1_num"),
+        coalesce(col("p1_den"), lit(0L)).as("p1_den"),
+        coalesce(col("p2_num"), lit(0L)).as("p2_num"),
+        coalesce(col("p2_den"), lit(0L)).as("p2_den"))
+      .withColumn("geo2_micro",
+        when(col("p1_den") === 0L || col("p2_den") === 0L, lit(0L))
+          .otherwise(round(sqrt((col("p1_num") * col("p2_num")).cast("double") /
+            (col("p1_den") * col("p2_den"))) * 1e6).cast("long")))
+      .withColumn("len_penalized", col("c_len") < col("r_len"))
+      .withColumn("diverse",
+        when(col("p1_den") === 0L || col("p2_den") === 0L, lit(true))
+          .otherwise(col("p1_num") * col("p2_num") * lit(1000000L) <
+            col("p1_den") * col("p2_den") * t * t))
+  }
 }

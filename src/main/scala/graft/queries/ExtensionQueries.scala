@@ -5197,6 +5197,91 @@ object ExtensionQueries {
          LEFT JOIN agg g USING (anchor_id)
          LEFT JOIN hard h USING (anchor_id)"""
 
+  // ---------------------------------------------------------------------------
+  // X143 — self-BLEU diversity audit (LanguageModel.selfBleu): each sampled
+  // document scored as a BLEU-2 hypothesis against all other sampled documents
+  // as references — the standard synthetic-data mode-collapse check. Exact
+  // integer clipped-count components (multi-reference clip via the per-gram
+  // top1/n_top/top2 trick, no pairwise join), closest-reference length with
+  // NIST shorter-tie, √(p1·p2) micro only from correctly-rounded IEEE ops,
+  // and an integer cross-multiplied `diverse` verdict.
+  // ---------------------------------------------------------------------------
+  private def x143(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val step = math.max(9L, d.count() / 60L)
+    LanguageModel.selfBleu(d.filter(col("doc_id") % step === 0),
+      col("doc_id"), col("text"), diverseThresholdPermille = 300)
+  }
+
+  private val x143Sql =
+    """WITH smp AS (
+         SELECT doc_id, text FROM documents
+         WHERE doc_id % greatest(9, (SELECT count(*) FROM documents) // 60) = 0),
+       t AS (
+         SELECT doc_id,
+                list_filter(regexp_split_to_array(lower(text), '\s+'),
+                            x -> x <> '') AS toks
+         FROM smp),
+       lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS c_len FROM t),
+       uni AS (
+         SELECT doc_id, g, count(*) AS c FROM (
+           SELECT doc_id, unnest(toks) AS g FROM t) GROUP BY 1, 2),
+       bi AS (
+         SELECT doc_id, g, count(*) AS c FROM (
+           SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS g
+           FROM (SELECT doc_id, toks,
+                        unnest(range(1, greatest(len(toks) - 1, 0) + 1)) AS i
+                 FROM t)) GROUP BY 1, 2),
+       ust AS (
+         SELECT u.g, u.top1,
+                sum(CASE WHEN c.c = u.top1 THEN 1 ELSE 0 END) AS n_top,
+                max(CASE WHEN c.c < u.top1 THEN c.c END) AS top2
+         FROM (SELECT g, max(c) AS top1 FROM uni GROUP BY 1) u
+           JOIN uni c USING (g) GROUP BY 1, 2),
+       bst AS (
+         SELECT u.g, u.top1,
+                sum(CASE WHEN c.c = u.top1 THEN 1 ELSE 0 END) AS n_top,
+                max(CASE WHEN c.c < u.top1 THEN c.c END) AS top2
+         FROM (SELECT g, max(c) AS top1 FROM bi GROUP BY 1) u
+           JOIN bi c USING (g) GROUP BY 1, 2),
+       p1 AS (
+         SELECT doc_id,
+                sum(least(c, CASE WHEN c < top1 OR n_top > 1 THEN top1
+                                  ELSE coalesce(top2, 0) END)) AS p1_num,
+                sum(c) AS p1_den
+         FROM uni JOIN ust USING (g) GROUP BY 1),
+       p2 AS (
+         SELECT doc_id,
+                sum(least(c, CASE WHEN c < top1 OR n_top > 1 THEN top1
+                                  ELSE coalesce(top2, 0) END)) AS p2_num,
+                sum(c) AS p2_den
+         FROM bi JOIN bst USING (g) GROUP BY 1),
+       rl AS (
+         SELECT doc_id, r_len FROM (
+           SELECT a.doc_id, b.c_len AS r_len,
+                  row_number() OVER (PARTITION BY a.doc_id
+                    ORDER BY abs(b.c_len - a.c_len) ASC, b.c_len ASC) AS rnk
+           FROM lens a JOIN lens b ON a.doc_id <> b.doc_id)
+         WHERE rnk = 1)
+       SELECT l.doc_id, l.c_len, rl.r_len,
+              CAST(coalesce(p1.p1_num, 0) AS BIGINT) AS p1_num,
+              CAST(coalesce(p1.p1_den, 0) AS BIGINT) AS p1_den,
+              CAST(coalesce(p2.p2_num, 0) AS BIGINT) AS p2_num,
+              CAST(coalesce(p2.p2_den, 0) AS BIGINT) AS p2_den,
+              CASE WHEN coalesce(p1.p1_den, 0) = 0 OR coalesce(p2.p2_den, 0) = 0
+                   THEN 0
+                   ELSE CAST(round(sqrt((p1.p1_num * p2.p2_num) * 1.0 /
+                          (p1.p1_den * p2.p2_den)) * 1000000) AS BIGINT)
+              END AS geo2_micro,
+              l.c_len < rl.r_len AS len_penalized,
+              CASE WHEN coalesce(p1.p1_den, 0) = 0 OR coalesce(p2.p2_den, 0) = 0
+                   THEN TRUE
+                   ELSE p1.p1_num * p2.p2_num * 1000000 <
+                        p1.p1_den * p2.p2_den * 300 * 300
+              END AS diverse
+       FROM lens l JOIN rl USING (doc_id)
+         LEFT JOIN p1 USING (doc_id) LEFT JOIN p2 USING (doc_id)"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_dedup_exact" -> x1 _,
     "x02_dedup_ngram_jaccard" -> x2 _,
@@ -5339,7 +5424,8 @@ object ExtensionQueries {
     "x139_ivfpq_topk" -> x139 _,
     "x140_ivfpq_invariants" -> x140 _,
     "x141_kcore" -> x141 _,
-    "x142_triplet_margin" -> x142 _
+    "x142_triplet_margin" -> x142 _,
+    "x143_self_bleu" -> x143 _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -5473,6 +5559,7 @@ object ExtensionQueries {
     "x138_pq_invariants" -> x138Sql,
     "x140_ivfpq_invariants" -> x140Sql,
     "x141_kcore" -> x141Sql,
-    "x142_triplet_margin" -> x142Sql
+    "x142_triplet_margin" -> x142Sql,
+    "x143_self_bleu" -> x143Sql
   )
 }
