@@ -86,6 +86,65 @@ object Dedup {
     (best._1, best._2)
   }
 
+  /** The auditable twin of [[lshBandPlan]]: the full LSH S-curve, as data.
+    * One row per (bands, rows) factorization of `k` and per probe similarity
+    * on the `stepPermille` grid, carrying the collision probability
+    * `1−(1−s^r)^b` in micro units plus the per-plan decision columns — the
+    * expected false-positive mass (Σ p below the threshold), the
+    * false-negative mass (Σ (1−p) at/above it), and a `chosen` flag.
+    *
+    * Engine-stable float contract: NO libm call. Both powers are LEFT-FOLD
+    * repeated multiplications (`aggregate(sequence(1,n), 1.0, acc·x)`) — a
+    * fixed chain of IEEE multiplies any engine reproduces bit-for-bit,
+    * unlike `pow`, which is not correctly rounded. Each curve point rounds
+    * to micro ONCE; the masses are integer sums of those micros, and
+    * `chosen` minimizes the integer distance `|p(threshold) − 500000|`
+    * (tie → more bands) — the grid-discrete equivalent of [[lshBandPlan]]'s
+    * midpoint rule, decided on exact integers.
+    *
+    * Scale shape: pure generated relation, d(k)·(1000/step − 1) rows, no
+    * input scan — the planning artifact you compute once before pointing
+    * [[minhashPairs]] at 100 TB.
+    */
+  def lshPlanAudit(spark: org.apache.spark.sql.SparkSession, k: Int,
+      thresholdPermille: Int, stepPermille: Int = 50): DataFrame = {
+    require(k >= 2 && k <= 4096, s"k must be in [2,4096], got $k")
+    require(stepPermille >= 1 && stepPermille < 1000,
+      s"stepPermille must be in [1,1000), got $stepPermille")
+    require(thresholdPermille % stepPermille == 0 &&
+      thresholdPermille >= stepPermille &&
+      thresholdPermille <= 1000 - stepPermille,
+      s"threshold ($thresholdPermille‰) must sit on the interior probe grid")
+    import spark.implicits._
+    val cand = k.to(1, -1).filter(k % _ == 0).map(b => (b, k / b))
+      .toDF("b", "r")
+    val curve = cand
+      .select(col("b"), col("r"), explode(sequence(lit(stepPermille),
+        lit(1000 - stepPermille), lit(stepPermille))).as("s_permille"))
+      .withColumn("__s", col("s_permille").cast("double") / 1000.0)
+      .withColumn("__sr", aggregate(sequence(lit(1), col("r")),
+        lit(1.0), (acc, _) => acc * col("__s")))
+      .withColumn("__p", lit(1.0) - aggregate(sequence(lit(1), col("b")),
+        lit(1.0), (acc, _) => acc * (lit(1.0) - col("__sr"))))
+      .withColumn("p_collide_micro", round(col("__p") * 1e6).cast("long"))
+      .drop("__s", "__sr", "__p")
+    val t = lit(thresholdPermille)
+    val plan = curve.groupBy("b", "r").agg(
+      max(when(col("s_permille") === t, col("p_collide_micro")))
+        .as("p_at_t_micro"),
+      sum(when(col("s_permille") < t, col("p_collide_micro"))
+        .otherwise(lit(0L))).as("fp_mass_micro"),
+      sum(when(col("s_permille") >= t, lit(1000000L) - col("p_collide_micro"))
+        .otherwise(lit(0L))).as("fn_mass_micro"))
+    val best = broadcast(plan.select(min(struct(
+        abs(col("p_at_t_micro") - 500000L).as("d"), (-col("b")).as("nb")))
+      .as("m")).select((-col("m.nb")).as("__best_b")))
+    curve.join(broadcast(plan), Seq("b", "r"))
+      .crossJoin(best)
+      .withColumn("chosen", col("b") === col("__best_b"))
+      .drop("__best_b")
+  }
+
   /** Banded-LSH candidate pairs with MinHash-estimated Jaccard ≥ `threshold`.
     *
     * bands×rows = k; two docs collide iff some band of their signatures is

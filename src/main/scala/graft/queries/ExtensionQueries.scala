@@ -5282,6 +5282,49 @@ object ExtensionQueries {
        FROM lens l JOIN rl USING (doc_id)
          LEFT JOIN p1 USING (doc_id) LEFT JOIN p2 USING (doc_id)"""
 
+  // ---------------------------------------------------------------------------
+  // X144 — LSH band-plan audit (Dedup.lshPlanAudit): the full S-curve
+  // `1−(1−s^r)^b` for every (bands, rows) factorization of k=32 on a 50‰
+  // probe grid, with per-plan FP/FN mass and the chosen plan — the planning
+  // artifact computed before pointing minhashPairs at 100 TB. Zero libm:
+  // both powers are left-fold IEEE multiply chains the oracle replays
+  // bit-for-bit via list_reduce; masses and the choice are exact integers.
+  // ---------------------------------------------------------------------------
+  private def x144(s: SparkSession, dir: String): DataFrame =
+    Dedup.lshPlanAudit(s, k = 32, thresholdPermille = 500)
+
+  private val x144Sql =
+    """WITH cand AS (
+         SELECT b, 32 // b AS r FROM (SELECT unnest([32,16,8,4,2,1]) AS b)),
+       curve AS (
+         SELECT b, r, s_permille,
+                CAST(round((1.0 - list_reduce(
+                    list_transform(range(1, b + 1), x -> 1.0 - sr),
+                    (a, c) -> a * c)) * 1000000) AS BIGINT) AS p_collide_micro
+         FROM (
+           SELECT b, r, s_permille,
+                  list_reduce(
+                    list_transform(range(1, r + 1), x -> s_permille / 1000.0),
+                    (a, c) -> a * c) AS sr
+           FROM cand, (SELECT unnest(range(50, 1000, 50)) AS s_permille))),
+       plan AS (
+         SELECT b, r,
+                max(CASE WHEN s_permille = 500 THEN p_collide_micro END)
+                  AS p_at_t_micro,
+                CAST(sum(CASE WHEN s_permille < 500 THEN p_collide_micro
+                              ELSE 0 END) AS BIGINT) AS fp_mass_micro,
+                CAST(sum(CASE WHEN s_permille >= 500
+                              THEN 1000000 - p_collide_micro ELSE 0 END)
+                  AS BIGINT) AS fn_mass_micro
+         FROM curve GROUP BY 1, 2),
+       best AS (
+         SELECT b AS best_b FROM plan
+         ORDER BY abs(p_at_t_micro - 500000) ASC, b DESC LIMIT 1)
+       SELECT c.b, c.r, c.s_permille, c.p_collide_micro, p.p_at_t_micro,
+              p.fp_mass_micro, p.fn_mass_micro,
+              c.b = (SELECT best_b FROM best) AS chosen
+       FROM curve c JOIN plan p USING (b, r)"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_dedup_exact" -> x1 _,
     "x02_dedup_ngram_jaccard" -> x2 _,
@@ -5425,7 +5468,8 @@ object ExtensionQueries {
     "x140_ivfpq_invariants" -> x140 _,
     "x141_kcore" -> x141 _,
     "x142_triplet_margin" -> x142 _,
-    "x143_self_bleu" -> x143 _
+    "x143_self_bleu" -> x143 _,
+    "x144_lsh_plan_audit" -> x144 _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -5560,6 +5604,7 @@ object ExtensionQueries {
     "x140_ivfpq_invariants" -> x140Sql,
     "x141_kcore" -> x141Sql,
     "x142_triplet_margin" -> x142Sql,
-    "x143_self_bleu" -> x143Sql
+    "x143_self_bleu" -> x143Sql,
+    "x144_lsh_plan_audit" -> x144Sql
   )
 }
