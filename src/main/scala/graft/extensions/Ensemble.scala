@@ -125,4 +125,53 @@ object Ensemble {
         round((col("v") - col("med")) / nullif(col("mad"), lit(0d)), 6)
           .as("robust_z"))
   }
+
+  /** Cohen's kappa agreement audit between two BOOLEAN labelers — the QC
+    * step before trusting a cheap label (a metadata rule, a fast classifier)
+    * as a stand-in for an expensive one: raw agreement overstates accord
+    * whenever the base rates are skewed; kappa discounts the agreement
+    * chance alone would produce.
+    *
+    * One output row: the 2×2 confusion matrix, both keep rates, observed
+    * agreement, and kappa — the latter from its EXACT integer form
+    *
+    * {{{
+    *   kappa = (n·(tt+ff) − (a1·b1 + a0·b0)) / (n² − (a1·b1 + a0·b0))
+    * }}}
+    *
+    * with `a1/a0, b1/b0` the marginal true/false counts. `kappa_num`,
+    * `kappa_den` are exact BIGINTs; `kappa_micro` adds one IEEE division +
+    * round. When either rater is constant the denominator is 0 (chance
+    * agreement is 1) — kappa is NULL and `degenerate` is true, never a
+    * division blow-up. Rows where either label is NULL are excluded
+    * pairwise and reported as `n_unlabeled`.
+    *
+    * Scale shape: ONE map-side-combined aggregate over the corpus, a 1-row
+    * result; nothing shuffles but partial counters.
+    */
+  def raterAgreement(df: DataFrame, raterA: Column, raterB: Column): DataFrame = {
+    val labeled = raterA.isNotNull && raterB.isNotNull
+    def n(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+    val agg = df.agg(
+      n(labeled).as("n"),
+      n(!labeled).as("n_unlabeled"),
+      n(labeled && raterA && raterB).as("n_tt"),
+      n(labeled && raterA && !raterB).as("n_tf"),
+      n(labeled && !raterA && raterB).as("n_ft"),
+      n(labeled && !raterA && !raterB).as("n_ff"))
+    val pe = (col("n_tt") + col("n_tf")) * (col("n_tt") + col("n_ft")) +
+      (col("n_ft") + col("n_ff")) * (col("n_tf") + col("n_ff"))
+    agg
+      .withColumn("po_micro",
+        when(col("n") === 0L, lit(null).cast("long"))
+          .otherwise(round((col("n_tt") + col("n_ff")).cast("double") /
+            col("n") * 1e6).cast("long")))
+      .withColumn("kappa_num", col("n") * (col("n_tt") + col("n_ff")) - pe)
+      .withColumn("kappa_den", col("n") * col("n") - pe)
+      .withColumn("kappa_micro",
+        when(col("kappa_den") === 0L, lit(null).cast("long"))
+          .otherwise(round(col("kappa_num").cast("double") /
+            col("kappa_den") * 1e6).cast("long")))
+      .withColumn("degenerate", col("kappa_den") === 0L)
+  }
 }

@@ -5325,6 +5325,53 @@ object ExtensionQueries {
               c.b = (SELECT best_b FROM best) AS chosen
        FROM curve c JOIN plan p USING (b, r)"""
 
+  // ---------------------------------------------------------------------------
+  // X145 — Cohen's-kappa rater agreement (Ensemble.raterAgreement): does the
+  // cheap metadata length label (`n_chars >= 300`, no text scan) agree with
+  // the computed Gopher word-count rule beyond chance? One map-side-combined
+  // aggregate → one row: the 2×2 confusion matrix plus kappa in its exact
+  // integer num/den form (one IEEE division only for the micro rendering).
+  // ---------------------------------------------------------------------------
+  private def x145(s: SparkSession, dir: String): DataFrame =
+    Ensemble.raterAgreement(docs(s, dir),
+      TextAnalysis.heuristicRules(col("text")).getField("r_word_count"),
+      col("n_chars") >= 300L)
+
+  private val x145Sql =
+    """WITH r AS (
+         SELECT (words >= 50 AND words <= 100000) AS ra, n_chars >= 300 AS rb
+         FROM (SELECT CAST(len(list_filter(
+                   regexp_split_to_array(lower(text), '\s+'), x -> x <> ''))
+                 AS BIGINT) AS words, n_chars
+               FROM documents)),
+       c AS (
+         SELECT CAST(sum(CASE WHEN ra IS NOT NULL AND rb IS NOT NULL
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n,
+                CAST(sum(CASE WHEN ra IS NULL OR rb IS NULL
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_unlabeled,
+                CAST(sum(CASE WHEN ra AND rb THEN 1 ELSE 0 END) AS BIGINT) AS n_tt,
+                CAST(sum(CASE WHEN ra AND NOT rb THEN 1 ELSE 0 END) AS BIGINT) AS n_tf,
+                CAST(sum(CASE WHEN NOT ra AND rb THEN 1 ELSE 0 END) AS BIGINT) AS n_ft,
+                CAST(sum(CASE WHEN NOT ra AND NOT rb THEN 1 ELSE 0 END) AS BIGINT) AS n_ff
+         FROM r),
+       k AS (
+         SELECT *,
+                (n_tt + n_tf) * (n_tt + n_ft) +
+                (n_ft + n_ff) * (n_tf + n_ff) AS pe
+         FROM c)
+       SELECT n, n_unlabeled, n_tt, n_tf, n_ft, n_ff,
+              CASE WHEN n = 0 THEN NULL
+                   ELSE CAST(round((n_tt + n_ff) * 1.0 / n * 1000000) AS BIGINT)
+              END AS po_micro,
+              CAST(n * (n_tt + n_ff) - pe AS BIGINT) AS kappa_num,
+              CAST(n * n - pe AS BIGINT) AS kappa_den,
+              CASE WHEN n * n - pe = 0 THEN NULL
+                   ELSE CAST(round((n * (n_tt + n_ff) - pe) * 1.0 /
+                          (n * n - pe) * 1000000) AS BIGINT)
+              END AS kappa_micro,
+              n * n - pe = 0 AS degenerate
+       FROM k"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_dedup_exact" -> x1 _,
     "x02_dedup_ngram_jaccard" -> x2 _,
@@ -5469,7 +5516,8 @@ object ExtensionQueries {
     "x141_kcore" -> x141 _,
     "x142_triplet_margin" -> x142 _,
     "x143_self_bleu" -> x143 _,
-    "x144_lsh_plan_audit" -> x144 _
+    "x144_lsh_plan_audit" -> x144 _,
+    "x145_rater_kappa" -> x145 _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -5605,6 +5653,7 @@ object ExtensionQueries {
     "x141_kcore" -> x141Sql,
     "x142_triplet_margin" -> x142Sql,
     "x143_self_bleu" -> x143Sql,
-    "x144_lsh_plan_audit" -> x144Sql
+    "x144_lsh_plan_audit" -> x144Sql,
+    "x145_rater_kappa" -> x145Sql
   )
 }
