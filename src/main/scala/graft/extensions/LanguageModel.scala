@@ -627,6 +627,146 @@ object LanguageModel {
         sum(col("__c")).cast("double").as("rrf_score"))
   }
 
+  /** Unigram-LM tokenizer seed vocabulary (the inventory step of
+    * SentencePiece's unigram algorithm, Kudo 2018 — the OTHER major subword
+    * family beside [[bpeTrain]]'s BPE): every substring of length
+    * 1..`maxPieceLen` of every corpus word, counted with word-frequency
+    * weights; kept = ALL single characters (the segmentation-completeness
+    * floor) plus the top multi-char pieces by (count desc, piece asc) up to
+    * `vocabSize`, with multi-char candidates below `minCount` dropped first.
+    * Scores are corpus log-probabilities over the KEPT inventory:
+    * `score_micro = round(ln(cnt / total_kept) · 10⁶)` as BIGINT — the one
+    * libm call, rounded once, so every downstream Viterbi comparison is
+    * exact integer arithmetic.
+    *
+    * Output: (piece, piece_len, cnt, score_micro, is_char), the piece table
+    * [[unigramViterbiProfile]] consumes.
+    *
+    * Scale shape: one corpus token scan builds the DISTINCT-WORD frequency
+    * relation; the substring explode multiplies VOCABULARY rows (never
+    * corpus rows) by ≤ |w|·maxPieceLen; the multi-char top-k is a
+    * rank ≤ k window (WindowGroupLimit-eligible: map tasks keep k rows
+    * before the single-partition rank); total_kept is one 1-row aggregate.
+    */
+  def unigramSeedVocab(df: DataFrame, text: Column, vocabSize: Int = 64,
+      maxPieceLen: Int = 4, minCount: Long = 2L): DataFrame = {
+    require(vocabSize >= 2 && vocabSize <= (1 << 20),
+      s"vocabSize must be in [2,1048576], got $vocabSize")
+    require(maxPieceLen >= 2 && maxPieceLen <= 16,
+      s"maxPieceLen must be in [2,16], got $maxPieceLen")
+    val words = df.select(explode(TextAnalysis.tokens(text)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    val sub = words.select(col("cnt"), explode(flatten(transform(
+        sequence(lit(1), length(col("w"))),
+        s => transform(
+          sequence(lit(1), least(lit(maxPieceLen), length(col("w")) - s + 1)),
+          l => col("w").substr(s, l))))).as("piece"))
+      .groupBy("piece").agg(sum(col("cnt")).as("cnt"))
+    val chars = sub.filter(length(col("piece")) === 1)
+      .withColumn("is_char", lit(true))
+    // bounded 1-row driver read (alphabet size) so the rank bound is a
+    // LITERAL — a column bound would forfeit the WindowGroupLimit pushdown
+    val budget = math.max(vocabSize.toLong - chars.count(), 0L)
+    val multi = sub.filter(length(col("piece")) > 1 && col("cnt") >= minCount)
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("piece").asc)))
+      .filter(col("__rk") <= budget)
+      .select(col("piece"), col("cnt"), lit(false).as("is_char"))
+    val kept = chars.unionByName(multi)
+    val total = broadcast(kept.agg(sum(col("cnt")).as("__tot")))
+    kept.crossJoin(total)
+      .select(col("piece"), length(col("piece")).cast("long").as("piece_len"),
+        col("cnt"),
+        round(log(col("cnt").cast("double") / col("__tot")) * 1e6)
+          .cast("long").as("score_micro"),
+        col("is_char"))
+  }
+
+  /** Unigram-LM Viterbi segmentation profile — applies a
+    * [[unigramSeedVocab]]-style piece table to the corpus and reports, per
+    * document, the token budget the tokenizer would produce: word count,
+    * total piece count, and the total segmentation log-probability.
+    *
+    * Per word the DP maximizes the summed piece `score_micro` over all
+    * segmentations, breaking score ties toward FEWER pieces, via one exact
+    * integer lattice: each DP cell holds `score·1024 − n_pieces` (|n| < 1024
+    * by the `maxWordLen` cap, so the lexicographic (score, −n) order is the
+    * integer order). Equal-(score,n) segmentations are indistinguishable in
+    * the output, so the profile is tie-independent — the reason the DP
+    * reports (score, n) and never the piece sequence. The whole lattice is
+    * a nested fold (`aggregate` over word positions, inner `aggregate` over
+    * the ≤ maxPieceLen back-pointers): scan-local, codegen-free but exact
+    * integer arithmetic an independent engine replays cell for cell.
+    *
+    * Contract edges: words longer than `maxWordLen` are NOT segmented —
+    * they surface per-doc in `n_long_words` (never silently dropped); a
+    * word the piece table cannot cover (only possible when some character
+    * is missing from it) surfaces in `n_unsegmentable`.
+    *
+    * Scale shape ([[bpeEncodeProfile]]'s idiom): the DP runs once per
+    * DISTINCT word, never per occurrence; the piece table folds into ONE
+    * broadcast map row (vocab-bounded by contract); per-doc totals come
+    * from a word-keyed shuffle_hash join back plus one aggregate.
+    */
+  def unigramViterbiProfile(df: DataFrame, id: Column, text: Column,
+      pieces: DataFrame, maxWordLen: Int = 24): DataFrame = {
+    require(maxWordLen >= 1 && maxWordLen <= 512,
+      s"maxWordLen must be in [1,512], got $maxWordLen")
+    val lenRow = pieces.agg(max(length(col("piece")))).first()
+    require(!lenRow.isNullAt(0), "pieces must be non-empty")
+    val L = lit(lenRow.getInt(0))
+    val mp = broadcast(pieces.agg(map_from_entries(sort_array(
+      collect_list(struct(col("piece"), col("score_micro"))))).as("__m")))
+    val toks = df.select(id.as("id"),
+      explode(TextAnalysis.tokens(text)).as("w"))
+    val dp = toks.select("w").distinct()
+      .filter(length(col("w")) <= maxWordLen)
+      .crossJoin(mp)
+      // Unreachable cells carry a SENTINEL (MinValue/4) instead of NULL: a
+      // NULL fold zero miscompiles under whole-stage codegen (primitive long
+      // state defaults to 0, silently scoring uncoverable words 0). A
+      // missing-piece lookup still yields a NULL term, which greatest
+      // skips; sentinel-contaminated paths (≤ MinValue/4 + 24·|maxScore|)
+      // can never beat a real path (≥ 24·minScore ≫ MinValue/8), so
+      // "comb below MinValue/8" is exactly NULL-propagation's unreachable.
+      .withColumn("__bests", aggregate(
+        sequence(lit(1), length(col("w"))),
+        array(lit(0L)),
+        (acc, i) => concat(acc, array(
+          aggregate(
+            sequence(greatest(lit(0), i - L), i - 1),
+            lit(Long.MinValue / 4),
+            (mx, j) => greatest(mx,
+              element_at(acc, j + 1) +
+                element_at(col("__m"), col("w").substr(j + 1, i - j)) *
+                  1024L - 1L))))))
+      .select(col("w"),
+        element_at(col("__bests"), length(col("w")) + 1).as("__raw"))
+      .select(col("w"), when(col("__raw") < lit(Long.MinValue / 8),
+        lit(null).cast("long")).otherwise(col("__raw")).as("__comb"))
+      .select(col("w"),
+        // comb = S·1024 − n with S ≤ 0, 1 ≤ n < 1024; exact integer decode
+        (-((-col("__comb") - pmod(-col("__comb"), lit(1024L))) /
+          lit(1024L)).cast("long")).as("__w_score"),
+        pmod(-col("__comb"), lit(1024L)).as("__w_pieces"))
+    val perDoc = toks
+      .join(dp.hint("shuffle_hash"), Seq("w"), "left")
+      .groupBy("id").agg(
+        count(lit(1)).as("n_words"),
+        sum(when(length(col("w")) > maxWordLen, 1L).otherwise(0L))
+          .as("n_long_words"),
+        sum(when(length(col("w")) <= maxWordLen &&
+          col("__w_pieces").isNull, 1L).otherwise(0L)).as("n_unsegmentable"),
+        sum(col("__w_pieces")).as("n_pieces"),
+        sum(col("__w_score")).as("score_micro"))
+    df.select(id.as("id")).join(perDoc.hint("shuffle_hash"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_long_words"), lit(0L)).as("n_long_words"),
+        coalesce(col("n_unsegmentable"), lit(0L)).as("n_unsegmentable"),
+        col("n_pieces"), col("score_micro"))
+  }
+
   /** Self-BLEU diversity audit over a BOUNDED document sample (Zhu et al.
     * 2018 — the standard synthetic-data mode-collapse check: score each
     * sampled document as a BLEU hypothesis against ALL other sampled

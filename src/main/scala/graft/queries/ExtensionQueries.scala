@@ -5372,6 +5372,112 @@ object ExtensionQueries {
               n * n - pe = 0 AS degenerate
        FROM k"""
 
+  // ---------------------------------------------------------------------------
+  // X146 — unigram-LM tokenizer seed vocabulary (LanguageModel
+  // .unigramSeedVocab): the SentencePiece inventory step — all substrings up
+  // to length 4 of the distinct-word relation counted with word-frequency
+  // weights, all single chars kept, top multi-char pieces to the 64-piece
+  // budget, scores = round(ln(cnt/total_kept)·1e6) as BIGINT (the one libm
+  // call, rounded once; every downstream Viterbi comparison is then exact).
+  // ---------------------------------------------------------------------------
+  private def x146(s: SparkSession, dir: String): DataFrame =
+    LanguageModel.unigramSeedVocab(docs(s, dir), col("text"),
+      vocabSize = 64, maxPieceLen = 4, minCount = 2L)
+
+  private val unigramSeedCtes =
+    """w AS (
+         SELECT w, count(*) AS cnt FROM (
+           SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                    x -> x <> '')) AS w
+           FROM documents) GROUP BY 1),
+       sub AS (
+         SELECT piece, CAST(sum(cnt) AS BIGINT) AS cnt FROM (
+           SELECT cnt, unnest(flatten(list_transform(range(1, len(w) + 1),
+                    s -> list_transform(
+                      range(1, least(4, len(w) - s + 1) + 1),
+                      l -> w[s:s+l-1])))) AS piece
+           FROM w) GROUP BY 1),
+       kept AS (
+         SELECT piece, cnt, TRUE AS is_char FROM sub WHERE len(piece) = 1
+         UNION ALL
+         SELECT piece, cnt, FALSE AS is_char FROM (
+           SELECT piece, cnt,
+                  row_number() OVER (ORDER BY cnt DESC, piece ASC) AS rk
+           FROM sub WHERE len(piece) > 1 AND cnt >= 2)
+         WHERE rk <= greatest(
+           64 - (SELECT count(*) FROM sub WHERE len(piece) = 1), 0)),
+       pieces AS (
+         SELECT piece, CAST(len(piece) AS BIGINT) AS piece_len, cnt,
+                CAST(round(ln(cnt * 1.0 / (SELECT sum(cnt) FROM kept))
+                  * 1000000) AS BIGINT) AS score_micro,
+                is_char
+         FROM kept)"""
+
+  private val x146Sql = s"WITH $unigramSeedCtes SELECT * FROM pieces"
+
+  // ---------------------------------------------------------------------------
+  // X147 — unigram Viterbi segmentation profile (LanguageModel
+  // .unigramViterbiProfile): the seed vocabulary applied back to the corpus —
+  // per document the word count, total piece count, and total segmentation
+  // log-prob under the max-score (tie → fewer pieces) integer lattice
+  // `score·1024 − n`. The oracle replays the DP cell for cell with a
+  // recursive CTE carrying the per-word best-array, the same NULL-skipping
+  // greatest over ≤ 4 back-pointers, and the same integer decode.
+  // ---------------------------------------------------------------------------
+  private def x147(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    LanguageModel.unigramViterbiProfile(d, col("doc_id"), col("text"),
+      LanguageModel.unigramSeedVocab(d, col("text"), 64, 4, 2L),
+      maxWordLen = 24)
+  }
+
+  private val x147Sql =
+    s"""WITH RECURSIVE $unigramSeedCtes,
+       mp AS (
+         SELECT map(list(piece ORDER BY piece),
+                    list(score_micro ORDER BY piece)) AS m FROM pieces),
+       td AS (
+         SELECT doc_id,
+                unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                  x -> x <> '')) AS w
+         FROM documents),
+       dpw AS (SELECT DISTINCT w FROM td WHERE len(w) <= 24),
+       dp AS (
+         SELECT w, 0 AS i, [CAST(0 AS BIGINT)] AS bests FROM dpw
+         UNION ALL
+         SELECT w, i + 1, list_append(bests, greatest(
+           CASE WHEN i + 1 - 1 >= 0 THEN
+             bests[i + 1] + map_extract(m, w[i+1:i+1])[1] * 1024 - 1 END,
+           CASE WHEN i + 1 - 2 >= 0 THEN
+             bests[i]     + map_extract(m, w[i:i+1])[1]   * 1024 - 1 END,
+           CASE WHEN i + 1 - 3 >= 0 THEN
+             bests[i - 1] + map_extract(m, w[i-1:i+1])[1] * 1024 - 1 END,
+           CASE WHEN i + 1 - 4 >= 0 THEN
+             bests[i - 2] + map_extract(m, w[i-2:i+1])[1] * 1024 - 1 END))
+         FROM dp, mp WHERE i < len(w)),
+       prof AS (
+         SELECT w,
+                -((-comb - ((-comb) % 1024)) // 1024) AS w_score,
+                (-comb) % 1024 AS w_pieces
+         FROM (SELECT w, bests[len(w) + 1] AS comb
+               FROM dp WHERE i = len(w))),
+       per AS (
+         SELECT doc_id,
+                CAST(count(*) AS BIGINT) AS n_words,
+                CAST(sum(CASE WHEN len(w) > 24 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_long_words,
+                CAST(sum(CASE WHEN len(w) <= 24 AND p.w_pieces IS NULL
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_unsegmentable,
+                CAST(sum(p.w_pieces) AS BIGINT) AS n_pieces,
+                CAST(sum(p.w_score) AS BIGINT) AS score_micro
+         FROM td LEFT JOIN prof p USING (w) GROUP BY 1)
+       SELECT d.doc_id AS id,
+              coalesce(per.n_words, 0) AS n_words,
+              coalesce(per.n_long_words, 0) AS n_long_words,
+              coalesce(per.n_unsegmentable, 0) AS n_unsegmentable,
+              per.n_pieces, per.score_micro
+       FROM documents d LEFT JOIN per USING (doc_id)"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_dedup_exact" -> x1 _,
     "x02_dedup_ngram_jaccard" -> x2 _,
@@ -5517,7 +5623,9 @@ object ExtensionQueries {
     "x142_triplet_margin" -> x142 _,
     "x143_self_bleu" -> x143 _,
     "x144_lsh_plan_audit" -> x144 _,
-    "x145_rater_kappa" -> x145 _
+    "x145_rater_kappa" -> x145 _,
+    "x146_unigram_seed_vocab" -> x146 _,
+    "x147_unigram_viterbi" -> x147 _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -5654,6 +5762,8 @@ object ExtensionQueries {
     "x142_triplet_margin" -> x142Sql,
     "x143_self_bleu" -> x143Sql,
     "x144_lsh_plan_audit" -> x144Sql,
-    "x145_rater_kappa" -> x145Sql
+    "x145_rater_kappa" -> x145Sql,
+    "x146_unigram_seed_vocab" -> x146Sql,
+    "x147_unigram_viterbi" -> x147Sql
   )
 }
