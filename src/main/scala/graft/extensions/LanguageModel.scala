@@ -767,6 +767,115 @@ object LanguageModel {
         col("n_pieces"), col("score_micro"))
   }
 
+  /** Unigram-LM tokenizer EM training (the iterate-and-prune step of
+    * SentencePiece's unigram algorithm): starting from
+    * [[unigramSeedVocab]], each round re-estimates every piece's usage
+    * under the current scores and re-scores the surviving inventory.
+    *
+    * The E-step counts ALL-OPTIMAL-PATHS usage: piece occurrence (j, j+l)
+    * of word w is used iff `fwd[j] + (score·1024 − 1) + bwd[j+l] =
+    * fwd[|w|]` — the exact-integer membership test over the forward and
+    * backward Viterbi lattices ([[unigramViterbiProfile]]'s combined
+    * encoding, so score ties toward fewer pieces are resolved identically).
+    * Counting every occurrence on ANY optimal path makes the round a pure
+    * deterministic function of (corpus, pieces) — no argmax tie-break to
+    * replicate across engines. Words the current vocabulary cannot cover
+    * contribute nothing (their lattice never reaches the end).
+    *
+    * The M-step keeps every single character (usage floor 1 — the
+    * completeness guarantee), drops multi-char pieces with zero usage
+    * (the prune), and re-scores `round(ln(usage/total_kept)·10⁶)`.
+    *
+    * Output: the full per-round audit — `(round, piece, piece_len, cnt,
+    * score_micro, is_char)` for round 0 (the seed, cnt = substring count)
+    * through `rounds` (cnt = usage). EXACTLY `rounds` rounds run (kCore's
+    * bounded-rounds contract): the result is a pure function of the
+    * inputs an independent engine replays round for round.
+    *
+    * Scale shape: per round, ONE pass over the distinct-word relation
+    * computes both lattices in the same projection (no fwd↔bwd join), the
+    * candidate grid explodes vocabulary rows by ≤ |w|·maxPieceLen, usage is
+    * a map-side-combined piece aggregate, and the new piece table (vocab-
+    * bounded) is checkpointed before fanning into the next round's three
+    * consumers (map, reversed map, char floor).
+    */
+  def unigramTrain(df: DataFrame, text: Column, vocabSize: Int = 64,
+      maxPieceLen: Int = 4, minCount: Long = 2L, rounds: Int = 2,
+      maxWordLen: Int = 24): DataFrame = {
+    require(rounds >= 1 && rounds <= 16, s"rounds must be in [1,16], got $rounds")
+    val words = df.select(explode(TextAnalysis.tokens(text)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wcnt"))
+      .filter(length(col("w")) <= maxWordLen)
+      .localCheckpoint(eager = false)
+    val L = lit(maxPieceLen)
+    // combined-unit lattice over `word` under piece map `m` (see
+    // unigramViterbiProfile for the sentinel contract)
+    def cells(word: Column, m: Column): Column = aggregate(
+      sequence(lit(1), length(word)),
+      array(lit(0L)),
+      (acc, i) => concat(acc, array(
+        aggregate(
+          sequence(greatest(lit(0), i - L), i - 1),
+          lit(Long.MinValue / 4),
+          (mx, j) => greatest(mx,
+            element_at(acc, j + 1) +
+              element_at(m, word.substr(j + 1, i - j)) * 1024L - 1L)))))
+    var pieces = unigramSeedVocab(df, text, vocabSize, maxPieceLen, minCount)
+      .withColumn("round", lit(0L))
+      .localCheckpoint(eager = false)
+    val out = scala.collection.mutable.ListBuffer[DataFrame](pieces)
+    for (r <- 1 to rounds) {
+      val mp = broadcast(pieces.agg(
+        map_from_entries(sort_array(collect_list(
+          struct(col("piece"), col("score_micro"))))).as("__m"),
+        map_from_entries(sort_array(collect_list(
+          struct(reverse(col("piece")), col("score_micro"))))).as("__rm")))
+      val lat = words.crossJoin(mp)
+        .withColumn("__f", cells(col("w"), col("__m")))
+        .withColumn("__b", cells(reverse(col("w")), col("__rm")))
+        .filter(element_at(col("__f"), length(col("w")) + 1) >
+          lit(Long.MinValue / 8))
+      val usage = lat
+        .select(col("w"), col("wcnt"), col("__f"), col("__b"), col("__m"),
+          explode(flatten(transform(sequence(lit(0), length(col("w")) - 1),
+            j => transform(
+              sequence(lit(1), least(L, length(col("w")) - j)),
+              l => struct(j.as("j"), l.as("l")))))).as("__jl"))
+        .withColumn("__piece",
+          col("w").substr(col("__jl.j") + 1, col("__jl.l")))
+        .withColumn("__sc", element_at(col("__m"), col("__piece")))
+        .filter(col("__sc").isNotNull &&
+          element_at(col("__f"), col("__jl.j") + 1) +
+            (col("__sc") * 1024L - 1L) +
+            element_at(col("__b"),
+              length(col("w")) - (col("__jl.j") + col("__jl.l")) + 1) ===
+          element_at(col("__f"), length(col("w")) + 1))
+        .groupBy(col("__piece").as("piece"))
+        .agg(sum(col("wcnt")).as("use"))
+      val chars = pieces.filter(col("is_char"))
+        .select(col("piece"), col("is_char"))
+      val kept = chars.join(usage, Seq("piece"), "left")
+        .select(col("piece"), greatest(coalesce(col("use"), lit(0L)), lit(1L))
+          .as("cnt"), col("is_char"))
+        .unionByName(usage
+          .join(pieces.filter(!col("is_char")).select("piece"), Seq("piece"))
+          .select(col("piece"), col("use").as("cnt"), lit(false).as("is_char")))
+      val total = broadcast(kept.agg(sum(col("cnt")).as("__tot")))
+      pieces = kept.crossJoin(total)
+        .select(col("piece"),
+          length(col("piece")).cast("long").as("piece_len"), col("cnt"),
+          round(log(col("cnt").cast("double") / col("__tot")) * 1e6)
+            .cast("long").as("score_micro"),
+          col("is_char"))
+        .withColumn("round", lit(r.toLong))
+        .localCheckpoint(eager = false)
+      out += pieces
+    }
+    out.reduce(_.unionByName(_))
+      .select(col("round"), col("piece"), col("piece_len"), col("cnt"),
+        col("score_micro"), col("is_char"))
+  }
+
   /** Self-BLEU diversity audit over a BOUNDED document sample (Zhu et al.
     * 2018 — the standard synthetic-data mode-collapse check: score each
     * sampled document as a BLEU hypothesis against ALL other sampled

@@ -5478,6 +5478,105 @@ object ExtensionQueries {
               per.n_pieces, per.score_micro
        FROM documents d LEFT JOIN per USING (doc_id)"""
 
+  // ---------------------------------------------------------------------------
+  // X148 — unigram tokenizer EM training (LanguageModel.unigramTrain): two
+  // bounded EM rounds from the x146 seed. Each round's E-step counts
+  // all-optimal-paths usage via the exact-integer membership test
+  // fwd[j] + (score·1024−1) + bwd[j+l] = fwd[|w|] over the forward and
+  // backward lattices (tie-free by construction — no argmax tie-break to
+  // replicate); the M-step floors chars at 1, prunes unused multi pieces,
+  // and re-scores ln(use/total). The oracle replays every round as
+  // generated CTE blocks: two recursive-CTE lattices per round, the same
+  // membership equality, the same floors — hash-compared end to end.
+  // ---------------------------------------------------------------------------
+  private def x148(s: SparkSession, dir: String): DataFrame =
+    LanguageModel.unigramTrain(docs(s, dir), col("text"), vocabSize = 64,
+      maxPieceLen = 4, minCount = 2L, rounds = 2, maxWordLen = 24)
+
+  private def unigramRoundBlock(r: Int): String = {
+    val p = s"p${r - 1}"
+    s"""mp$r AS (
+         SELECT map(list(piece ORDER BY piece),
+                    list(score_micro ORDER BY piece)) AS m FROM $p),
+       rmp$r AS (
+         SELECT map(list(reverse(piece) ORDER BY reverse(piece)),
+                    list(score_micro ORDER BY reverse(piece))) AS m FROM $p),
+       dpf$r AS (
+         SELECT w, 0 AS i, [CAST(0 AS BIGINT)] AS bests FROM wcap
+         UNION ALL
+         SELECT w, i + 1, list_append(bests, greatest(
+           CASE WHEN i + 1 - 1 >= 0 THEN
+             bests[i + 1] + map_extract(m, w[i+1:i+1])[1] * 1024 - 1 END,
+           CASE WHEN i + 1 - 2 >= 0 THEN
+             bests[i]     + map_extract(m, w[i:i+1])[1]   * 1024 - 1 END,
+           CASE WHEN i + 1 - 3 >= 0 THEN
+             bests[i - 1] + map_extract(m, w[i-1:i+1])[1] * 1024 - 1 END,
+           CASE WHEN i + 1 - 4 >= 0 THEN
+             bests[i - 2] + map_extract(m, w[i-2:i+1])[1] * 1024 - 1 END))
+         FROM dpf$r, mp$r WHERE i < len(w)),
+       dpb$r AS (
+         SELECT w, reverse(w) AS rw, 0 AS i, [CAST(0 AS BIGINT)] AS bests
+         FROM wcap
+         UNION ALL
+         SELECT w, rw, i + 1, list_append(bests, greatest(
+           CASE WHEN i + 1 - 1 >= 0 THEN
+             bests[i + 1] + map_extract(m, rw[i+1:i+1])[1] * 1024 - 1 END,
+           CASE WHEN i + 1 - 2 >= 0 THEN
+             bests[i]     + map_extract(m, rw[i:i+1])[1]   * 1024 - 1 END,
+           CASE WHEN i + 1 - 3 >= 0 THEN
+             bests[i - 1] + map_extract(m, rw[i-1:i+1])[1] * 1024 - 1 END,
+           CASE WHEN i + 1 - 4 >= 0 THEN
+             bests[i - 2] + map_extract(m, rw[i-2:i+1])[1] * 1024 - 1 END))
+         FROM dpb$r, rmp$r WHERE i < len(rw)),
+       lat$r AS (
+         SELECT f.w, f.bests AS fb, b.bests AS bb
+         FROM (SELECT w, bests FROM dpf$r WHERE i = len(w)) f
+           JOIN (SELECT w, bests FROM dpb$r WHERE i = len(w)) b USING (w)
+         WHERE f.bests[len(f.w) + 1] IS NOT NULL),
+       use$r AS (
+         SELECT w[jl.j + 1 : jl.j + jl.q] AS piece,
+                CAST(sum(cnt) AS BIGINT) AS use
+         FROM (
+           SELECT l.w AS w, wc.cnt, l.fb, l.bb,
+                  unnest(flatten(list_transform(range(0, len(l.w)), j ->
+                    list_transform(
+                      range(1, least(4, len(l.w) - j) + 1),
+                      q -> {'j': j, 'q': q})))) AS jl
+           FROM lat$r l JOIN wcap wc ON l.w = wc.w), mp$r
+         WHERE map_extract(m, w[jl.j + 1 : jl.j + jl.q])[1] IS NOT NULL
+           AND fb[jl.j + 1]
+               + (map_extract(m, w[jl.j + 1 : jl.j + jl.q])[1] * 1024 - 1)
+               + bb[len(w) - (jl.j + jl.q) + 1]
+             = fb[len(w) + 1]
+         GROUP BY 1),
+       k$r AS (
+         SELECT c.piece, greatest(coalesce(u.use, 0), 1) AS cnt,
+                TRUE AS is_char
+         FROM (SELECT piece FROM $p WHERE is_char) c
+           LEFT JOIN use$r u USING (piece)
+         UNION ALL
+         SELECT u.piece, u.use AS cnt, FALSE AS is_char
+         FROM use$r u
+           JOIN (SELECT piece FROM $p WHERE NOT is_char) mm USING (piece)),
+       p$r AS (
+         SELECT piece, CAST(len(piece) AS BIGINT) AS piece_len,
+                CAST(cnt AS BIGINT) AS cnt,
+                CAST(round(ln(cnt * 1.0 / (SELECT sum(cnt) FROM k$r))
+                  * 1000000) AS BIGINT) AS score_micro,
+                is_char
+         FROM k$r)"""
+  }
+
+  private val x148Sql =
+    s"""WITH RECURSIVE $unigramSeedCtes,
+       p0 AS (SELECT * FROM pieces),
+       wcap AS (SELECT w, cnt FROM w WHERE len(w) <= 24),
+       ${unigramRoundBlock(1)},
+       ${unigramRoundBlock(2)}
+       SELECT CAST(0 AS BIGINT) AS round, * FROM p0
+       UNION ALL SELECT CAST(1 AS BIGINT) AS round, * FROM p1
+       UNION ALL SELECT CAST(2 AS BIGINT) AS round, * FROM p2"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_dedup_exact" -> x1 _,
     "x02_dedup_ngram_jaccard" -> x2 _,
@@ -5625,7 +5724,8 @@ object ExtensionQueries {
     "x144_lsh_plan_audit" -> x144 _,
     "x145_rater_kappa" -> x145 _,
     "x146_unigram_seed_vocab" -> x146 _,
-    "x147_unigram_viterbi" -> x147 _
+    "x147_unigram_viterbi" -> x147 _,
+    "x148_unigram_train" -> x148 _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -5764,6 +5864,7 @@ object ExtensionQueries {
     "x144_lsh_plan_audit" -> x144Sql,
     "x145_rater_kappa" -> x145Sql,
     "x146_unigram_seed_vocab" -> x146Sql,
-    "x147_unigram_viterbi" -> x147Sql
+    "x147_unigram_viterbi" -> x147Sql,
+    "x148_unigram_train" -> x148Sql
   )
 }
