@@ -952,8 +952,10 @@ object LanguageModel {
         col("__rl").as("r"))).as("m"))
       .select(col("doc_id"), col("m.r").as("r_len"))
     val t = lit(diverseThresholdPermille.toLong)
-    toks.select("doc_id", "c_len").join(rLen, Seq("doc_id"))
-      .join(p1, Seq("doc_id"), "left").join(p2, Seq("doc_id"), "left")
+    // every side is sample-bounded by the caller contract -> broadcast
+    toks.select("doc_id", "c_len").join(broadcast(rLen), Seq("doc_id"))
+      .join(broadcast(p1), Seq("doc_id"), "left")
+      .join(broadcast(p2), Seq("doc_id"), "left")
       .select(col("doc_id"), col("c_len"), col("r_len"),
         coalesce(col("p1_num"), lit(0L)).as("p1_num"),
         coalesce(col("p1_den"), lit(0L)).as("p1_den"),

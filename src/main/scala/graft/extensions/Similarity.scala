@@ -929,7 +929,8 @@ object Similarity {
         (-col("h.nid")).as("hardest_neg_id"),
         col("h.sim_micro").as("hardest_neg_sim_micro"),
         col("loss_sum_micro"))
-    pos.join(viol, Seq("anchor_id"), "left")
+    // both sides are |anchors|-bounded; broadcast the rollup
+    pos.join(broadcast(viol), Seq("anchor_id"), "left")
       .select(col("anchor_id"), col("anchor_label"), col("pos_id"),
         col("pos_sim_micro"),
         coalesce(col("n_violations"), lit(0L)).as("n_violations"),
