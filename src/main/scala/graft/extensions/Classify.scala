@@ -1,0 +1,119 @@
+package graft.extensions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** In-engine text classification — multinomial Naive Bayes with Laplace
+  * smoothing, the classic corpus-scale text classifier (lang-ID, source
+  * routing, quality gating) whose TRAINING is pure counting and whose
+  * SCORING is a sum of precomputed log-probabilities: both reproduce
+  * exactly in any engine once each log-prob is rounded to integer micro
+  * units, the discipline every graft scoring operator follows.
+  *
+  * The model is data (one DataFrame), not an opaque artifact: `prior` rows
+  * (per label), `term` rows (per label×seen-term), and one `unseen` row per
+  * label carrying the zero-count smoothed score — everything a scorer needs
+  * to handle out-of-vocabulary and label-missing terms without any float
+  * recomputation.
+  */
+object Classify {
+
+  /** Train multinomial NB: P(t|c) = (cnt_c(t) + 1) / (tot_c + V) with V the
+    * corpus-wide distinct-term count, P(c) = docs_c / docs. Output one model
+    * relation: `(kind, label, term, cnt, logprob_micro)` where kind is
+    * 'prior' (term NULL, cnt = docs_c), 'term' (cnt = cnt_c(t) ≥ 1), or
+    * 'unseen' (term NULL, cnt = 0 — the smoothed score of any term the
+    * label never saw, in- or out-of-vocabulary alike).
+    *
+    * Engine-stable float contract: each row's score is ONE ln call rounded
+    * once to micro; scoring then never touches libm.
+    *
+    * Scale shape: one corpus token scan → map-side-combined (label, term)
+    * counts; labels are enum-bounded so priors/totals broadcast; the only
+    * driver reads are two bounded 1-row counts (total docs, vocab size).
+    * NULL-label rows are excluded from training.
+    */
+  def nbTrain(df: DataFrame, label: Column, text: Column): DataFrame = {
+    val base = df.select(label.as("label"), TextAnalysis.tokens(text).as("toks"))
+      .filter(col("label").isNotNull)
+    val tc = base.select(col("label"), explode(col("toks")).as("term"))
+      .groupBy("label", "term").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(eager = false)
+    val nDocs = base.count()
+    require(nDocs > 0, "nbTrain needs at least one labeled document")
+    val vocabV = tc.select("term").distinct().count()
+    val totals = broadcast(tc.groupBy("label").agg(sum(col("cnt")).as("__tot")))
+    def lnMicro(num: Column, den: Column): Column =
+      round(log(num.cast("double") / den) * 1e6).cast("long")
+    val priors = base.groupBy("label").agg(count(lit(1)).as("cnt"))
+      .select(lit("prior").as("kind"), col("label"),
+        lit(null).cast("string").as("term"), col("cnt"),
+        lnMicro(col("cnt"), lit(nDocs)).as("logprob_micro"))
+    val terms = tc.join(totals, Seq("label"))
+      .select(lit("term").as("kind"), col("label"), col("term"), col("cnt"),
+        lnMicro(col("cnt") + 1L, col("__tot") + lit(vocabV))
+          .as("logprob_micro"))
+    val unseen = totals
+      .select(lit("unseen").as("kind"), col("label"),
+        lit(null).cast("string").as("term"), lit(0L).as("cnt"),
+        lnMicro(lit(1L), col("__tot") + lit(vocabV)).as("logprob_micro"))
+    priors.unionByName(terms).unionByName(unseen)
+  }
+
+  /** Score every document against an [[nbTrain]] model and pick the argmax
+    * label. Per (doc, label):
+    *
+    * {{{
+    *   score = prior_c + Σ_matched logprob_c(t) + (n_tokens − n_matched)·unseen_c
+    * }}}
+    *
+    * — the sparse-model identity: any token without a stored (label, term)
+    * row (out-of-vocabulary OR merely unseen under that label) contributes
+    * the label's smoothed zero-count score. Exact integer arithmetic
+    * throughout; argmax ties break to the lexicographically smallest label.
+    *
+    * Output: `(id, n_tokens, pred_label, score_micro, runner_up,
+    * margin_micro)` — margin is the confidence signal a routing/QC gate
+    * thresholds on; token-less documents are scored on priors alone.
+    *
+    * Scale shape: the model is vocab×labels-bounded and broadcasts; the
+    * corpus is scanned once for lengths and once for the term join; the
+    * per-(id,label) partial is a map-side-combined aggregate over
+    * term-sparse rows; the final argmax sorts |labels| (enum-bounded)
+    * entries per doc inside one aggregate — no window, no second shuffle.
+    */
+  def nbClassify(df: DataFrame, id: Column, text: Column,
+      model: DataFrame): DataFrame = {
+    val priors = model.filter(col("kind") === "prior")
+      .select(col("label"), col("logprob_micro").as("__prior"))
+    val unseen = model.filter(col("kind") === "unseen")
+      .select(col("label"), col("logprob_micro").as("__unseen"))
+    val terms = model.filter(col("kind") === "term")
+      .select(col("label"), col("term"), col("logprob_micro"))
+    val lens = df.select(id.as("id"),
+      size(TextAnalysis.tokens(text)).cast("long").as("n_tokens"))
+    val matched = df.select(id.as("id"),
+        explode(TextAnalysis.tokens(text)).as("term"))
+      .join(broadcast(terms), Seq("term"))
+      .groupBy("id", "label")
+      .agg(sum(col("logprob_micro")).as("__s_match"),
+        count(lit(1)).as("__n_match"))
+    lens.crossJoin(broadcast(priors.join(unseen, Seq("label"))))
+      .join(matched.hint("shuffle_hash"), Seq("id", "label"), "left")
+      .withColumn("__score", col("__prior") +
+        coalesce(col("__s_match"), lit(0L)) +
+        (col("n_tokens") - coalesce(col("__n_match"), lit(0L))) *
+          col("__unseen"))
+      .groupBy("id", "n_tokens")
+      .agg(sort_array(collect_list(struct((-col("__score")).as("ns"),
+        col("label"), col("__score").as("s")))).as("__r"))
+      .select(col("id"), col("n_tokens"),
+        // get(), not getItem(): a single-label model has no runner-up and
+        // ANSI mode makes an out-of-bounds getItem throw instead of NULL
+        get(col("__r"), lit(0)).getField("label").as("pred_label"),
+        get(col("__r"), lit(0)).getField("s").as("score_micro"),
+        get(col("__r"), lit(1)).getField("label").as("runner_up"),
+        (get(col("__r"), lit(0)).getField("s") -
+          get(col("__r"), lit(1)).getField("s")).as("margin_micro"))
+  }
+}

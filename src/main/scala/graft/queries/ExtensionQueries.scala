@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-import graft.extensions.{Batching, Contamination, Dedup, Ensemble, HeavyHitters, IncrementalDedup, LanguageModel, Mixture, Multimodal, Sampling, Similarity, SpanDedup, TextAnalysis}
+import graft.extensions.{Batching, Classify, Contamination, Dedup, Ensemble, HeavyHitters, IncrementalDedup, LanguageModel, Mixture, Multimodal, Sampling, Similarity, SpanDedup, TextAnalysis}
 import graft.ops.{ShardedExport, Skew, SnapshotDiff}
 
 /** North-star extension queries (dedup / similarity / text analysis /
@@ -5577,6 +5577,101 @@ object ExtensionQueries {
        UNION ALL SELECT CAST(1 AS BIGINT) AS round, * FROM p1
        UNION ALL SELECT CAST(2 AS BIGINT) AS round, * FROM p2"""
 
+  // ---------------------------------------------------------------------------
+  // X149 — Naive Bayes training (Classify.nbTrain): multinomial NB with
+  // Laplace smoothing over (lang, token) counts — training is pure counting,
+  // each model row's score is ONE ln rounded once to micro, so scoring never
+  // touches libm. Model = data: prior / term / unseen rows per label.
+  // ---------------------------------------------------------------------------
+  private def x149(s: SparkSession, dir: String): DataFrame =
+    Classify.nbTrain(docs(s, dir), col("lang"), col("text"))
+
+  private val nbModelCtes =
+    """nb_base AS (
+         SELECT lang AS label,
+                list_filter(regexp_split_to_array(lower(text), '\s+'),
+                  x -> x <> '') AS toks
+         FROM documents WHERE lang IS NOT NULL),
+       nb_tc AS (
+         SELECT label, term, CAST(count(*) AS BIGINT) AS cnt
+         FROM (SELECT label, unnest(toks) AS term FROM nb_base) GROUP BY 1, 2),
+       nb_tot AS (
+         SELECT label, CAST(sum(cnt) AS BIGINT) AS tot FROM nb_tc GROUP BY 1),
+       nb_v AS (SELECT count(DISTINCT term) AS v FROM nb_tc),
+       nb_n AS (SELECT count(*) AS n FROM nb_base),
+       model AS (
+         SELECT 'prior' AS kind, label, CAST(NULL AS VARCHAR) AS term,
+                CAST(count(*) AS BIGINT) AS cnt,
+                CAST(round(ln(count(*) * 1.0 / (SELECT n FROM nb_n))
+                  * 1000000) AS BIGINT) AS logprob_micro
+         FROM nb_base GROUP BY label
+         UNION ALL
+         SELECT 'term', c.label, c.term, c.cnt,
+                CAST(round(ln((c.cnt + 1) * 1.0 /
+                    (t.tot + (SELECT v FROM nb_v))) * 1000000) AS BIGINT)
+         FROM nb_tc c JOIN nb_tot t USING (label)
+         UNION ALL
+         SELECT 'unseen', label, CAST(NULL AS VARCHAR), CAST(0 AS BIGINT),
+                CAST(round(ln(1.0 / (tot + (SELECT v FROM nb_v)))
+                  * 1000000) AS BIGINT)
+         FROM nb_tot)"""
+
+  private val x149Sql = s"WITH $nbModelCtes SELECT * FROM model"
+
+  // ---------------------------------------------------------------------------
+  // X150 — Naive Bayes classification (Classify.nbClassify): every document
+  // scored per label as prior + Σ matched term scores + (n_tokens −
+  // n_matched)·unseen — the sparse-model identity covering OOV and
+  // label-missing terms with the zero-count smoothed score. Exact integers;
+  // argmax tie → smallest label; margin to the runner-up is the routing
+  // confidence. Self-train lang-ID resubstitution on the documents table.
+  // ---------------------------------------------------------------------------
+  private def x150(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Classify.nbClassify(d, col("doc_id"), col("text"),
+      Classify.nbTrain(d, col("lang"), col("text")))
+  }
+
+  private val x150Sql =
+    s"""WITH $nbModelCtes,
+       dtoks AS (
+         SELECT doc_id,
+                list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                  x -> x <> '') AS toks
+         FROM documents),
+       lens AS (SELECT doc_id AS id, CAST(len(toks) AS BIGINT) AS n_tokens
+                FROM dtoks),
+       pri AS (SELECT label, logprob_micro AS prior FROM model
+               WHERE kind = 'prior'),
+       uns AS (SELECT label, logprob_micro AS unseen FROM model
+               WHERE kind = 'unseen'),
+       trm AS (SELECT label, term, logprob_micro FROM model
+               WHERE kind = 'term'),
+       mt AS (
+         SELECT d.doc_id AS id, t.label,
+                CAST(sum(t.logprob_micro) AS BIGINT) AS s_match,
+                CAST(count(*) AS BIGINT) AS n_match
+         FROM (SELECT doc_id, unnest(toks) AS term FROM dtoks) d
+           JOIN trm t USING (term) GROUP BY 1, 2),
+       grid AS (
+         SELECT l.id, l.n_tokens, p.label,
+                p.prior + coalesce(m.s_match, 0) +
+                  (l.n_tokens - coalesce(m.n_match, 0)) * p.unseen AS score
+         FROM lens l
+           CROSS JOIN (SELECT p.label, p.prior, u.unseen
+                       FROM pri p JOIN uns u USING (label)) p(label, prior, unseen)
+           LEFT JOIN mt m ON m.id = l.id AND m.label = p.label),
+       rk AS (
+         SELECT *, row_number() OVER (PARTITION BY id
+                  ORDER BY score DESC, label ASC) AS rn
+         FROM grid)
+       SELECT a.id, a.n_tokens, a.label AS pred_label,
+              CAST(a.score AS BIGINT) AS score_micro,
+              b.label AS runner_up,
+              CAST(a.score - b.score AS BIGINT) AS margin_micro
+       FROM rk a LEFT JOIN rk b ON a.id = b.id AND b.rn = 2
+       WHERE a.rn = 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_dedup_exact" -> x1 _,
     "x02_dedup_ngram_jaccard" -> x2 _,
@@ -5725,7 +5820,9 @@ object ExtensionQueries {
     "x145_rater_kappa" -> x145 _,
     "x146_unigram_seed_vocab" -> x146 _,
     "x147_unigram_viterbi" -> x147 _,
-    "x148_unigram_train" -> x148 _
+    "x148_unigram_train" -> x148 _,
+    "x149_nb_train" -> x149 _,
+    "x150_nb_classify" -> x150 _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -5865,6 +5962,8 @@ object ExtensionQueries {
     "x145_rater_kappa" -> x145Sql,
     "x146_unigram_seed_vocab" -> x146Sql,
     "x147_unigram_viterbi" -> x147Sql,
-    "x148_unigram_train" -> x148Sql
+    "x148_unigram_train" -> x148Sql,
+    "x149_nb_train" -> x149Sql,
+    "x150_nb_classify" -> x150Sql
   )
 }
