@@ -116,4 +116,69 @@ object Classify {
         (get(col("__r"), lit(0)).getField("s") -
           get(col("__r"), lit(1)).getField("s")).as("margin_micro"))
   }
+
+  /** Multi-class classifier evaluation — one row per class that appears as
+    * a truth OR a prediction: support, true/false positives, false
+    * negatives, and precision/recall/F1 in micro units, plus the
+    * corpus-level accuracy and macro-F1 repeated on every row (the flat
+    * single-relation shape every graft profile emits).
+    *
+    * Exact arithmetic: counts are integers; each ratio is ONE IEEE division
+    * rounded once to micro; F1 is computed from the INTEGER counts
+    * (`2·tp·10⁶ / (2·tp + fp + fn)`), never from the rounded P/R micros —
+    * so no compounding. A class with no predictions has NULL precision; a
+    * class with no truths has NULL recall; F1 is 0 when tp = 0 but the
+    * class occurs (the standard zero-division convention), NULL only if
+    * the denominator is 0 (impossible for an occurring class). Rows with a
+    * NULL truth label are excluded and counted in `n_unlabeled`.
+    *
+    * Scale shape: ONE map-side-combined (truth, pred) aggregate builds the
+    * |classes|²-bounded confusion relation; everything after is arithmetic
+    * over enum-bounded rows plus one broadcast of the 1-row corpus stats.
+    */
+  def classifierEval(df: DataFrame, truth: Column, pred: Column): DataFrame = {
+    val conf = df.select(truth.as("t"), pred.as("p"))
+      .withColumn("__labeled", col("t").isNotNull)
+      .groupBy("t", "p", "__labeled").agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = false)
+    val labeled = conf.filter(col("__labeled"))
+    val classes = labeled.select(col("t").as("label"))
+      .unionByName(labeled.select(col("p").as("label")))
+      .filter(col("label").isNotNull).distinct()
+    val byTruth = labeled.groupBy(col("t").as("label"))
+      .agg(sum(col("n")).as("support"),
+        sum(when(col("t") === col("p"), col("n")).otherwise(0L)).as("tp"))
+    val byPred = labeled.filter(col("p").isNotNull)
+      .groupBy(col("p").as("label")).agg(sum(col("n")).as("n_pred"))
+    def microDiv(num: Column, den: Column): Column =
+      when(den === 0L, lit(null).cast("long"))
+        .otherwise(round(num.cast("double") / den * 1e6).cast("long"))
+    val perClass = classes
+      .join(broadcast(byTruth), Seq("label"), "left")
+      .join(broadcast(byPred), Seq("label"), "left")
+      .select(col("label"),
+        coalesce(col("support"), lit(0L)).as("support"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        (coalesce(col("n_pred"), lit(0L)) - coalesce(col("tp"), lit(0L)))
+          .as("fp"),
+        (coalesce(col("support"), lit(0L)) - coalesce(col("tp"), lit(0L)))
+          .as("fn"))
+      .withColumn("precision_micro",
+        microDiv(col("tp"), col("tp") + col("fp")))
+      .withColumn("recall_micro", microDiv(col("tp"), col("tp") + col("fn")))
+      .withColumn("f1_micro",
+        microDiv(col("tp") * 2L, col("tp") * 2L + col("fp") + col("fn")))
+    val global = broadcast(conf.agg(
+        sum(when(col("__labeled"), col("n")).otherwise(0L)).as("__n"),
+        sum(when(!col("__labeled"), col("n")).otherwise(0L))
+          .as("n_unlabeled"),
+        sum(when(col("__labeled") && col("t") === col("p"), col("n"))
+          .otherwise(0L)).as("__correct"))
+      .withColumn("accuracy_micro", microDiv(col("__correct"), col("__n")))
+      .select(col("n_unlabeled"), col("accuracy_micro")))
+    val macroF1 = broadcast(perClass.agg(
+      round(avg(coalesce(col("f1_micro"), lit(0L)))).cast("long")
+        .as("macro_f1_micro")))
+    perClass.crossJoin(global).crossJoin(macroF1)
+  }
 }

@@ -5632,8 +5632,8 @@ object ExtensionQueries {
       Classify.nbTrain(d, col("lang"), col("text")))
   }
 
-  private val x150Sql =
-    s"""WITH $nbModelCtes,
+  private val nbClassifyCtes =
+    s"""$nbModelCtes,
        dtoks AS (
          SELECT doc_id,
                 list_filter(regexp_split_to_array(lower(text), '\\s+'),
@@ -5664,13 +5664,85 @@ object ExtensionQueries {
        rk AS (
          SELECT *, row_number() OVER (PARTITION BY id
                   ORDER BY score DESC, label ASC) AS rn
-         FROM grid)
-       SELECT a.id, a.n_tokens, a.label AS pred_label,
-              CAST(a.score AS BIGINT) AS score_micro,
-              b.label AS runner_up,
-              CAST(a.score - b.score AS BIGINT) AS margin_micro
-       FROM rk a LEFT JOIN rk b ON a.id = b.id AND b.rn = 2
-       WHERE a.rn = 1"""
+         FROM grid),
+       cls AS (
+         SELECT a.id, a.n_tokens, a.label AS pred_label,
+                CAST(a.score AS BIGINT) AS score_micro,
+                b.label AS runner_up,
+                CAST(a.score - b.score AS BIGINT) AS margin_micro
+         FROM rk a LEFT JOIN rk b ON a.id = b.id AND b.rn = 2
+         WHERE a.rn = 1)"""
+
+  private val x150Sql = s"WITH $nbClassifyCtes SELECT * FROM cls"
+
+  // ---------------------------------------------------------------------------
+  // X151 — multi-class classifier evaluation (Classify.classifierEval): the
+  // NB lang-ID predictions (x150) against the true labels — per-class
+  // support/tp/fp/fn, precision/recall/F1 micro (each ONE rounded IEEE
+  // division from the INTEGER counts, never from rounded P/R), plus
+  // corpus accuracy and macro-F1 on every row. One |classes|²-bounded
+  // confusion aggregate; everything after is enum-scale arithmetic.
+  // ---------------------------------------------------------------------------
+  private def x151(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val pred = Classify.nbClassify(d, col("doc_id"), col("text"),
+      Classify.nbTrain(d, col("lang"), col("text")))
+    Classify.classifierEval(
+      d.select(col("doc_id").as("id"), col("lang"))
+        .join(pred.select("id", "pred_label").hint("shuffle_hash"), Seq("id")),
+      col("lang"), col("pred_label"))
+  }
+
+  private val x151Sql =
+    s"""WITH $nbClassifyCtes,
+       ev AS (
+         SELECT d.lang AS t, c.pred_label AS p
+         FROM documents d JOIN cls c ON d.doc_id = c.id),
+       lab AS (SELECT t, p FROM ev WHERE t IS NOT NULL),
+       cl AS (
+         SELECT DISTINCT label FROM (
+           SELECT t AS label FROM lab
+           UNION ALL SELECT p FROM lab WHERE p IS NOT NULL)),
+       bt AS (
+         SELECT t AS label, CAST(count(*) AS BIGINT) AS support,
+                CAST(sum(CASE WHEN t = p THEN 1 ELSE 0 END) AS BIGINT) AS tp
+         FROM lab GROUP BY 1),
+       bp AS (
+         SELECT p AS label, CAST(count(*) AS BIGINT) AS n_pred
+         FROM lab WHERE p IS NOT NULL GROUP BY 1),
+       pc AS (
+         SELECT label, coalesce(support, 0) AS support, coalesce(tp, 0) AS tp,
+                coalesce(n_pred, 0) - coalesce(tp, 0) AS fp,
+                coalesce(support, 0) - coalesce(tp, 0) AS fn
+         FROM cl LEFT JOIN bt USING (label) LEFT JOIN bp USING (label)),
+       pm AS (
+         SELECT label, support, tp, fp, fn,
+                CASE WHEN tp + fp = 0 THEN NULL ELSE
+                  CAST(round(tp * 1.0 / (tp + fp) * 1000000) AS BIGINT)
+                END AS precision_micro,
+                CASE WHEN tp + fn = 0 THEN NULL ELSE
+                  CAST(round(tp * 1.0 / (tp + fn) * 1000000) AS BIGINT)
+                END AS recall_micro,
+                CASE WHEN 2 * tp + fp + fn = 0 THEN NULL ELSE
+                  CAST(round(2 * tp * 1.0 / (2 * tp + fp + fn) * 1000000)
+                    AS BIGINT)
+                END AS f1_micro
+         FROM pc),
+       g AS (
+         SELECT CAST(sum(CASE WHEN t IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_unlabeled,
+                CASE WHEN sum(CASE WHEN t IS NOT NULL THEN 1 ELSE 0 END) = 0
+                     THEN NULL ELSE
+                  CAST(round(sum(CASE WHEN t IS NOT NULL AND t = p
+                               THEN 1 ELSE 0 END) * 1.0 /
+                    sum(CASE WHEN t IS NOT NULL THEN 1 ELSE 0 END)
+                    * 1000000) AS BIGINT)
+                END AS accuracy_micro
+         FROM ev),
+       mf AS (SELECT CAST(round(avg(coalesce(f1_micro, 0))) AS BIGINT)
+                AS macro_f1_micro FROM pm)
+       SELECT pm.*, g.n_unlabeled, g.accuracy_micro, mf.macro_f1_micro
+       FROM pm, g, mf"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_dedup_exact" -> x1 _,
@@ -5822,7 +5894,8 @@ object ExtensionQueries {
     "x147_unigram_viterbi" -> x147 _,
     "x148_unigram_train" -> x148 _,
     "x149_nb_train" -> x149 _,
-    "x150_nb_classify" -> x150 _
+    "x150_nb_classify" -> x150 _,
+    "x151_classifier_eval" -> x151 _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -5964,6 +6037,7 @@ object ExtensionQueries {
     "x147_unigram_viterbi" -> x147Sql,
     "x148_unigram_train" -> x148Sql,
     "x149_nb_train" -> x149Sql,
-    "x150_nb_classify" -> x150Sql
+    "x150_nb_classify" -> x150Sql,
+    "x151_classifier_eval" -> x151Sql
   )
 }
