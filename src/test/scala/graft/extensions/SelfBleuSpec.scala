@@ -59,6 +59,17 @@ class SelfBleuSpec extends AnyFunSuite with SparkTestSession {
     assert(out(3L) == 3L)
   }
 
+  test("diverse verdict is STRICT at the threshold: geo2 == t excluded") {
+    import spark.implicits._
+    // two identical docs: p1 = p2 = 1, geo2 = 1000000. At threshold 1000‰
+    // the cross-multiplication sits at exact equality — strict < must say
+    // NOT diverse (the x101 boundary lesson on this operator's verdict).
+    val df = Seq((1L, "a b a"), (2L, "a b a")).toDF("doc_id", "text")
+    val out = LanguageModel.selfBleu(df, col("doc_id"), col("text"),
+      diverseThresholdPermille = 1000).collect()
+    assert(out.forall(r => r.getLong(7) == 1000000L && !r.getBoolean(9)))
+  }
+
   test("single-token and empty documents are diverse by convention") {
     import spark.implicits._
     val df = Seq((1L, "z"), (2L, "  "), (3L, "z z")).toDF("doc_id", "text")

@@ -64,6 +64,22 @@ class TripletMarginSpec extends AnyFunSuite with SparkTestSession {
     assert(out.length == 1 && out(0).getLong(2) == 2L)
   }
 
+  test("band boundary is STRICT: sim == pos_sim - margin is excluded") {
+    import spark.implicits._
+    // margin 0 makes the boundary exactly representable: the band is
+    // sim > pos_sim, so a negative at exactly pos_sim must NOT count
+    // (the x101 ceil-boundary lesson applied to this operator's threshold)
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(1.0f, 1.0f), 0),           // positive, cos .707107
+      (3L, Array(0.7f, 0.7f), 1),           // neg at exactly .707107
+      (4L, Array(0.8f, 0.6f), 1)            // neg at .8 > boundary -> in
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.tripletMarginMine(df.filter(col("vec_id") === 1L),
+      df, marginMicro = 0L).collect()(0)
+    assert(out.getLong(4) == 1L && out.getLong(5) == 4L)
+  }
+
   test("zero-norm vectors score 0 and the band test stays exact") {
     import spark.implicits._
     val df = Seq(
