@@ -139,9 +139,11 @@ object Ensemble {
     *   kappa = (n·(tt+ff) − (a1·b1 + a0·b0)) / (n² − (a1·b1 + a0·b0))
     * }}}
     *
-    * with `a1/a0, b1/b0` the marginal true/false counts. `kappa_num`,
-    * `kappa_den` are exact BIGINTs; `kappa_micro` adds one IEEE division +
-    * round. When either rater is constant the denominator is 0 (chance
+    * with `a1/a0, b1/b0` the marginal true/false counts. The num/den run
+    * internally in DECIMAL(38,0) (n² would overflow BIGINT past ~3e9
+    * labeled rows); the OUTPUT carries the raw confusion counts — the full
+    * exact audit — and `kappa_micro`, one division + round. When either
+    * rater is constant the denominator is 0 (chance
     * agreement is 1) — kappa is NULL and `degenerate` is true, never a
     * division blow-up. Rows where either label is NULL are excluded
     * pairwise and reported as `n_unlabeled`.
@@ -159,19 +161,26 @@ object Ensemble {
       n(labeled && raterA && !raterB).as("n_tf"),
       n(labeled && !raterA && raterB).as("n_ft"),
       n(labeled && !raterA && !raterB).as("n_ff"))
-    val pe = (col("n_tt") + col("n_tf")) * (col("n_tt") + col("n_ft")) +
-      (col("n_ft") + col("n_ff")) * (col("n_tf") + col("n_ff"))
+    // kappa's numerator/denominator contain n² and marginal products — at
+    // corpus scale (n beyond ~3.0e9 labeled rows) those overflow BIGINT, so
+    // they stay INTERNAL and run in DECIMAL(38,0) (exact to n ≈ 10¹⁹); the
+    // output carries the raw confusion counts — the full exact audit any
+    // consumer can re-derive kappa from — plus the micro rendering, whose
+    // one decimal→double division is the only (documented) approximation.
+    def d(c: Column): Column = c.cast("decimal(19,0)")
+    val pe = (d(col("n_tt")) + col("n_tf")) * (d(col("n_tt")) + col("n_ft")) +
+      (d(col("n_ft")) + col("n_ff")) * (d(col("n_tf")) + col("n_ff"))
+    val num = d(col("n")) * (d(col("n_tt")) + col("n_ff")) - pe
+    val den = d(col("n")) * d(col("n")) - pe
     agg
       .withColumn("po_micro",
         when(col("n") === 0L, lit(null).cast("long"))
           .otherwise(round((col("n_tt") + col("n_ff")).cast("double") /
             col("n") * 1e6).cast("long")))
-      .withColumn("kappa_num", col("n") * (col("n_tt") + col("n_ff")) - pe)
-      .withColumn("kappa_den", col("n") * col("n") - pe)
       .withColumn("kappa_micro",
-        when(col("kappa_den") === 0L, lit(null).cast("long"))
-          .otherwise(round(col("kappa_num").cast("double") /
-            col("kappa_den") * 1e6).cast("long")))
-      .withColumn("degenerate", col("kappa_den") === 0L)
+        when(den === lit(0), lit(null).cast("long"))
+          .otherwise(round(num.cast("double") / den.cast("double") * 1e6)
+            .cast("long")))
+      .withColumn("degenerate", den === lit(0))
   }
 }

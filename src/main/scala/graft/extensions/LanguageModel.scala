@@ -649,13 +649,22 @@ object LanguageModel {
     * before the single-partition rank); total_kept is one 1-row aggregate.
     */
   def unigramSeedVocab(df: DataFrame, text: Column, vocabSize: Int = 64,
-      maxPieceLen: Int = 4, minCount: Long = 2L): DataFrame = {
+      maxPieceLen: Int = 4, minCount: Long = 2L): DataFrame =
+    unigramSeedVocabFromWords(
+      df.select(explode(TextAnalysis.tokens(text)).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cnt")),
+      vocabSize, maxPieceLen, minCount)
+
+  /** [[unigramSeedVocab]] over an already-built distinct-word frequency
+    * relation `(w, cnt)` — lets [[unigramTrain]] seed from the same corpus
+    * scan its EM rounds use instead of tokenizing the corpus twice.
+    */
+  private[extensions] def unigramSeedVocabFromWords(words: DataFrame,
+      vocabSize: Int, maxPieceLen: Int, minCount: Long): DataFrame = {
     require(vocabSize >= 2 && vocabSize <= (1 << 20),
       s"vocabSize must be in [2,1048576], got $vocabSize")
     require(maxPieceLen >= 2 && maxPieceLen <= 16,
       s"maxPieceLen must be in [2,16], got $maxPieceLen")
-    val words = df.select(explode(TextAnalysis.tokens(text)).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("cnt"))
     val sub = words.select(col("cnt"), explode(flatten(transform(
         sequence(lit(1), length(col("w"))),
         s => transform(
@@ -682,6 +691,31 @@ object LanguageModel {
           .cast("long").as("score_micro"),
         col("is_char"))
   }
+
+  /** The ONE combined-unit Viterbi lattice both [[unigramViterbiProfile]]
+    * and [[unigramTrain]]'s EM membership test fold — a single definition
+    * so their tie resolution can never desynchronize. best[0..len(word)]
+    * under piece map `m` with back-pointer range `maxPieceLen`.
+    *
+    * Unreachable cells carry a SENTINEL (MinValue/4) instead of NULL: a
+    * NULL fold zero miscompiles under whole-stage codegen (primitive long
+    * state defaults to 0, silently scoring uncoverable words 0). A
+    * missing-piece lookup still yields a NULL term, which greatest skips;
+    * sentinel-contaminated paths (≤ MinValue/4 + 24·|maxScore|) can never
+    * beat a real path (≥ 24·minScore ≫ MinValue/8), so "cell below
+    * MinValue/8" is exactly NULL-propagation's unreachable.
+    */
+  private def viterbiCells(word: Column, m: Column, maxPieceLen: Column)
+      : Column = aggregate(
+    sequence(lit(1), length(word)),
+    array(lit(0L)),
+    (acc, i) => concat(acc, array(
+      aggregate(
+        sequence(greatest(lit(0), i - maxPieceLen), i - 1),
+        lit(Long.MinValue / 4),
+        (mx, j) => greatest(mx,
+          element_at(acc, j + 1) +
+            element_at(m, word.substr(j + 1, i - j)) * 1024L - 1L)))))
 
   /** Unigram-LM Viterbi segmentation profile — applies a
     * [[unigramSeedVocab]]-style piece table to the corpus and reports, per
@@ -723,24 +757,7 @@ object LanguageModel {
     val dp = toks.select("w").distinct()
       .filter(length(col("w")) <= maxWordLen)
       .crossJoin(mp)
-      // Unreachable cells carry a SENTINEL (MinValue/4) instead of NULL: a
-      // NULL fold zero miscompiles under whole-stage codegen (primitive long
-      // state defaults to 0, silently scoring uncoverable words 0). A
-      // missing-piece lookup still yields a NULL term, which greatest
-      // skips; sentinel-contaminated paths (≤ MinValue/4 + 24·|maxScore|)
-      // can never beat a real path (≥ 24·minScore ≫ MinValue/8), so
-      // "comb below MinValue/8" is exactly NULL-propagation's unreachable.
-      .withColumn("__bests", aggregate(
-        sequence(lit(1), length(col("w"))),
-        array(lit(0L)),
-        (acc, i) => concat(acc, array(
-          aggregate(
-            sequence(greatest(lit(0), i - L), i - 1),
-            lit(Long.MinValue / 4),
-            (mx, j) => greatest(mx,
-              element_at(acc, j + 1) +
-                element_at(col("__m"), col("w").substr(j + 1, i - j)) *
-                  1024L - 1L))))))
+      .withColumn("__bests", viterbiCells(col("w"), col("__m"), L))
       .select(col("w"),
         element_at(col("__bests"), length(col("w")) + 1).as("__raw"))
       .select(col("w"), when(col("__raw") < lit(Long.MinValue / 8),
@@ -803,24 +820,17 @@ object LanguageModel {
       maxPieceLen: Int = 4, minCount: Long = 2L, rounds: Int = 2,
       maxWordLen: Int = 24): DataFrame = {
     require(rounds >= 1 && rounds <= 16, s"rounds must be in [1,16], got $rounds")
-    val words = df.select(explode(TextAnalysis.tokens(text)).as("w"))
+    val wordsAll = df.select(explode(TextAnalysis.tokens(text)).as("w"))
       .groupBy("w").agg(count(lit(1)).as("wcnt"))
-      .filter(length(col("w")) <= maxWordLen)
       .localCheckpoint(eager = false)
+    val words = wordsAll.filter(length(col("w")) <= maxWordLen)
     val L = lit(maxPieceLen)
-    // combined-unit lattice over `word` under piece map `m` (see
-    // unigramViterbiProfile for the sentinel contract)
-    def cells(word: Column, m: Column): Column = aggregate(
-      sequence(lit(1), length(word)),
-      array(lit(0L)),
-      (acc, i) => concat(acc, array(
-        aggregate(
-          sequence(greatest(lit(0), i - L), i - 1),
-          lit(Long.MinValue / 4),
-          (mx, j) => greatest(mx,
-            element_at(acc, j + 1) +
-              element_at(m, word.substr(j + 1, i - j)) * 1024L - 1L)))))
-    var pieces = unigramSeedVocab(df, text, vocabSize, maxPieceLen, minCount)
+    // seed from the SAME word-frequency relation the EM rounds use (the
+    // seed wants it uncapped, hence `wordsAll`) — never a second corpus
+    // tokenization
+    var pieces = unigramSeedVocabFromWords(
+        wordsAll.withColumnRenamed("wcnt", "cnt"), vocabSize, maxPieceLen,
+        minCount)
       .withColumn("round", lit(0L))
       .localCheckpoint(eager = false)
     val out = scala.collection.mutable.ListBuffer[DataFrame](pieces)
@@ -831,8 +841,8 @@ object LanguageModel {
         map_from_entries(sort_array(collect_list(
           struct(reverse(col("piece")), col("score_micro"))))).as("__rm")))
       val lat = words.crossJoin(mp)
-        .withColumn("__f", cells(col("w"), col("__m")))
-        .withColumn("__b", cells(reverse(col("w")), col("__rm")))
+        .withColumn("__f", viterbiCells(col("w"), col("__m"), L))
+        .withColumn("__b", viterbiCells(reverse(col("w")), col("__rm"), L))
         .filter(element_at(col("__f"), length(col("w")) + 1) >
           lit(Long.MinValue / 8))
       val usage = lat
@@ -961,14 +971,21 @@ object LanguageModel {
         coalesce(col("p1_den"), lit(0L)).as("p1_den"),
         coalesce(col("p2_num"), lit(0L)).as("p2_num"),
         coalesce(col("p2_den"), lit(0L)).as("p2_den"))
+      // overflow discipline: the n-gram counts are document-length-scale
+      // (unbounded), so the products go through double (exact below 2⁵³ —
+      // any real document) for geo2 and DECIMAL(38,0) for the verdict;
+      // a BIGINT product would overflow on a multi-million-token doc.
       .withColumn("geo2_micro",
         when(col("p1_den") === 0L || col("p2_den") === 0L, lit(0L))
-          .otherwise(round(sqrt((col("p1_num") * col("p2_num")).cast("double") /
-            (col("p1_den") * col("p2_den"))) * 1e6).cast("long")))
+          .otherwise(round(sqrt(col("p1_num").cast("double") * col("p2_num") /
+            (col("p1_den").cast("double") * col("p2_den"))) * 1e6)
+            .cast("long")))
       .withColumn("len_penalized", col("c_len") < col("r_len"))
       .withColumn("diverse",
         when(col("p1_den") === 0L || col("p2_den") === 0L, lit(true))
-          .otherwise(col("p1_num") * col("p2_num") * lit(1000000L) <
-            col("p1_den") * col("p2_den") * t * t))
+          .otherwise(
+            col("p1_num").cast("decimal(19,0)") * col("p2_num") *
+              lit(1000000L) <
+            col("p1_den").cast("decimal(19,0)") * col("p2_den") * t * t))
   }
 }

@@ -5270,14 +5270,15 @@ object ExtensionQueries {
               CAST(coalesce(p2.p2_den, 0) AS BIGINT) AS p2_den,
               CASE WHEN coalesce(p1.p1_den, 0) = 0 OR coalesce(p2.p2_den, 0) = 0
                    THEN 0
-                   ELSE CAST(round(sqrt((p1.p1_num * p2.p2_num) * 1.0 /
-                          (p1.p1_den * p2.p2_den)) * 1000000) AS BIGINT)
+                   ELSE CAST(round(sqrt(CAST(p1.p1_num AS DOUBLE) * p2.p2_num /
+                          (CAST(p1.p1_den AS DOUBLE) * p2.p2_den)) * 1000000)
+                     AS BIGINT)
               END AS geo2_micro,
               l.c_len < rl.r_len AS len_penalized,
               CASE WHEN coalesce(p1.p1_den, 0) = 0 OR coalesce(p2.p2_den, 0) = 0
                    THEN TRUE
-                   ELSE p1.p1_num * p2.p2_num * 1000000 <
-                        p1.p1_den * p2.p2_den * 300 * 300
+                   ELSE CAST(p1.p1_num AS HUGEINT) * p2.p2_num * 1000000 <
+                        CAST(p1.p1_den AS HUGEINT) * p2.p2_den * 300 * 300
               END AS diverse
        FROM lens l JOIN rl USING (doc_id)
          LEFT JOIN p1 USING (doc_id) LEFT JOIN p2 USING (doc_id)"""
@@ -5356,20 +5357,21 @@ object ExtensionQueries {
          FROM r),
        k AS (
          SELECT *,
-                (n_tt + n_tf) * (n_tt + n_ft) +
-                (n_ft + n_ff) * (n_tf + n_ff) AS pe
+                (CAST(n_tt AS HUGEINT) + n_tf) * (CAST(n_tt AS HUGEINT) + n_ft) +
+                (CAST(n_ft AS HUGEINT) + n_ff) * (CAST(n_tf AS HUGEINT) + n_ff)
+                  AS pe
          FROM c)
        SELECT n, n_unlabeled, n_tt, n_tf, n_ft, n_ff,
               CASE WHEN n = 0 THEN NULL
                    ELSE CAST(round((n_tt + n_ff) * 1.0 / n * 1000000) AS BIGINT)
               END AS po_micro,
-              CAST(n * (n_tt + n_ff) - pe AS BIGINT) AS kappa_num,
-              CAST(n * n - pe AS BIGINT) AS kappa_den,
-              CASE WHEN n * n - pe = 0 THEN NULL
-                   ELSE CAST(round((n * (n_tt + n_ff) - pe) * 1.0 /
-                          (n * n - pe) * 1000000) AS BIGINT)
+              CASE WHEN CAST(n AS HUGEINT) * n - pe = 0 THEN NULL
+                   ELSE CAST(round(
+                     CAST(CAST(n AS HUGEINT) * (n_tt + n_ff) - pe AS DOUBLE) /
+                     CAST(CAST(n AS HUGEINT) * n - pe AS DOUBLE)
+                     * 1000000) AS BIGINT)
               END AS kappa_micro,
-              n * n - pe = 0 AS degenerate
+              CAST(n AS HUGEINT) * n - pe = 0 AS degenerate
        FROM k"""
 
   // ---------------------------------------------------------------------------

@@ -28,9 +28,12 @@ import org.apache.spark.sql.functions._
   */
 object StreamingClassify {
 
-  private val Sep = "\u0001"
-
-  /** Fold an nbTrain model relation into the one-row lookup shape. */
+  /** Fold an nbTrain model relation into the one-row lookup shape. The
+    * terms map is keyed by a (label, term) STRUCT, never a delimited string
+    * concat: labels and raw whitespace-split tokens are caller data and can
+    * contain any delimiter, and a collision would either throw
+    * DUPLICATE_MAP_KEY at fold time or silently score the wrong pair,
+    * breaking the strict stream == batch contract. */
   private[streaming] def modelRow(model: DataFrame): DataFrame =
     model.groupBy().agg(
       sort_array(collect_list(when(col("kind") === "prior", col("label"))))
@@ -40,7 +43,7 @@ object StreamingClassify {
       map_from_entries(sort_array(collect_list(when(col("kind") === "unseen",
         struct(col("label"), col("logprob_micro")))))).as("__unseens"),
       map_from_entries(sort_array(collect_list(when(col("kind") === "term",
-        struct(concat(col("label"), lit(Sep), col("term")),
+        struct(struct(col("label").as("l"), col("term").as("t")).as("k"),
           col("logprob_micro")))))).as("__terms"))
       .withColumn("__k", lit(1))
 
@@ -54,7 +57,7 @@ object StreamingClassify {
         (-(element_at(col("__priors"), l) +
           aggregate(col("__toks"), lit(0L), (acc, t) =>
             acc + coalesce(
-              element_at(col("__terms"), concat(l, lit(Sep), t)),
+              element_at(col("__terms"), struct(l.as("l"), t.as("t"))),
               element_at(col("__unseens"), l))))).as("ns"),
         l.as("label")))))
       .select(col("id"), size(col("__toks")).cast("long").as("n_tokens"),

@@ -64,6 +64,6 @@ class ClassifySpec extends AnyFunSuite with SparkTestSession {
       col("doc_id"), col("text"),
       Classify.nbTrain(sym.filter(col("lang") === "a"), col("lang"),
         col("text"))).collect()(0)
-    assert(t.getString(2) == "a" && solo.isNullAt(4) && solo.isNullAt(5))
+    assert(solo.getString(2) == "a" && solo.isNullAt(4) && solo.isNullAt(5))
   }
 }
