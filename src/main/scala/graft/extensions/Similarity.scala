@@ -894,6 +894,66 @@ object Similarity {
     * The positive pick and the per-anchor rollup aggregate |anchors|-bounded
     * rows; the positive→negative join broadcasts the one-row-per-anchor side.
     */
+  /** Silhouette audit of a labeling's geometric coherence (Rousseeuw 1987)
+    * over a BOUNDED sample: per sampled vector, `a` = mean cosine distance
+    * to its OWN label's other sampled members, `b` = the smallest
+    * per-other-label mean distance, `s = (b−a)/max(a,b)` — the standard
+    * "are my class labels actually clusters in embedding space?" check a
+    * training-data pipeline runs before trusting labels for splits or
+    * curriculum.
+    *
+    * Exact-arithmetic contract (the x142 discipline): each pair's distance
+    * is ONE rounded integer `10⁶ − sim_micro`; per-(anchor, label) means
+    * are integer-sum / count — one IEEE division, rounded once; `b` takes
+    * the min over those ALREADY-ROUNDED means (tie → smaller label), and
+    * `s` is one more division of two integers. Singleton labels (no
+    * same-label peer) get `s = 0` with a flag — sklearn's convention —
+    * never a NULL blow-up; `max(a,b) = 0` (all points identical) also
+    * yields 0.
+    *
+    * Scale shape: the caller passes an already-bounded sample
+    * ([[bruteForceTopK]]'s contract); the pairwise join broadcasts one
+    * side, the per-(anchor,label) rollup and the final assembly are
+    * sample-bounded broadcasts.
+    */
+  def labelSilhouette(sample: DataFrame): DataFrame = {
+    val a = sample.select(col("vec_id").as("anchor_id"),
+      col("label").as("anchor_label"), col("embedding").as("qv"),
+      norm(col("embedding")).as("qn"))
+    val c = broadcast(sample.select(col("vec_id").as("other_id"),
+      col("label").as("other_label"), col("embedding").as("cv"),
+      norm(col("embedding")).as("cn")))
+    val means = a.join(c, col("anchor_id") =!= col("other_id"))
+      .withColumn("__d_micro", lit(1000000L) -
+        round(when(col("qn") === 0.0 || col("cn") === 0.0, 0.0)
+          .otherwise(dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+          * 1e6).cast("long"))
+      .groupBy("anchor_id", "anchor_label", "other_label")
+      .agg(round(sum(col("__d_micro")).cast("double") / count(lit(1)))
+        .cast("long").as("mean_micro"),
+        count(lit(1)).as("__n"))
+    val own = means.filter(col("anchor_label") === col("other_label"))
+      .select(col("anchor_id"), col("__n").as("n_same"),
+        col("mean_micro").as("a_micro"))
+    val other = means.filter(col("anchor_label") =!= col("other_label"))
+      .groupBy("anchor_id")
+      .agg(min(struct(col("mean_micro"), col("other_label"))).as("b"))
+      .select(col("anchor_id"), col("b.mean_micro").as("b_micro"),
+        col("b.other_label").as("b_label"))
+    sample.select(col("vec_id").as("anchor_id"), col("label").as("anchor_label"))
+      .join(broadcast(own), Seq("anchor_id"), "left")
+      .join(broadcast(other), Seq("anchor_id"), "left")
+      .select(col("anchor_id"), col("anchor_label"),
+        coalesce(col("n_same"), lit(0L)).as("n_same"),
+        col("a_micro"), col("b_micro"), col("b_label"),
+        when(col("a_micro").isNull || col("b_micro").isNull ||
+          greatest(col("a_micro"), col("b_micro")) === 0L, lit(0L))
+          .otherwise(round((col("b_micro") - col("a_micro")).cast("double") /
+            greatest(col("a_micro"), col("b_micro")) * 1e6).cast("long"))
+          .as("s_micro"),
+        col("a_micro").isNull.as("singleton"))
+  }
+
   def tripletMarginMine(anchors: DataFrame, corpus: DataFrame,
       marginMicro: Long): DataFrame = {
     val q = broadcast(anchors.select(col("vec_id").as("anchor_id"),

@@ -5746,6 +5746,63 @@ object ExtensionQueries {
        SELECT pm.*, g.n_unlabeled, g.accuracy_micro, mf.macro_f1_micro
        FROM pm, g, mf"""
 
+  // ---------------------------------------------------------------------------
+  // X152 — label-silhouette audit (Similarity.labelSilhouette): per sampled
+  // embedding, mean cosine distance to its own label (a), the nearest other
+  // label's mean (b, tie → smaller label), and s = (b−a)/max(a,b) — the
+  // "are my labels actually clusters?" check. Pairwise distances are exact
+  // integers (10⁶ − sim_micro), each mean is one rounded IEEE division, b
+  // minimizes over already-rounded means, singletons get s = 0 by the
+  // sklearn convention.
+  // ---------------------------------------------------------------------------
+  private def x152(s: SparkSession, dir: String): DataFrame = {
+    val e = embeds(s, dir)
+    val step = math.max(3L, e.count() / 150L)
+    Similarity.labelSilhouette(e.filter(col("vec_id") % step === 0))
+  }
+
+  private val x152Sql =
+    """WITH e AS (
+         SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+         FROM embeddings
+         WHERE vec_id % greatest(3,
+           (SELECT count(*) FROM embeddings) // 150) = 0),
+       pairs AS (
+         SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+                c.label AS other_label,
+                1000000 - CAST(round((CASE
+                    WHEN list_dot_product(a.v, a.v) = 0
+                      OR list_dot_product(c.v, c.v) = 0 THEN 0
+                    ELSE list_dot_product(a.v, c.v) /
+                         (sqrt(list_dot_product(a.v, a.v)) *
+                          sqrt(list_dot_product(c.v, c.v))) END)
+                  * 1000000) AS BIGINT) AS d
+         FROM e a JOIN e c ON a.vec_id <> c.vec_id),
+       m AS (
+         SELECT anchor_id, anchor_label, other_label,
+                CAST(round(sum(d) * 1.0 / count(*)) AS BIGINT) AS mean_micro,
+                CAST(count(*) AS BIGINT) AS n
+         FROM pairs GROUP BY 1, 2, 3),
+       own AS (
+         SELECT anchor_id, n AS n_same, mean_micro AS a_micro
+         FROM m WHERE anchor_label = other_label),
+       oth AS (
+         SELECT anchor_id, mean_micro AS b_micro, other_label AS b_label,
+                row_number() OVER (PARTITION BY anchor_id
+                  ORDER BY mean_micro ASC, other_label ASC) AS rnk
+         FROM m WHERE anchor_label <> other_label QUALIFY rnk = 1)
+       SELECT e.vec_id AS anchor_id, e.label AS anchor_label,
+              coalesce(own.n_same, 0) AS n_same, own.a_micro,
+              oth.b_micro, oth.b_label,
+              CASE WHEN own.a_micro IS NULL OR oth.b_micro IS NULL
+                     OR greatest(own.a_micro, oth.b_micro) = 0 THEN 0
+                   ELSE CAST(round((oth.b_micro - own.a_micro) * 1.0 /
+                     greatest(own.a_micro, oth.b_micro) * 1000000) AS BIGINT)
+              END AS s_micro,
+              own.a_micro IS NULL AS singleton
+       FROM e LEFT JOIN own ON e.vec_id = own.anchor_id
+         LEFT JOIN oth ON e.vec_id = oth.anchor_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_dedup_exact" -> x1 _,
     "x02_dedup_ngram_jaccard" -> x2 _,
@@ -5897,7 +5954,8 @@ object ExtensionQueries {
     "x148_unigram_train" -> x148 _,
     "x149_nb_train" -> x149 _,
     "x150_nb_classify" -> x150 _,
-    "x151_classifier_eval" -> x151 _
+    "x151_classifier_eval" -> x151 _,
+    "x152_label_silhouette" -> x152 _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -6040,6 +6098,7 @@ object ExtensionQueries {
     "x148_unigram_train" -> x148Sql,
     "x149_nb_train" -> x149Sql,
     "x150_nb_classify" -> x150Sql,
-    "x151_classifier_eval" -> x151Sql
+    "x151_classifier_eval" -> x151Sql,
+    "x152_label_silhouette" -> x152Sql
   )
 }
