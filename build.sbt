@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked run's stdout/stderr through UNPREFIXED. The default
+// LoggedOutput strategy re-logs every stdout line as "[info] <line>",
+// which broke the driver's bench parser for 12 straight rounds — it
+// expects one bare JSON line and "[info] {"metric":...}" never parses.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and suppress "[success] Total time: ..." so the bare JSON line
+// Bench prints is the LAST line of sbt output (parsers that grab the
+// last non-empty line work too).
+Global / showSuccess := false
+// showSuccess is read by sbt's command layer, not by settings — silence the
+// false-positive unused-key lint.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -88,21 +88,42 @@ object Bench {
       val times = (if (okTimes.nonEmpty) okTimes else timed.map(_._1)).sorted
       name -> times(times.size / 2) // median (upper on even n)
     }
-    // The stdout JSON line must fit INSIDE the driver's 2000-char log-tail
-    // window or it never parses: every BENCH_r01..r11.json carries
-    // "parsed": null because the full 153-query map (~6 KB even at 3-decimal
-    // precision) pushed the line's "metric" head past the tail capture. So
-    // stdout gets a COMPACT line — totals, failure list, and the headline
-    // q* per-query medians (~700 chars) — and the full per-query map goes
-    // to a detail file (SPARK_GRAFT_BENCH_DETAIL, default
-    // bench_detail.json in cwd) plus stderr for ad-hoc runs.
+    // Flagship at the BENCH scale factor (round-12 verdict ask #4): the S9
+    // mapPartitions enrichment path is the engine's core op; measure its
+    // wall time and group throughput here instead of only smoke-checking it
+    // at sf0.001. Groups counted once untimed (one row per group in the
+    // enrich output); timed reps use the same noop sink as the queries.
+    // Skipped under SPARK_GRAFT_ONLY (dev single-query iteration).
+    val flagship: Option[(Double, Long)] = if (only.isDefined) None else try {
+      val nGroups = graft.pipeline.BatchJob.flagship(spark, sfDir).count()
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        graft.pipeline.BatchJob.flagship(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      Some((times(times.size / 2), nGroups))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] flagship FAILED: $e"); None
+    }
+    // Output contract: stdout carries EXACTLY ONE bare JSON line — the
+    // compact summary, printed after spark.stop() so no late executor/log
+    // line can land after it (build.sbt forks with StdoutOutput +
+    // showSuccess=false, so sbt neither prefixes "[info] " nor appends
+    // "[success] ..."). The full per-query map is ~6 KB — far past the
+    // driver's 2000-char tail window — so it goes ONLY to a detail file
+    // (SPARK_GRAFT_BENCH_DETAIL, default bench_detail.json) and the compact
+    // line keeps the headline q* medians + totals (~1.3 KB).
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def qjson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val (headline, extended) = results.partition(_._1.startsWith("q"))
-    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qjson(results)},"failed":$failedJson,"reps":$reps,"sf":"$sfDir"}"""
+    val flagshipJson = flagship.map { case (sec, n) =>
+      s""","flagship_sec":${fmt(sec)},"flagship_groups":$n,"flagship_groups_per_sec":${fmt(n / math.max(sec, 1e-9))}"""
+    }.getOrElse("")
+    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qjson(results)},"failed":$failedJson,"reps":$reps$flagshipJson,"sf":"$sfDir"}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "bench_detail.json")
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
@@ -110,9 +131,9 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] detail write to $detailPath failed: $e")
     }
-    System.err.println(fullLine)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qjson(headline)},"x_total":${fmt(extended.map(_._2).sum)},"n_queries":${results.size},"failed":$failedJson,"reps":$reps,"sf":"$sfDir","detail":"$detailPath"}""")
     if (failed.nonEmpty) System.err.println(s"[bench] ${failed.size} queries FAILED: ${failed.mkString(", ")}")
     spark.stop()
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qjson(headline)},"x_total":${fmt(extended.map(_._2).sum)},"n_queries":${results.size},"failed":$failedJson,"reps":$reps$flagshipJson,"sf":"$sfDir","detail":"$detailPath"}""")
+    System.out.flush()
   }
 }

@@ -66,7 +66,13 @@ object Sampling {
     // inside the open interval, so pow(u, 1/w) is never 0^x or 1 exactly
     df.select(stratum.as("stratum"), id.as("id"),
         weight.cast("double").as("weight"))
-      .filter(col("stratum").isNotNull && col("weight") > 0.0)
+      // NULL ids excluded by contract (mirrors StreamingWeightedSample):
+      // a NULL id has no sha uniform, so its A-ES key is NULL — under
+      // desc_nulls_last it sorts past every real key but could still be
+      // EMITTED from a stratum with fewer than k eligible rows, breaking
+      // stream ≡ batch parity on that edge
+      .filter(col("stratum").isNotNull && col("id").isNotNull &&
+        col("weight") > 0.0)
       .withColumn("__u", (conv(substring(sha2(concat(col("id").cast("string"),
         lit(salt)), 256), 1, 8), 16, 10).cast("double") + lit(0.5)) /
         lit(4294967296.0))

@@ -874,26 +874,6 @@ object Similarity {
     }.toDF("rank", "id", "sel_dist2", "radius2")
   }
 
-  /** Triplet-margin mining — the semi-hard negative statistics that drive a
-    * triplet / contrastive training loop (FaceNet-style). For each anchor
-    * vector the POSITIVE is its most-cosine-similar SAME-label vector
-    * (excluding itself); the mined set is every DIFFERENT-label vector whose
-    * similarity lands inside the margin band `sim_neg > sim_pos − margin`
-    * (hard + semi-hard negatives — the ones with non-zero triplet loss).
-    * Output, one row per anchor that has a positive: the positive, the
-    * violation count, the hardest negative, and the summed hinge loss
-    * `Σ max(0, sim_neg − sim_pos + margin)`.
-    *
-    * All similarity comparisons and the loss run in integer MICRO-units
-    * (`round(sim·1e6)` as BIGINT): the band test and the loss sum are exact
-    * integer arithmetic, so results hash-reproduce across engines with no
-    * float-boundary risk — the x101 lesson applied to a float threshold.
-    *
-    * Scale shape: anchors are a bounded sample and broadcast ([[bruteForceTopK]]
-    * contract); the corpus is scanned once and never shuffled by the join.
-    * The positive pick and the per-anchor rollup aggregate |anchors|-bounded
-    * rows; the positive→negative join broadcasts the one-row-per-anchor side.
-    */
   /** Silhouette audit of a labeling's geometric coherence (Rousseeuw 1987)
     * over a BOUNDED sample: per sampled vector, `a` = mean cosine distance
     * to its OWN label's other sampled members, `b` = the smallest
@@ -954,6 +934,26 @@ object Similarity {
         col("a_micro").isNull.as("singleton"))
   }
 
+  /** Triplet-margin mining — the semi-hard negative statistics that drive a
+    * triplet / contrastive training loop (FaceNet-style). For each anchor
+    * vector the POSITIVE is its most-cosine-similar SAME-label vector
+    * (excluding itself); the mined set is every DIFFERENT-label vector whose
+    * similarity lands inside the margin band `sim_neg > sim_pos − margin`
+    * (hard + semi-hard negatives — the ones with non-zero triplet loss).
+    * Output, one row per anchor that has a positive: the positive, the
+    * violation count, the hardest negative, and the summed hinge loss
+    * `Σ max(0, sim_neg − sim_pos + margin)`.
+    *
+    * All similarity comparisons and the loss run in integer MICRO-units
+    * (`round(sim·1e6)` as BIGINT): the band test and the loss sum are exact
+    * integer arithmetic, so results hash-reproduce across engines with no
+    * float-boundary risk — the x101 lesson applied to a float threshold.
+    *
+    * Scale shape: anchors are a bounded sample and broadcast ([[bruteForceTopK]]
+    * contract); the corpus is scanned once and never shuffled by the join.
+    * The positive pick and the per-anchor rollup aggregate |anchors|-bounded
+    * rows; the positive→negative join broadcasts the one-row-per-anchor side.
+    */
   def tripletMarginMine(anchors: DataFrame, corpus: DataFrame,
       marginMicro: Long): DataFrame = {
     val q = broadcast(anchors.select(col("vec_id").as("anchor_id"),

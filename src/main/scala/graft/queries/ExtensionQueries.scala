@@ -759,6 +759,49 @@ object ExtensionQueries {
     * try and all three persists are released in finally, so the returned
     * plan holds no cached corpus-scale state.
     */
+  /** x26's exact-top-k ground truth, cached as a parquet FIXTURE keyed by
+    * corpus content (round-12 verdict ask #5). The audit's dominant cost was
+    * recomputing the O(|queries|·N) brute-force scan on EVERY run even
+    * though the ground truth is a pure function of the (static) corpus —
+    * so it's computed once per distinct corpus and re-read afterwards, the
+    * same fixture stance as the driver's oracle tables. Keyed by
+    * (k, n, step, bit_xor of per-row xxhash64): one cheap corpus scan
+    * decides hit-or-miss, and any content change — a regenerated sf dir, a
+    * different scale copy — changes the key and forces a recompute, so the
+    * cache can never serve stale truth. Results are identical either way
+    * (bruteForceTopK is deterministic; parquet round-trips the doubles
+    * exactly) — only the cost moves. Publish is write-to-tmp + atomic
+    * rename; a concurrent loser deletes its tmp and reads the winner's.
+    * Override the location with SPARK_GRAFT_FIXTURE_DIR (default
+    * target/graft_fixtures, sbt-clean-scoped on purpose: a clean build
+    * re-derives its fixtures).
+    */
+  private def cachedBruteTopK(s: SparkSession, e: DataFrame,
+      queries: DataFrame, k: Int, nVecs: Long, step: Long): DataFrame = {
+    // system-property override first: env is fixed at JVM start, but probe
+    // tools need to redirect the fixture per-rep at runtime to measure the
+    // UNCACHED cost (ProbeX26's regression-attribution arm)
+    val fixtureDir = sys.props.get("graft.fixture.dir")
+      .orElse(sys.env.get("SPARK_GRAFT_FIXTURE_DIR"))
+      .getOrElse("target/graft_fixtures")
+    val fp = e.select(bit_xor(xxhash64(col("vec_id"), col("embedding"))))
+      .collect()(0).getLong(0)
+    val path = s"$fixtureDir/brute_top${k}_n${nVecs}_s${step}_" +
+      java.lang.Long.toHexString(fp) + ".parquet"
+    val dst = new java.io.File(path)
+    if (!dst.exists()) {
+      val tmp = new java.io.File(path + ".tmp." + System.nanoTime())
+      Similarity.bruteForceTopK(queries, e, k)
+        .write.mode("overwrite").parquet(tmp.getPath)
+      if (!tmp.renameTo(dst)) {
+        // lost the publish race (or dst appeared meanwhile): discard ours
+        org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+        require(dst.exists(), s"fixture publish failed for $path")
+      }
+    }
+    s.read.parquet(path)
+  }
+
   private def x26(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = embeds(s, dir)
@@ -772,7 +815,7 @@ object ExtensionQueries {
     val nVecs = e.count()
     val step = math.max(50L, nVecs / 100L)
     val queries = e.filter(col("vec_id") % step === 0)
-    val brute = Similarity.bruteForceTopK(queries, e, k = 50)
+    val brute = cachedBruteTopK(s, e, queries, k = 50, nVecs, step)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val ivf = Similarity.ivfTopK(queries, e, k = 5, nCentroids = 16, nProbe = 4)
       .persist(StorageLevel.MEMORY_AND_DISK)

@@ -87,8 +87,14 @@ object StreamingBottomK {
       // StreamingCardinality stance) but never sketched — the batch
       // builder's distinct() ignores NULL terms the same way
       .filter(key.isNotNull)
+      // hash the STRING form of the item: the batch builder
+      // (Sketches.bottomKOverlap) hashes term.cast("string"), and the
+      // sketches are only overlap-comparable if both sides draw from the
+      // identical hash stream — xxhash64 over a raw long and over its
+      // string form differ, which would silently read near-zero overlap
+      // for non-string item columns (numeric ids)
       .select(key.cast("string").as("key"),
-        when(item.isNotNull, xxhash64(item)).as("h"))
+        when(item.isNotNull, xxhash64(item.cast("string"))).as("h"))
       .as[CEvB]
     base.groupByKey(_.key)
       .flatMapGroupsWithState[BkState, SketchRow](

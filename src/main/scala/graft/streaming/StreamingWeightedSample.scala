@@ -63,19 +63,24 @@ object StreamingWeightedSample {
   /** Insert (a, id, w) into the rank-sorted sample if it qualifies; an id
     * already present with the same key is skipped (re-delivery
     * idempotence). Returns the (possibly unchanged) state arrays.
+    *
+    * Order of checks matters: the dup lookup runs FIRST, so a re-arriving
+    * id's stale entry is always dropped before the qualification test —
+    * a re-weighted id re-ranks under its NEW key (re-entering the slot
+    * its removal freed), never holds rank under the stale one. (The
+    * pre-round-13 version tested qualification first — a full sample
+    * whose threshold beat the new key returned early with the stale
+    * entry intact — and its no-op scan stopped one slot past the
+    * equal-ranked identical entry, beats() being false on equality, so
+    * the short-circuit never fired; correctness leaned entirely on the
+    * dup-removal path.)
     */
   private[streaming] def insert(st: WsState, a: Double, id: String,
       w: Double, k: Int): WsState = {
-    var ins = 0
-    var i = 0
-    while (i < st.as.length && !beats(a, id, st.as(i), st.ids(i))) i += 1
-    ins = i
-    // identical (key, id) already tracked → no-op
-    if (ins < st.as.length && st.as(ins) == a && st.ids(ins) == id)
-      return st
-    if (st.as.length >= k && ins >= k) return st
-    // an id re-arriving with a different weight: drop its old entry first
     val dup = st.ids.indexOf(id)
+    // identical (key, id) already tracked → re-delivery no-op
+    if (dup >= 0 && st.as(dup) == a) return st
+    // drop the stale entry of a re-weighted id unconditionally
     val (as0, ids0, ws0) =
       if (dup < 0) (st.as, st.ids, st.ws)
       else (st.as.patch(dup, Nil, 1), st.ids.patch(dup, Nil, 1),

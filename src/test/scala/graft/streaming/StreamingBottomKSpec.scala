@@ -38,9 +38,15 @@ class StreamingBottomKSpec extends AnyFunSuite with SparkTestSession {
     } finally q.stop()
   }
 
-  /** The batch twin: k smallest xxhash64 of the distinct non-null items. */
+  /** The batch twin: k smallest xxhash64 of the distinct non-null items,
+    * hashed over the STRING form — the exact hash stream
+    * `Sketches.bottomKOverlap` draws from (`term.cast("string")`). The
+    * items here are Longs, so this test is the non-string-item parity
+    * check: if the stream hashed the raw typed value instead, every
+    * element would differ and overlap comparability would silently break.
+    */
   private def batchSketch(items: Seq[Long], k: Int): Seq[Long] =
-    items.toDF("v").select(xxhash64(col("v")).as("h")).distinct()
+    items.toDF("v").select(xxhash64(col("v").cast("string")).as("h")).distinct()
       .orderBy("h").limit(k).collect().map(_.getLong(0)).toSeq
 
   test("stream sketch == batch sketch element-wise, whatever the batching") {

@@ -119,8 +119,19 @@ class StreamingWeightedSampleSpec extends AnyFunSuite with SparkTestSession {
     assert(st.ids.toSeq == Seq("d", "b"))
     val same = insert(st, 0.9, "d", 1.0, 2) // identical re-delivery: no-op
     assert(same.ids.toSeq == Seq("d", "b"))
+    // ...and a TRUE no-op: the short-circuit returns the state unchanged
+    // without rebuilding the arrays (round-12 advisory: the old scan
+    // stopped one slot past the identical entry, so this path never fired)
+    assert(same eq st)
     val rekey = insert(st, 0.95, "b", 2.0, 2) // b re-keyed upward
     assert(rekey.ids.toSeq == Seq("b", "d") && rekey.ws.toSeq == Seq(2.0, 1.0))
+    // a re-weighted id's STALE key never survives: the old entry is
+    // dropped before qualification (round-12 advisory), so the id
+    // re-enters the freed slot under its NEW (here: worse) key and
+    // re-ranks accordingly instead of holding rank under the stale key
+    val demoted = insert(st, 0.1, "d", 3.0, 2)
+    assert(demoted.ids.toSeq == Seq("b", "d"))
+    assert(demoted.as.toSeq == Seq(0.8, 0.1) && demoted.ws.toSeq == Seq(1.0, 3.0))
     // tie on key breaks by id ascending
     var t = WsState(Array.emptyDoubleArray, Array.empty[String],
       Array.emptyDoubleArray, 0L)
