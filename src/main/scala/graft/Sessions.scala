@@ -52,10 +52,21 @@ object Sessions {
     // corpus-scale relation divided by a small static partition count
     // OOMs exactly when the data grows (the round-11 sf10 probe hit this:
     // the prefix-join verify's token-array build side at 32 partitions
-    // exceeded the executor heap; at 1024 initial partitions each build
-    // is 32× smaller and AQE merges them back wherever data is small).
-    // Small queries pay nothing — AQE coalesces to the same few tasks.
-    "spark.sql.adaptive.coalescePartitions.initialPartitionNum" -> "1024")
+    // exceeded the executor heap; fine-grained initial partitions shrink
+    // each build and AQE merges them back wherever data is small).
+    //
+    // 256, not 1024: the round-13 controlled probe (BENCH_x26_probe_r13,
+    // 3 boots × 3 reps × {default,1024,1024+parallelismFirst=false,256})
+    // attributed the round-12 x26-family drift to the 1024 value itself —
+    // serialized audit chains pay per-stage pre-coalesce overhead
+    // proportional to the initial count (x26 4.2 s → 17.4 s, ~4×; x24/x56/
+    // x57 1.4–1.8×; parallelismFirst=false does NOT recover it). 256 keeps
+    // an 8× build-side shrink vs the static 32 (the sf10 x56 rerun under
+    // 256 passes — same artifact) while measuring at default-arm speed on
+    // the audit family. Deployments at real cluster scale should raise it
+    // with executor count (it is runtime-settable); the engine default
+    // targets the envelope the probes actually validated.
+    "spark.sql.adaptive.coalescePartitions.initialPartitionNum" -> "256")
 
   /** Static SQL confs — only effective at session build time. */
   val staticDefaults: Seq[(String, String)] = Seq(

@@ -422,6 +422,47 @@ object Similarity {
       .select("query_id", "neighbor_id", "cell", "dist2_est", "rank")
   }
 
+  /** IVF-PQ with exact re-rank refinement — the production composition
+    * FAISS ships as `IndexRefineFlat`: the compressed index proposes `r ≥ k`
+    * candidates per query by ADC estimate ([[ivfPqTopK]]), then ONLY those
+    * r·|queries| candidates are re-scored with the true L2² against the raw
+    * vectors and re-ranked to the final top-k. Refinement buys back the
+    * quantization error at a cost independent of corpus size: the exact
+    * arithmetic touches r vectors per query, never N.
+    *
+    * Output: (query_id, neighbor_id, dist2_est, dist2, rank) — both the
+    * proposing ADC estimate and the exact distance, rank ≤ k per query by
+    * (round-6 exact dist2 asc, neighbor_id asc) — the [[ivfPqTopK]]
+    * determinism contract applied to the refined metric.
+    *
+    * Scale shape: the candidate relation is |queries|·r rows (bounded — the
+    * ANN probe contract) and BROADCASTS into one corpus scan keyed on
+    * neighbor_id (the corpus is never shuffled); query vectors broadcast
+    * again for the exact distance; the final rank ≤ k window plans a
+    * WindowGroupLimit over r-bounded rows per query.
+    */
+  def ivfPqRefineTopK(queries: DataFrame, corpus: DataFrame, k: Int, r: Int,
+      cells: Seq[Seq[Double]], nProbe: Int,
+      codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+    require(k >= 1 && r >= k, s"need r >= k >= 1, got k=$k r=$r")
+    val cand = ivfPqTopK(queries, corpus, r, cells, nProbe, codebooks)
+      .select(col("query_id"), col("neighbor_id"), col("dist2_est"))
+    val qv = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").cast("array<double>").as("__qv")))
+    val exact = corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding").cast("array<double>").as("__cv"))
+      .join(broadcast(cand), Seq("neighbor_id"))
+      .join(qv, Seq("query_id"))
+      .withColumn("dist2", round(aggregate(
+        zip_with(col("__qv"), col("__cv"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, d) => acc + d), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist2").asc, col("neighbor_id").asc)
+    exact.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "dist2_est", "dist2", "rank")
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold within a blocking key
     * (e.g. label, or an LSH bucket at scale). Pairs emitted once (a<b).
     */

@@ -5121,6 +5121,129 @@ object ExtensionQueries {
        FROM embeddings"""
 
   // ---------------------------------------------------------------------------
+  // X153 — IVF-PQ + exact re-rank refinement (Similarity.ivfPqRefineTopK,
+  // FAISS's IndexRefineFlat composition): the compressed index proposes
+  // r=20 ADC candidates per query, exact L2² re-scores only those and
+  // re-ranks to the final top-5. Rows-only BY CONTRACT (k-means-derived
+  // cells/codebooks — the x139 family); x154 is its oracle-checked
+  // invariant twin.
+  // ---------------------------------------------------------------------------
+  private def x153(s: SparkSession, dir: String): DataFrame = {
+    val e = embeds(s, dir)
+    val cells = Similarity.fitCentroids(e, col("embedding"), ivfPqCells)
+    val books = Similarity.pqFit(e, col("embedding"), d = 64, m = pqM,
+      k = pqCodes)
+    Similarity.ivfPqRefineTopK(e.filter(col("vec_id") < 8), e, k = 5, r = 20,
+      cells, ivfPqProbe, books)
+  }
+
+  // ---------------------------------------------------------------------------
+  // X154 — refinement invariant audit (x153's oracle twin, the x140
+  // pattern): refits the SAME deterministic cells + codebooks, re-runs both
+  // the proposing ADC stage and the refined operator, and asserts
+  //  - ok_subset: every refined (query, neighbor) pair came from the ADC
+  //    top-r candidate set (anti-join empty),
+  //  - ok_exact: every refined dist2 matches an INDEPENDENT exact-L2²
+  //    formulation (‖q‖² + ‖c‖² − 2·q·c via the native DotProduct — a
+  //    different arithmetic path than the operator's Σ(x−y)²; tolerance
+  //    1e-6 on the round-6 values),
+  //  - ok_rank: per query, ranks are 1..n ≤ k with non-decreasing dist2,
+  //  - ok_dominance: at every rank i, the refined list's exact distance ≤
+  //    the i-th smallest EXACT distance of the plain ADC top-k (what an
+  //    unrefined IVF-PQ@k would return, exact-sorted) — best-k-of-r
+  //    dominates any k-subset of the same candidates at every order
+  //    statistic (the x26 domViol argument) — i.e. refinement can only
+  //    help, never hurt.
+  // Any FALSE hash-fails against the all-TRUE oracle.
+  // ---------------------------------------------------------------------------
+  private def x154(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = embeds(s, dir)
+    val cells = Similarity.fitCentroids(e, col("embedding"), ivfPqCells)
+    val books = Similarity.pqFit(e, col("embedding"), d = 64, m = pqM,
+      k = pqCodes)
+    val queries = e.filter(col("vec_id") < 8)
+    val refined = Similarity.ivfPqRefineTopK(queries, e, k = 5, r = 20,
+      cells, ivfPqProbe, books).localCheckpoint()
+    val cand = Similarity.ivfPqTopK(queries, e, k = 20, cells, ivfPqProbe,
+      books).localCheckpoint()
+    // exact distances of ALL candidates in ADC order (for dominance), via
+    // the independent norms-minus-dot formulation (also feeds ok_exact)
+    val qv = broadcast(e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("__qv")))
+    val candExact = cand
+      .join(e.select(col("vec_id").as("neighbor_id"),
+          col("embedding").cast("array<double>").as("__cv"))
+        .hint("shuffle_hash"), Seq("neighbor_id"))
+      .join(qv, Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(graft.functions.DotProduct.dotProduct(col("__qv"), col("__qv"))
+          + graft.functions.DotProduct.dotProduct(col("__cv"), col("__cv"))
+          - lit(2.0) * graft.functions.DotProduct.dotProduct(col("__qv"),
+            col("__cv")), 6).as("__ex"))
+      .localCheckpoint()
+    val subsetOk = refined
+      .join(broadcast(cand.select("query_id", "neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_anti")
+      .agg(count(lit(1)).as("__extra"))
+      .select((col("__extra") === 0L).as("__subset_ok"))
+    // tolerance 1.5e-6, not 1e-6: the two formulations (Σ(x−y)² vs
+    // ‖q‖²+‖c‖²−2·q·c) differ in the last float ulps, so a true value near
+    // a 1e-6 rounding midpoint can legally land one grid step apart — a
+    // real defect would miss by far more than one step
+    val exactOk = refined
+      .join(broadcast(candExact.select(col("query_id"), col("neighbor_id"),
+        col("__ex"))), Seq("query_id", "neighbor_id"))
+      .agg(coalesce(bool_and(abs(col("dist2") - col("__ex")) < 1.5e-6),
+        lit(false)).as("__exact_ok"))
+    val rankOk = refined.groupBy("query_id")
+      .agg(array_sort(collect_list(struct(col("rank").as("r"),
+        col("dist2").as("d")))).as("__a"), count(lit(1)).as("__n"))
+      .select((col("__n") <= 5 &&
+        element_at(col("__a"), 1)("r") === 1 &&
+        element_at(col("__a"), col("__n").cast("int"))("r") ===
+          col("__n").cast("int") &&
+        forall(zip_with(
+          slice(col("__a"), lit(1), col("__n").cast("int") - 1),
+          slice(col("__a"), lit(2), col("__n").cast("int") - 1),
+          (a, b) => b("d") >= a("d")), x => x)).as("__ok"))
+      .agg(coalesce(bool_and(col("__ok")), lit(false)).as("__rank_ok"))
+    // dominance — "refinement can only help": the refined list is the
+    // exact-sorted BEST k of the r candidates, so at every rank i its
+    // distance is ≤ the i-th smallest exact distance of ANY k-subset of
+    // those candidates — in particular of the plain ADC top-k (what an
+    // unrefined IVF-PQ@k would return), exact-sorted. Both sides sorted
+    // (order statistics of nested sets); comparing against the UNSORTED
+    // ADC order would be false in general — a sorted list is not
+    // element-wise ≤ a permutation of the same multiset.
+    val adcTopKExact = cand.filter(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"))
+      .join(broadcast(candExact.select(col("query_id"), col("neighbor_id"),
+        col("__ex"))), Seq("query_id", "neighbor_id"))
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("__ex").asc, col("neighbor_id").asc)))
+    val domOk = refined
+      .join(broadcast(adcTopKExact.select(col("query_id"), col("rank"),
+        col("__ex"))), Seq("query_id", "rank"))
+      .agg(coalesce(bool_and(col("dist2") <= col("__ex") + 1.5e-6),
+        lit(false)).as("__dom_ok"))
+    e.select(col("vec_id"))
+      .crossJoin(broadcast(subsetOk))
+      .crossJoin(broadcast(exactOk))
+      .crossJoin(broadcast(rankOk))
+      .crossJoin(broadcast(domOk))
+      .select(col("vec_id"), col("__subset_ok").as("ok_subset"),
+        col("__exact_ok").as("ok_exact"), col("__rank_ok").as("ok_rank"),
+        col("__dom_ok").as("ok_dominance"))
+  }
+
+  private val x154Sql =
+    """SELECT vec_id, TRUE AS ok_subset, TRUE AS ok_exact, TRUE AS ok_rank,
+              TRUE AS ok_dominance
+       FROM embeddings"""
+
+  // ---------------------------------------------------------------------------
   // X141 — k-core decomposition (LinkGraph.kCore): 8 fixed peel rounds at
   // k=4 — the density rung between degree profiles and x89's triangles.
   // x83's near-regular multiplicative graph peels vacuously (bijective
@@ -5998,7 +6121,9 @@ object ExtensionQueries {
     "x149_nb_train" -> x149 _,
     "x150_nb_classify" -> x150 _,
     "x151_classifier_eval" -> x151 _,
-    "x152_label_silhouette" -> x152 _
+    "x152_label_silhouette" -> x152 _,
+    "x153_ivfpq_refine" -> x153 _,
+    "x154_refine_invariants" -> x154 _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -6142,6 +6267,7 @@ object ExtensionQueries {
     "x149_nb_train" -> x149Sql,
     "x150_nb_classify" -> x150Sql,
     "x151_classifier_eval" -> x151Sql,
-    "x152_label_silhouette" -> x152Sql
+    "x152_label_silhouette" -> x152Sql,
+    "x154_refine_invariants" -> x154Sql
   )
 }

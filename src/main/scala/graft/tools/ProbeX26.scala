@@ -50,17 +50,29 @@ object ProbeX26 {
     Seq("documents", "embeddings")
       .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
 
-    val arms = Seq("default" -> None, "p1024" -> Some("1024"))
+    // arm = (label, initialPartitionNum, parallelismFirst): the fix
+    // candidates — drop the 1024 default, keep it but let AQE coalesce
+    // below local parallelism (parallelismFirst=false), or halve it twice
+    val PfKey = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+    val arms: Seq[(String, Option[String], Option[String])] = Seq(
+      ("default", None, None),
+      ("p1024", Some("1024"), None),
+      ("p1024_nopf", Some("1024"), Some("false")),
+      ("p256", Some("256"), None))
     // results(arm)(query) = list of rep times
-    val results = arms.map { case (label, _) =>
+    val results = arms.map { case (label, _, _) =>
       label -> Family.map(q => q -> scala.collection.mutable.ListBuffer[Double]()).toMap
     }.toMap
 
     (1 to reps).foreach { _ =>
-      arms.foreach { case (label, conf) =>
+      arms.foreach { case (label, conf, pf) =>
         conf match {
           case Some(v) => spark.conf.set(ConfKey, v)
           case None    => spark.conf.unset(ConfKey)
+        }
+        pf match {
+          case Some(v) => spark.conf.set(PfKey, v)
+          case None    => spark.conf.unset(PfKey)
         }
         Family.foreach { q =>
           // fresh fixture dir per (arm, rep): x26 must pay its brute-force
@@ -81,7 +93,7 @@ object ProbeX26 {
     }
     spark.stop()
     def fmt(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val armsJson = arms.map { case (label, _) =>
+    val armsJson = arms.map { case (label, _, _) =>
       val qs = Family.map { q =>
         s"\"$q\":[" + results(label)(q).map(fmt).mkString(",") + "]"
       }.mkString(",")

@@ -82,6 +82,28 @@ class PqSpec extends AnyFunSuite with SparkTestSession {
       Similarity.ivfPqTopK(q, corpus, 10, Seq.empty, 1, books))
   }
 
+  test("ivfPqRefineTopK: exact re-rank overturns the ADC order; r bounds candidates") {
+    import spark.implicits._
+    val cells = Seq(Seq(0.0, 0.0, 0.0, 0.0), Seq(10.0, 10.0, 10.0, 10.0))
+    val q = Seq((100L, Seq(0.0, 0.0, 0.0, 0.0))).toDF("vec_id", "embedding")
+    // ADC estimates (ADC test): doc1=25, doc2=225, doc3=225 → ADC order 1,2,3
+    // exact L2²: doc1=19, doc2=179, doc3=84.5 → exact order 1,3,2:
+    // refinement must surface doc3 over doc2, which plain IVF-PQ@2 misses
+    val got = Similarity.ivfPqRefineTopK(q, corpus, k = 2, r = 3,
+        cells, nProbe = 2, books)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getInt(4))).toSet
+    assert(got == Set((100L, 1L, 25.0, 19.0, 1), (100L, 3L, 225.0, 84.5, 2)))
+    // r = k: candidates are exactly the ADC top-2 (docs 1,2) — doc3 cannot
+    // be recovered, the re-rank only re-scores what the index proposed
+    val tight = Similarity.ivfPqRefineTopK(q, corpus, k = 2, r = 2,
+        cells, nProbe = 2, books)
+      .collect().map(r => (r.getLong(1), r.getDouble(3), r.getInt(4))).toSet
+    assert(tight == Set((1L, 19.0, 1), (2L, 179.0, 2)))
+    intercept[IllegalArgumentException](
+      Similarity.ivfPqRefineTopK(q, corpus, k = 3, r = 2, cells, 1, books))
+  }
+
   test("pqFit: shape contract and guards") {
     val fitted = Similarity.pqFit(corpus, col("embedding"), d = 4, m = 2,
       k = 2, maxTrainRows = 10, maxIter = 4)
