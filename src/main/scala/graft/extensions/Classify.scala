@@ -181,4 +181,60 @@ object Classify {
         .as("macro_f1_micro")))
     perClass.crossJoin(global).crossJoin(macroF1)
   }
+
+  /** Margin-reliability profile — the calibration check a pipeline runs
+    * before using a classifier's confidence margin as a routing / filter
+    * threshold ("only auto-accept predictions with margin ≥ T"): bucket
+    * predictions into fixed-width INTEGER margin bands and report, per
+    * band, how often the prediction was actually right, plus the
+    * cumulative keep-everything-above-this-band accuracy — the exact curve
+    * a threshold is read off. Bands, not raw probabilities: [[nbClassify]]
+    * margins are integer micro log-units, so banding by an integer width
+    * keeps every bucket boundary exact across engines (the x101 lesson) —
+    * no softmax/exp whose last-ulp could flip a bin.
+    *
+    * Per band (bounded enum: max margin / bandMicro rows):
+    * `n`, `n_correct`, `accuracy_micro` (ONE rounded IEEE division),
+    * `mean_margin_micro` (decimal-exact sum, ONE rounded division), and
+    * the cumulative `cum_n` / `cum_correct` / `cum_accuracy_micro` folding
+    * from the HIGHEST band down. Rows with NULL truth, prediction, or
+    * margin are excluded (a single-label model has no margin to
+    * calibrate; unlabeled rows have no ground truth).
+    *
+    * Scale shape: one map-side-combined groupBy over the corpus; the
+    * cumulative window runs over the enum-bounded band relation only
+    * (single-partition by construction and by bound — never corpus rows).
+    * The margin sum is decimal(38,0): corpus-scale sums of micro margins
+    * overflow BIGINT exactly when the data grows (the x117 lesson).
+    */
+  def marginReliability(df: DataFrame, truth: Column, pred: Column,
+      margin: Column, bandMicro: Long): DataFrame = {
+    require(bandMicro >= 1L, s"bandMicro must be >= 1, got $bandMicro")
+    import org.apache.spark.sql.expressions.Window
+    def microDiv(num: Column, den: Column): Column =
+      when(den === 0L, lit(null).cast("long"))
+        .otherwise(round(num.cast("double") / den * 1e6).cast("long"))
+    val base = df
+      .select(truth.as("t"), pred.as("p"), margin.cast("long").as("m"))
+      .filter(col("t").isNotNull && col("p").isNotNull && col("m").isNotNull)
+      .withColumn("band", floor(col("m").cast("double") / bandMicro)
+        .cast("long"))
+    val bands = base.groupBy("band").agg(
+      count(lit(1)).as("n"),
+      sum(when(col("t") === col("p"), 1L).otherwise(0L)).as("n_correct"),
+      sum(col("m").cast("decimal(38,0)")).as("__sum_m"))
+    val w = Window.orderBy(col("band").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bands
+      .withColumn("cum_n", sum(col("n")).over(w))
+      .withColumn("cum_correct", sum(col("n_correct")).over(w))
+      .select(col("band"),
+        (col("band") * bandMicro).as("lo_micro"),
+        col("n"), col("n_correct"),
+        microDiv(col("n_correct"), col("n")).as("accuracy_micro"),
+        round(col("__sum_m").cast("double") / col("n")).cast("long")
+          .as("mean_margin_micro"),
+        col("cum_n"), col("cum_correct"),
+        microDiv(col("cum_correct"), col("cum_n")).as("cum_accuracy_micro"))
+  }
 }

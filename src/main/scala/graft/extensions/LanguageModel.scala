@@ -573,6 +573,60 @@ object LanguageModel {
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
   }
 
+  /** Tokenizer-fertility audit — the "does this tokenizer fit this corpus?"
+    * check a pipeline runs per language before committing a vocabulary:
+    * under a FIXED merge table, fertility = encoded tokens per whitespace
+    * word. High fertility for a language means the tokenizer fragments it
+    * (under-represented in merge training — the classic multilingual
+    * vocabulary-allocation failure); chars-per-token is the compression
+    * view of the same signal. One row per group (language):
+    * `(group, n_docs, n_words, n_word_chars, n_tokens, fertility_micro,
+    * chars_per_token_micro)` — the two ratios are each ONE rounded IEEE
+    * division of exact integer sums (NULL on a zero denominator).
+    *
+    * Scale shape: [[bpeEncodeProfile]]'s encode contract — the merge fold
+    * runs once per DISTINCT word (vocabulary-scale, never corpus-scale),
+    * the corpus token stream joins the encoded vocabulary with a shuffled
+    * hash join, and the rollup is ONE map-side-combined groupBy onto an
+    * enum-bounded group relation. Integer sums stay in BIGINT: even a
+    * 100 TB corpus (~1e14 word chars) sits 4 decimal orders under 2⁶³,
+    * and ANSI mode would throw rather than wrap beyond that.
+    */
+  def tokenizerFertility(df: DataFrame, group: Column, text: Column,
+      merges: Seq[(String, String)]): DataFrame = {
+    require(merges.nonEmpty && merges.size <= 4096,
+      s"merges must have 1..4096 entries, got ${merges.size}")
+    val base = df.filter(group.isNotNull)
+    val toks = base.select(group.cast("string").as("g"),
+      explode(TextAnalysis.tokens(text)).as("w"))
+    val vocabSyms = toks.select(col("w")).distinct()
+      .withColumn("s", transform(sequence(lit(1), length(col("w"))),
+        i => col("w").substr(i, lit(1))))
+    val encoded = merges.foldLeft(vocabSyms) { case (v, (a, b)) =>
+      v.withColumn("s", graft.functions.MergePair.mergePair(col("s"), a, b))
+    }.select(col("w"), length(col("w")).cast("long").as("__chars"),
+      size(col("s")).cast("long").as("__toks"))
+    def microDiv(num: Column, den: Column): Column =
+      when(den === 0L, lit(null).cast("long"))
+        .otherwise(round(num.cast("double") / den * 1e6).cast("long"))
+    val perGroup = toks.join(encoded.hint("shuffle_hash"), Seq("w"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("__chars")).as("n_word_chars"),
+        sum(col("__toks")).as("n_tokens"))
+    val nDocs = base.select(group.cast("string").as("g"))
+      .groupBy("g").agg(count(lit(1)).as("n_docs"))
+    nDocs.join(broadcast(perGroup), Seq("g"), "left")
+      .select(col("g").as("group"), col("n_docs"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_word_chars"), lit(0L)).as("n_word_chars"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        microDiv(col("n_tokens"), coalesce(col("n_words"), lit(0L)))
+          .as("fertility_micro"),
+        microDiv(col("n_word_chars"), coalesce(col("n_tokens"), lit(0L)))
+          .as("chars_per_token_micro"))
+  }
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009) — the hybrid
     * retrieval merge: given several independently-scored candidate lists for
     * the same queries (lexical BM25, a semantic index, a freshness prior,

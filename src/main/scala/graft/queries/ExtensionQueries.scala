@@ -5244,6 +5244,93 @@ object ExtensionQueries {
        FROM embeddings"""
 
   // ---------------------------------------------------------------------------
+  // X155 — margin-reliability profile (Classify.marginReliability): the
+  // NB lang-ID margins (x150's resubstitution grid) bucketed into 0.25-ln
+  // integer bands with per-band and cumulative keep-above-band accuracy —
+  // the curve a routing/filter threshold is read off before trusting the
+  // margin. Bands are integer micro arithmetic end-to-end (no softmax/exp
+  // whose last ulp could flip a bin); both rounded divisions use the
+  // established microDiv convention the x151 oracle already matches.
+  // ---------------------------------------------------------------------------
+  private def x155(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val pred = Classify.nbClassify(d, col("doc_id"), col("text"),
+      Classify.nbTrain(d, col("lang"), col("text")))
+    val scored = d.select(col("doc_id").as("id"), col("lang"))
+      .join(pred.select("id", "pred_label", "margin_micro")
+        .hint("shuffle_hash"), Seq("id"))
+    Classify.marginReliability(scored, col("lang"), col("pred_label"),
+      col("margin_micro"), bandMicro = 250000L)
+  }
+
+  // ---------------------------------------------------------------------------
+  // X156 — tokenizer-fertility audit (LanguageModel.tokenizerFertility):
+  // per language under the fixed x99 merge table, tokens-per-word and
+  // chars-per-token — the vocabulary-allocation check before committing a
+  // tokenizer to a multilingual corpus. The oracle replays x99's exact
+  // per-word occurrence arithmetic (hash-green there) grouped by lang.
+  // ---------------------------------------------------------------------------
+  private def x156(s: SparkSession, dir: String): DataFrame =
+    LanguageModel.tokenizerFertility(docs(s, dir), col("lang"), col("text"),
+      x99Merges)
+
+  private lazy val x156Sql = {
+    val occ = x99Merges.map { case (a, b) =>
+      s"- (length(w) - length(replace(w, '$a$b', ''))) // 2" }.mkString(" ")
+    s"""WITH w AS (SELECT lang,
+             unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+               x -> x <> '')) AS w
+           FROM documents WHERE lang IS NOT NULL),
+         e AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+                 CAST(sum(length(w)) AS BIGINT) AS n_word_chars,
+                 CAST(sum(length(w) $occ) AS BIGINT) AS n_tokens
+               FROM w GROUP BY 1),
+         d AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+               FROM documents WHERE lang IS NOT NULL GROUP BY 1)
+       SELECT d.lang AS "group", d.n_docs,
+              coalesce(e.n_words, 0) AS n_words,
+              coalesce(e.n_word_chars, 0) AS n_word_chars,
+              coalesce(e.n_tokens, 0) AS n_tokens,
+              CASE WHEN coalesce(e.n_words, 0) = 0 THEN NULL
+                ELSE CAST(round(e.n_tokens * 1.0 / e.n_words * 1000000)
+                  AS BIGINT) END AS fertility_micro,
+              CASE WHEN coalesce(e.n_tokens, 0) = 0 THEN NULL
+                ELSE CAST(round(e.n_word_chars * 1.0 / e.n_tokens * 1000000)
+                  AS BIGINT) END AS chars_per_token_micro
+       FROM d LEFT JOIN e USING (lang)"""
+  }
+
+  // lazy: nbClassifyCtes is declared further down the object — a strict val
+  // here would interpolate null at init order (caught by the driver-gate
+  // replica: "WITH null," is a DuckDB parse error)
+  private lazy val x155Sql =
+    s"""WITH $nbClassifyCtes,
+       ev AS (
+         SELECT d.lang AS t, c.pred_label AS p, c.margin_micro AS m
+         FROM documents d JOIN cls c ON d.doc_id = c.id
+         WHERE d.lang IS NOT NULL AND c.pred_label IS NOT NULL
+           AND c.margin_micro IS NOT NULL),
+       b AS (
+         SELECT m // 250000 AS band,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CASE WHEN t = p THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_correct,
+                sum(m) AS sum_m
+         FROM ev GROUP BY 1)
+       SELECT band, band * 250000 AS lo_micro, n, n_correct,
+              CAST(round(n_correct * 1.0 / n * 1000000) AS BIGINT)
+                AS accuracy_micro,
+              CAST(round(CAST(sum_m AS DOUBLE) / n) AS BIGINT)
+                AS mean_margin_micro,
+              CAST(sum(n) OVER (ORDER BY band DESC) AS BIGINT) AS cum_n,
+              CAST(sum(n_correct) OVER (ORDER BY band DESC) AS BIGINT)
+                AS cum_correct,
+              CAST(round(sum(n_correct) OVER (ORDER BY band DESC) * 1.0
+                / sum(n) OVER (ORDER BY band DESC) * 1000000) AS BIGINT)
+                AS cum_accuracy_micro
+       FROM b"""
+
+  // ---------------------------------------------------------------------------
   // X141 — k-core decomposition (LinkGraph.kCore): 8 fixed peel rounds at
   // k=4 — the density rung between degree profiles and x89's triangles.
   // x83's near-regular multiplicative graph peels vacuously (bijective
@@ -6123,7 +6210,9 @@ object ExtensionQueries {
     "x151_classifier_eval" -> x151 _,
     "x152_label_silhouette" -> x152 _,
     "x153_ivfpq_refine" -> x153 _,
-    "x154_refine_invariants" -> x154 _
+    "x154_refine_invariants" -> x154 _,
+    "x155_margin_reliability" -> x155 _,
+    "x156_tokenizer_fertility" -> x156 _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -6268,6 +6357,8 @@ object ExtensionQueries {
     "x150_nb_classify" -> x150Sql,
     "x151_classifier_eval" -> x151Sql,
     "x152_label_silhouette" -> x152Sql,
-    "x154_refine_invariants" -> x154Sql
+    "x154_refine_invariants" -> x154Sql,
+    "x155_margin_reliability" -> x155Sql,
+    "x156_tokenizer_fertility" -> x156Sql
   )
 }

@@ -20,7 +20,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
   private val dir = "/root/testdata/sf0.001"
 
   // global single-row aggregates: the final partial→total exchange is bounded
-  private val singlePartitionOk = Set("q19_cost_rollup", "q22_pipeline_cost_summary")
+  // x155: the cumulative keep-above-band window runs over the BAND relation
+  // (max margin / bandMicro rows — enum-bounded by construction), never the
+  // corpus; its single partition is the intended plan.
+  private val singlePartitionOk = Set("q19_cost_rollup",
+    "q22_pipeline_cost_summary", "x155_margin_reliability")
 
   test("no query plan contains a CartesianProduct") {
     for ((name, fn) <- SparkEntry.queries) {

@@ -42,4 +42,34 @@ class ClassifierEvalSpec extends AnyFunSuite with SparkTestSession {
     assert(d.getLong(1) == 0L && d.getLong(3) == 1L && d.getLong(4) == 0L)
     assert(d.getLong(5) == 0L && d.isNullAt(6) && d.getLong(7) == 0L)
   }
+
+  test("marginReliability: bands, per-band + cumulative accuracy — hand-traced") {
+    import spark.implicits._
+    val df = Seq[(String, String, java.lang.Long)](
+      ("a", "a", 5L), ("a", "b", 7L),                 // band 0: 1/2
+      ("b", "b", 15L),                                // band 1: 1/1
+      ("c", "c", 25L), ("c", "b", 29L),               // band 2: 1/2
+      (null, "a", 50L), ("a", null, 50L), ("a", "a", null)) // all excluded
+      .toDF("t", "p", "m")
+    val out = Classify.marginReliability(df, col("t"), col("p"), col("m"),
+        bandMicro = 10L)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(0L, 1L, 2L))
+    // (band, lo, n, n_correct, acc, mean, cum_n, cum_correct, cum_acc)
+    val b0 = out(0L)
+    assert((b0.getLong(1), b0.getLong(2), b0.getLong(3)) == ((0L, 2L, 1L)))
+    assert(b0.getLong(4) == 500000L && b0.getLong(5) == 6L)   // mean (5+7)/2
+    assert((b0.getLong(6), b0.getLong(7)) == ((5L, 3L)))      // cum over all
+    assert(b0.getLong(8) == 600000L)                          // 3/5
+    val b1 = out(1L)
+    assert(b1.getLong(1) == 10L && b1.getLong(4) == 1000000L &&
+      b1.getLong(5) == 15L)
+    assert((b1.getLong(6), b1.getLong(7), b1.getLong(8)) ==
+      ((3L, 2L, 666667L)))                                    // bands 2+1
+    val b2 = out(2L)
+    assert(b2.getLong(1) == 20L && b2.getLong(4) == 500000L &&
+      b2.getLong(5) == 27L)                                   // (25+29)/2
+    assert((b2.getLong(6), b2.getLong(7), b2.getLong(8)) ==
+      ((2L, 1L, 500000L)))                                    // top band alone
+  }
 }

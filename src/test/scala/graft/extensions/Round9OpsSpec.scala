@@ -53,6 +53,32 @@ class Round9OpsSpec extends AnyFunSuite with SparkTestSession {
       .count() == 0)
   }
 
+  test("tokenizerFertility: per-group ratios, zero-word group, NULL group drop") {
+    import spark.implicits._
+    // same merge table as the profile test: ther->2, rere->3, thth->2, x->1
+    val df = Seq(
+      (Option("en"), "ther rere"),   // 2 words, 8 chars, 5 tokens
+      (Option("en"), "thth"),        // 1 word, 4 chars, 2 tokens
+      (Option("de"), "x"),           // 1 word, 1 char, 1 token
+      (Option("xx"), ""),            // a doc with no words at all
+      (Option.empty[String], "ther") // NULL group: dropped entirely
+    ).toDF("lang", "text")
+    val out = LanguageModel.tokenizerFertility(df, col("lang"), col("text"),
+        Seq("t" -> "h", "e" -> "r", "o" -> "n"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("en", "de", "xx"))
+    val en = out("en")
+    assert((en.getLong(1), en.getLong(2), en.getLong(3), en.getLong(4)) ==
+      ((2L, 3L, 12L, 7L)))
+    assert(en.getLong(5) == 2333333L)  // 7/3 tokens per word
+    assert(en.getLong(6) == 1714286L)  // 12/7 chars per token
+    val de = out("de")
+    assert(de.getLong(5) == 1000000L && de.getLong(6) == 1000000L)
+    val xx = out("xx")                 // no words: zero counts, NULL ratios
+    assert(xx.getLong(1) == 1L && xx.getLong(2) == 0L && xx.getLong(4) == 0L)
+    assert(xx.isNullAt(5) && xx.isNullAt(6))
+  }
+
   // --- LinkGraph.triangleCounts ---------------------------------------------
 
   test("triangleCounts on K4 gives every node 3 triangles") {
