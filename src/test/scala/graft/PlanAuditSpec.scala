@@ -109,7 +109,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     // the guard for the one-giant-stratum case at 100 TB. WindowGroupLimit
     // keeps only k rows per group on each side of the shuffle.
     for (name <- Seq("x05_embed_topk_cosine", "x123_fixedk_sample",
-        "x134_rrf_fusion", "x137_pq_adc_topk", "x139_ivfpq_topk")) {
+        "x134_rrf_fusion", "x137_pq_adc_topk", "x139_ivfpq_topk",
+        "x153_ivfpq_refine")) {
       val plan = SparkEntry.queries(name)(spark, dir)
         .queryExecution.explainString(FormattedMode)
       assert(plan.contains("WindowGroupLimit"),
