@@ -77,6 +77,16 @@ object StreamingBottomK {
     out
   }
 
+  /** CHECKPOINT COMPATIBILITY: round 13 changed the sketch hash from
+    * `xxhash64(item)` to `xxhash64(item.cast("string"))` for batch parity.
+    * The state store holds raw hash values with no version tag, so a query
+    * RESTARTED from a checkpoint written before that change would silently
+    * merge old raw-typed hashes with new string-form hashes in one sketch,
+    * corrupting distinct-count and overlap estimates with no error.
+    * Checkpoints created before the change must be DISCARDED (start the
+    * query from a fresh checkpoint location); this only affects non-string
+    * item columns — for string items the two hash streams are identical.
+    */
   def bottomKStream(events: DataFrame, key: Column, item: Column,
       k: Int = 256): Dataset[SketchRow] = {
     require(k >= 16 && k <= 65536, s"k must be in [16,65536], got $k")
