@@ -89,6 +89,62 @@ object Similarity {
       .select("query_id", "neighbor_id", "sim", "rank")
   }
 
+  /** Exact brute-force top-k under SQUARED L2 distance — the ground truth
+    * the PQ estimator family ([[pqAdcTopK]], [[ivfPqTopK]],
+    * [[ivfPqRefineTopK]]) approximates. Unlike the cosine [[bruteForceTopK]]
+    * the query itself is NOT excluded when `queries ⊆ corpus`: the PQ family
+    * keeps self-candidates (dist² ≈ quantization error), so a recall
+    * measurement against a self-excluding truth would penalize the estimator
+    * for a contract difference, not a quality difference. Same scale shape:
+    * queries broadcast, corpus scanned once, rank ≤ k plans a
+    * WindowGroupLimit. dist2 rounded to 6 dp (the family's determinism
+    * contract), ties to the lower neighbor_id.
+    */
+  def bruteForceL2TopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").cast("array<double>").as("__qv")))
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").cast("array<double>").as("__cv"))
+    val scored = c.crossJoin(q)
+      .withColumn("dist2", round(aggregate(
+        zip_with(col("__qv"), col("__cv"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, d) => acc + d), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist2").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "dist2", "rank")
+  }
+
+  /** Per-query recall@k of an approximate top-k relation against an exact
+    * one: |est top-k ∩ truth top-k| / |truth top-k|. Both inputs follow the
+    * family output contract (`query_id`, `neighbor_id`, `rank`); rows with
+    * rank > k on either side are ignored, so a k=50 truth fixture can serve
+    * a k=5 measurement. Queries are keyed off the TRUTH side — an estimator
+    * that returns nothing for a query (empty LSH bucket) scores recall 0
+    * there instead of silently dropping out of the mean.
+    *
+    * Scale shape: both relations are |queries|·k rows (the ANN probe keeps
+    * the query side bounded by contract), so every join broadcasts and
+    * nothing corpus-scale is touched. `recall` rounded to 6 dp.
+    */
+  def recallAtK(est: DataFrame, truth: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val t = truth.filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    val e = est.filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = e.join(broadcast(t.withColumn("__hit", lit(1))),
+        Seq("query_id", "neighbor_id"), "inner")
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    t.groupBy("query_id").agg(count(lit(1)).as("n_truth"))
+      .join(broadcast(hits), Seq("query_id"), "left")
+      .select(col("query_id"), col("n_truth"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)) / col("n_truth"), 6).as("recall"))
+  }
+
   /** Sign-LSH bucket key: `nBits` hyperplanes hᵢ with components in {-1,+1}
     * derived from xxhash64(seed=i, dim=j) — deterministic, shared by every
     * executor with zero driver state. Bucket = the sign-bit string of the
@@ -115,6 +171,47 @@ object Similarity {
       lshBucket(col("embedding"), nBits).as("bucket"),
       col("vec_id").as("query_id"), col("embedding").as("qv"),
       norm(col("embedding")).as("qn")))
+    val c = corpus.select(
+      lshBucket(col("embedding"), nBits).as("bucket"),
+      col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+      norm(col("embedding")).as("cn"))
+    val scored = q.join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", simWithNorms(col("qv"), col("qn"), col("cv"), col("cn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "sim", "rank")
+  }
+
+  /** MULTI-PROBE sign-LSH top-k (Lv et al., VLDB 2007): each query probes
+    * its own bucket PLUS every bucket at Hamming distance 1 — nBits+1
+    * probes — because a near neighbor that lands one hyperplane-sign away
+    * is lost to single-bucket LSH forever. The x157 recall audit measured
+    * exactly that: single-table sign-LSH@8 bits reads recall@5 ≈ 0.02 on
+    * the sf0.01 corpus (2 vectors per bucket — near-dup probing, not
+    * retrieval); one-flip multi-probe covers 9/256 of the key space for a
+    * ~9× candidate budget with ZERO extra corpus passes or hash tables.
+    *
+    * Scale shape: the corpus side is IDENTICAL to [[annTopK]] (one scan,
+    * one bucket key); the probe fan-out is query-side only (the bounded
+    * broadcast side grows nBits+1×). Per (query, neighbor) at most one
+    * candidate row — a corpus vector has exactly one bucket and the probe
+    * set is distinct — so no dedup stage is needed.
+    */
+  def annTopKMultiProbe(queries: DataFrame, corpus: DataFrame, k: Int,
+      nBits: Int): DataFrame = {
+    require(nBits >= 2 && nBits <= 32, s"nBits must be in [2,32], got $nBits")
+    def flip(b: Column, i: Int): Column = concat(
+      substring(b, 1, i),
+      when(substring(b, i + 1, 1) === "1", lit("0")).otherwise(lit("1")),
+      substring(b, i + 2, nBits - i - 1))
+    val qb = lshBucket(col("embedding"), nBits)
+    val probes = array((qb +: (0 until nBits).map(i => flip(qb, i))): _*)
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qv"), norm(col("embedding")).as("qn"),
+      explode(probes).as("bucket")))
     val c = corpus.select(
       lshBucket(col("embedding"), nBits).as("bucket"),
       col("vec_id").as("neighbor_id"), col("embedding").as("cv"),

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-import graft.extensions.{Batching, Classify, Contamination, Dedup, Ensemble, HeavyHitters, IncrementalDedup, LanguageModel, Mixture, Multimodal, Sampling, Similarity, SpanDedup, TextAnalysis}
+import graft.extensions.{Batching, Classify, Contamination, Dedup, Ensemble, HeavyHitters, IncrementalDedup, LanguageModel, LinearClassifier, Mixture, Multimodal, Sampling, Similarity, SpanDedup, TextAnalysis}
 import graft.ops.{ShardedExport, Skew, SnapshotDiff}
 
 /** North-star extension queries (dedup / similarity / text analysis /
@@ -765,10 +765,17 @@ object ExtensionQueries {
     * though the ground truth is a pure function of the (static) corpus —
     * so it's computed once per distinct corpus and re-read afterwards, the
     * same fixture stance as the driver's oracle tables. Keyed by
-    * (k, n, step, bit_xor of per-row xxhash64): one cheap corpus scan
-    * decides hit-or-miss, and any content change — a regenerated sf dir, a
-    * different scale copy — changes the key and forces a recompute, so the
-    * cache can never serve stale truth. Results are identical either way
+    * (k, n, step, bit_xor ⊕ wrapping-sum of per-row xxhash64): one cheap
+    * corpus scan decides hit-or-miss, and any content change — a
+    * regenerated sf dir, a different scale copy — changes the key and
+    * forces a recompute, so the cache can never serve stale truth. XOR
+    * alone self-cancels (duplicated rows contribute nothing; offsetting
+    * pair changes keep the key fixed), so the round-13 advisory pairs it
+    * with an order-insensitive modular SUM of the same hashes — a
+    * duplicate row is invisible to XOR but shifts the sum, and a
+    * swapped-pair edit that preserves the sum flips the XOR; colliding
+    * both simultaneously requires engineering, not bad luck. Results are
+    * identical either way
     * (bruteForceTopK is deterministic; parquet round-trips the doubles
     * exactly) — only the cost moves. Publish is write-to-tmp + atomic
     * rename; a concurrent loser deletes its tmp and reads the winner's.
@@ -776,6 +783,33 @@ object ExtensionQueries {
     * target/graft_fixtures, sbt-clean-scoped on purpose: a clean build
     * re-derives its fixtures).
     */
+  /** Content fingerprint of an embeddings corpus: (bit_xor, wrapping sum)
+    * of per-row xxhash64(vec_id, embedding). XOR alone self-cancels —
+    * duplicated rows contribute nothing and offsetting pair changes keep it
+    * fixed (round-13 advisory) — so the order-insensitive modular sum rides
+    * along: a duplicate is invisible to XOR but shifts the sum, and a
+    * sum-preserving swap flips the XOR. One corpus scan, two 8-byte driver
+    * scalars. Throws (with the actual cause) on an empty corpus, where
+    * bit_xor/sum are NULL and the old code NPE'd opaquely.
+    */
+  private[graft] def corpusFingerprint(e: DataFrame): (Long, Long) = {
+    val fpRow = e.select(
+        bit_xor(xxhash64(col("vec_id"), col("embedding"))).as("fx"),
+        // decimal(38,0) sum, not a long sum: 64-bit hash values overflow a
+        // long sum within a few rows, and ANSI mode (the Spark 4 default)
+        // turns that into an ArithmeticException mid-audit; decimal(38,0)
+        // holds ~10^19 rows' worth exactly, wrapped to 64 bits driver-side
+        sum(xxhash64(col("vec_id"), col("embedding")).cast("decimal(38,0)"))
+          .as("fs"))
+      .collect()(0)
+    require(!fpRow.isNullAt(0) && !fpRow.isNullAt(1),
+      "cannot fingerprint an EMPTY embeddings corpus for the brute-force " +
+        "fixture — the x26-family audit needs at least one vector")
+    val fs = fpRow.getDecimal(1).toBigInteger
+      .mod(java.math.BigInteger.ONE.shiftLeft(64)).longValue()
+    (fpRow.getLong(0), fs)
+  }
+
   private def cachedBruteTopK(s: SparkSession, e: DataFrame,
       queries: DataFrame, k: Int, nVecs: Long, step: Long): DataFrame = {
     // system-property override first: env is fixed at JVM start, but probe
@@ -784,19 +818,31 @@ object ExtensionQueries {
     val fixtureDir = sys.props.get("graft.fixture.dir")
       .orElse(sys.env.get("SPARK_GRAFT_FIXTURE_DIR"))
       .getOrElse("target/graft_fixtures")
-    val fp = e.select(bit_xor(xxhash64(col("vec_id"), col("embedding"))))
-      .collect()(0).getLong(0)
+    val (fpx, fps) = corpusFingerprint(e)
     val path = s"$fixtureDir/brute_top${k}_n${nVecs}_s${step}_" +
-      java.lang.Long.toHexString(fp) + ".parquet"
+      java.lang.Long.toHexString(fpx) + "_" +
+      java.lang.Long.toHexString(fps) + ".parquet"
     val dst = new java.io.File(path)
     if (!dst.exists()) {
       val tmp = new java.io.File(path + ".tmp." + System.nanoTime())
       Similarity.bruteForceTopK(queries, e, k)
         .write.mode("overwrite").parquet(tmp.getPath)
       if (!tmp.renameTo(dst)) {
-        // lost the publish race (or dst appeared meanwhile): discard ours
-        org.apache.commons.io.FileUtils.deleteQuietly(tmp)
-        require(dst.exists(), s"fixture publish failed for $path")
+        if (dst.exists()) {
+          // true publish race: a concurrent writer won; discard ours and
+          // read the winner's (identical content — the key is the input)
+          org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+        } else {
+          // renameTo also returns false for NON-race failures (permissions,
+          // dst parent removed by a concurrent clean) — round-13 advisory.
+          // The computed result in tmp is complete and correct: serve it
+          // directly rather than deleting fresh truth behind a misleading
+          // "publish failed"; the next run simply recomputes.
+          System.err.println(s"[graft] fixture publish rename failed " +
+            s"(${tmp.getPath} -> $path, no concurrent winner); serving the " +
+            "unpublished tmp fixture for this run")
+          return s.read.parquet(tmp.getPath)
+        }
       }
     }
     s.read.parquet(path)
@@ -4927,14 +4973,16 @@ object ExtensionQueries {
   // ---------------------------------------------------------------------------
   // X137 — product-quantization ADC top-k (Similarity.pqFit/pqEncode/
   // pqAdcTopK): the compression rung of the ANN stack — 64-dim floats
-  // become m=4 codes (k=16 per subspace), and each of 8 probe queries
+  // become m=8 codes (k=16 per subspace — m raised 4→8 after the x157
+  // recall audit measured ADC recall@5 0.36→0.48 for 2× table lookups),
+  // and each of 8 probe queries
   // scores the WHOLE corpus through its in-plan m×k distance table (m
   // lookups per corpus row, never a 64-dim float scan). Like the other
   // estimator-backed queries (x03/x06/x13/x86) the per-subspace k-means
   // fit is not SQL-expressible, so this row is rows-only BY CONTRACT and
   // x138 is its oracle-checked invariant twin.
   // ---------------------------------------------------------------------------
-  private val pqM = 4
+  private val pqM = 8
   private val pqCodes = 16
 
   private def x137(s: SparkSession, dir: String): DataFrame = {
@@ -5022,14 +5070,16 @@ object ExtensionQueries {
   // ---------------------------------------------------------------------------
   // X139 — IVF-PQ top-k (Similarity.ivfPqTopK): the production big-ANN
   // composition — coarse cells prune which vectors each of 8 queries scores
-  // (nProbe=2 of 8 cells), PQ codes make each candidate cost m=4 table
+  // (nProbe=3 of 8 cells — raised 2→3 after the x157 audit measured
+  // refine recall@5 0.50→0.62 at the extra probe), PQ codes make each
+  // candidate cost m=8 table
   // lookups. One corpus scan assigns cells + codes; the probe is a
   // broadcast equi-join ON CELL, never a cross product. Estimator-backed →
   // rows-only BY CONTRACT (the x03/x13/x86/x137 family); x140 is its
   // oracle-checked invariant twin.
   // ---------------------------------------------------------------------------
   private val ivfPqCells = 8
-  private val ivfPqProbe = 2
+  private val ivfPqProbe = 3
 
   private def x139(s: SparkSession, dir: String): DataFrame = {
     val e = embeds(s, dir)
@@ -5298,6 +5348,218 @@ object ExtensionQueries {
                 ELSE CAST(round(e.n_word_chars * 1.0 / e.n_tokens * 1000000)
                   AS BIGINT) END AS chars_per_token_micro
        FROM d LEFT JOIN e USING (lang)"""
+  }
+
+  // ---------------------------------------------------------------------------
+  // X157 — ANN estimator recall@5 audit (round-13 verdict ask #4): the
+  // MEASURED quality of every estimator in the ANN stack against exact
+  // ground truth, as committed data rather than a unit-test assertion. One
+  // row per estimator: hits / truth-set size over the x26 adaptive query
+  // sample (~100 queries at any scale), micro-averaged as integer
+  // arithmetic (recall_micro = round(1e6·hits/truth) — the x155 micro
+  // convention, no float-sum order anywhere). Ground truth is
+  // metric-matched: the cosine estimators (sign-LSH, IVF) score against the
+  // cached brute-force cosine fixture (rank ≤ 5 of the k=50 fixture — one
+  // fixture serves x26 and this audit); the L2 family (PQ-ADC, IVF-PQ,
+  // IVF-PQ+refine) scores against an inline exact-L2² top-5
+  // (bruteForceL2TopK, self-candidates kept — the family's contract).
+  // Estimator params are the registered queries' own (x06 nBits=8, x13/x26
+  // IVF 16/4, x137/x139/x153 m=8 k=16 cells=8 probe=3 r=20), so the numbers
+  // certify the SHIPPED configurations. k-means-derived → rows-only BY
+  // CONTRACT; x158 is its oracle-checked floor twin.
+  // ---------------------------------------------------------------------------
+  // Driver-side memo keyed by sf dir (the linModel stance): x157 and x158
+  // derive from the SAME 6-row audit over the SAME static corpus — compute
+  // it once per sweep, serve the collected rows afterwards (bit-identical
+  // either way; only the cost moves).
+  private val annRecallCache = scala.collection.concurrent
+    .TrieMap[String, Seq[(String, Long, Long, Long, Long)]]()
+
+  private def annRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    annRecallCache.getOrElseUpdate(dir,
+      annRecallCompute(s, dir).collect().toSeq.map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))))
+      .toDF("method", "n_queries", "hits", "n_truth", "recall_micro")
+  }
+
+  private def annRecallCompute(s: SparkSession, dir: String): DataFrame = {
+    val e = embeds(s, dir)
+    val nVecs = e.count()
+    val step = math.max(50L, nVecs / 100L)
+    val queries = e.filter(col("vec_id") % step === 0)
+    val k = 5
+    // both truth relations are |queries|·k rows — localCheckpoint so the
+    // five recall branches read bounded blocks instead of re-running the
+    // exact scans (recallAtK references its truth side twice)
+    val truthCos = cachedBruteTopK(s, e, queries, k = 50, nVecs, step)
+      .filter(col("rank") <= k).localCheckpoint()
+    val truthL2 = Similarity.bruteForceL2TopK(queries, e, k).localCheckpoint()
+    val cells = Similarity.fitCentroids(e, col("embedding"), ivfPqCells)
+    val books = Similarity.pqFit(e, col("embedding"), d = 64, m = pqM,
+      k = pqCodes)
+    val ests: Seq[(String, DataFrame, DataFrame)] = Seq(
+      ("ann_lsh", Similarity.annTopK(queries, e, k, nBits = 8), truthCos),
+      ("ann_lsh_mp", Similarity.annTopKMultiProbe(queries, e, k, nBits = 8),
+        truthCos),
+      ("ivf", Similarity.ivfTopK(queries, e, k, nCentroids = 16, nProbe = 4),
+        truthCos),
+      ("pq_adc", Similarity.pqAdcTopK(queries, e, k, books), truthL2),
+      ("ivfpq", Similarity.ivfPqTopK(queries, e, k, cells, ivfPqProbe, books),
+        truthL2),
+      ("ivfpq_refine", Similarity.ivfPqRefineTopK(queries, e, k, r = 20,
+        cells, ivfPqProbe, books), truthL2))
+    ests.map { case (name, est, truth) =>
+      Similarity.recallAtK(est, truth, k).agg(
+        count(lit(1)).as("n_queries"),
+        sum(col("hits")).as("hits"),
+        sum(col("n_truth")).as("n_truth"))
+        .select(lit(name).as("method"), col("n_queries"), col("hits"),
+          col("n_truth"),
+          round(col("hits") * 1000000L / col("n_truth"))
+            .cast("long").as("recall_micro"))
+    }.reduce(_ unionByName _)
+  }
+
+  private def x157(s: SparkSession, dir: String): DataFrame =
+    annRecall(s, dir)
+
+  // ---------------------------------------------------------------------------
+  // X158 — recall-floor gate (x157's oracle-checked twin): each estimator's
+  // micro-recall must clear a fixed floor, hash-compared against the
+  // all-TRUE oracle — the committed guarantee that an estimator can't
+  // silently degrade while its structural invariant twins (x26/x138/x140/
+  // x154 check subset/rank/reconstruction, not quality) stay green. Floors
+  // are set with margin under the weakest measured scale (sf0.001/0.01/0.1,
+  // see BASELINE.md r14): a red row means the estimator LOST quality, not
+  // that the corpus breathed.
+  // ---------------------------------------------------------------------------
+  private val recallFloorsMicro: Seq[(String, Long)] = Seq(
+    "ann_lsh" -> 10000L, "ann_lsh_mp" -> 100000L, "ivf" -> 500000L,
+    "pq_adc" -> 250000L, "ivfpq" -> 300000L, "ivfpq_refine" -> 450000L)
+
+  private def x158(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fl = recallFloorsMicro.toDF("method", "floor_micro")
+    annRecall(s, dir)
+      .join(broadcast(fl), Seq("method"))
+      .select(col("method"), col("floor_micro"),
+        (col("recall_micro") >= col("floor_micro")).as("floor_met"))
+  }
+
+  private lazy val x158Sql = recallFloorsMicro.map { case (m, f) =>
+    s"SELECT '$m' AS method, CAST($f AS BIGINT) AS floor_micro, TRUE AS floor_met"
+  }.mkString("\n       UNION ALL ")
+
+  // ---------------------------------------------------------------------------
+  // X159/X160/X161 — linear (fastText-shape) text classifier family
+  // (LinearClassifier): hashed unigram+bigram features, softmax linear
+  // model, FIXED-round full-batch GD with decimal-exact cross-row sums —
+  // the discriminative complement to the NB loop (x149–x151). Training is
+  // k-means-free but GD-derived (libm exp/log on the driver-deterministic
+  // doubles), so x159 (model relation) and x160 (predictions) are
+  // rows-only BY CONTRACT and x161 is their oracle-checked invariant twin:
+  // loss strictly improves over the uniform baseline, is non-increasing
+  // round-over-round (full-batch GD at a step the L1-normalized features
+  // keep inside the smoothness bound), weights stay finite/bounded, and
+  // training accuracy clears a fixed floor. Any FALSE hash-fails against
+  // the all-TRUE oracle.
+  // ---------------------------------------------------------------------------
+  private val linBuckets = 8192
+  private val linIters = 40
+  private val linLr = 0.125
+  private val linAccFloorMicro = 900000L
+
+  // Driver-side memo keyed by sf dir (the cachedBruteTopK stance, in
+  // memory): x159/x160/x161 all need the SAME deterministic model over the
+  // SAME static corpus, so each sweep trains once, not three times — the
+  // result is bit-identical either way (linearTrain's determinism
+  // contract), only the cost moves. A concurrent double-train (the
+  // ConcurrencySpec shape) is benign for the same reason.
+  private val linModelCache =
+    scala.collection.concurrent.TrieMap[String, LinearClassifier.LinearModel]()
+
+  private def linModel(s: SparkSession, dir: String) =
+    linModelCache.getOrElseUpdate(dir,
+      LinearClassifier.linearTrain(docs(s, dir), col("doc_id"), col("lang"),
+        col("text"), nBuckets = linBuckets, iters = linIters, lr = linLr))
+
+  private def x159(s: SparkSession, dir: String): DataFrame =
+    LinearClassifier.modelRelation(s, linModel(s, dir))
+
+  private def x160(s: SparkSession, dir: String): DataFrame =
+    LinearClassifier.linearClassify(docs(s, dir), col("doc_id"), col("text"),
+      linModel(s, dir))
+
+  private def x161(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir)
+    val m = linModel(s, dir)
+    def finiteModel(mm: LinearClassifier.LinearModel): Boolean =
+      mm.weights.forall(_.forall(w =>
+        !w.isNaN && !w.isInfinity && math.abs(w) < 1e3)) &&
+        mm.bias.forall(b => !b.isNaN && !b.isInfinity && math.abs(b) < 1e3)
+    val lossMonotone = m.lossesMicro.sliding(2).forall {
+      case Seq(a, b) => b <= a
+      case _ => true
+    }
+    val improved = m.lossesMicro.last <
+      math.round(math.log(m.classes.size.toDouble) * 1e6)
+    // SEPARABILITY PROBE — the check an accuracy floor on `lang` cannot be:
+    // the synthetic corpus draws every language's text from ONE shared
+    // vocabulary (measured: the lang model's loss plateaus at the label
+    // PRIOR entropy — there is no signal to learn, for any classifier), so
+    // the capability invariant trains on a label the text DETERMINES
+    // (token-presence) and must recover it almost perfectly — separating
+    // "data has no signal" from "trainer is broken".
+    val sep = sepModel(s, dir)
+    val sepPred = LinearClassifier.linearClassify(d, col("doc_id"),
+      col("text"), sep)
+    val sepCheck = d.select(col("doc_id").as("id"),
+        when(col("text").contains("join"), "has").otherwise("none").as("t"))
+      .join(sepPred.select("id", "pred_label").hint("shuffle_hash"), Seq("id"))
+      .agg((round(sum(when(col("t") === col("pred_label"), 1L)
+        .otherwise(0L)) * 1000000L / count(lit(1))).cast("long") >=
+        linAccFloorMicro).as("ok"))
+      .select(lit("separable_concept_learned").as("check"), col("ok"))
+    Seq(
+      ("loss_monotone", lossMonotone),
+      ("improved_over_uniform", improved),
+      ("weights_finite", finiteModel(m) && finiteModel(sep)))
+      .toDF("check", "ok")
+      .unionByName(sepCheck)
+  }
+
+  private def sepModel(s: SparkSession, dir: String) =
+    linModelCache.getOrElseUpdate(dir + "#sep",
+      LinearClassifier.linearTrain(
+        docs(s, dir).withColumn("__sep",
+          when(col("text").contains("join"), "has").otherwise("none")),
+        col("doc_id"), col("__sep"), col("text"),
+        nBuckets = linBuckets, iters = linIters, lr = linLr))
+
+  private val x161Sql =
+    """SELECT 'loss_monotone' AS "check", TRUE AS ok
+       UNION ALL SELECT 'improved_over_uniform', TRUE
+       UNION ALL SELECT 'weights_finite', TRUE
+       UNION ALL SELECT 'separable_concept_learned', TRUE"""
+
+  // ---------------------------------------------------------------------------
+  // X162 — multi-probe sign-LSH top-k (Similarity.annTopKMultiProbe): the
+  // recall fix the x157 audit motivated — single-bucket sign-LSH@8bits
+  // measured recall@5 ≈ 0.02 at sf0.01, so each query also probes every
+  // Hamming-distance-1 bucket (9 probes, query-side fan-out only; the
+  // corpus is scanned and bucketed exactly once, as in x06). Same adaptive
+  // query sample as x13/x26. Engine-specific xxhash64 bucketing → rows-only
+  // BY CONTRACT; its quality twin is x158's oracle-checked ann_lsh_mp
+  // recall floor (measured 10–24× the single-probe recall).
+  // ---------------------------------------------------------------------------
+  private def x162(s: SparkSession, dir: String): DataFrame = {
+    val e = embeds(s, dir)
+    val step = math.max(50L, e.count() / 100L)
+    Similarity.annTopKMultiProbe(e.filter(col("vec_id") % step === 0), e,
+      k = 5, nBits = 8)
   }
 
   // lazy: nbClassifyCtes is declared further down the object — a strict val
@@ -6212,7 +6474,13 @@ object ExtensionQueries {
     "x153_ivfpq_refine" -> x153 _,
     "x154_refine_invariants" -> x154 _,
     "x155_margin_reliability" -> x155 _,
-    "x156_tokenizer_fertility" -> x156 _
+    "x156_tokenizer_fertility" -> x156 _,
+    "x157_ann_recall" -> x157 _,
+    "x158_ann_recall_floor" -> x158 _,
+    "x159_linear_train" -> x159 _,
+    "x160_linear_classify" -> x160 _,
+    "x161_linear_invariants" -> x161 _,
+    "x162_ann_lsh_multiprobe" -> x162 _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -6359,6 +6627,8 @@ object ExtensionQueries {
     "x152_label_silhouette" -> x152Sql,
     "x154_refine_invariants" -> x154Sql,
     "x155_margin_reliability" -> x155Sql,
-    "x156_tokenizer_fertility" -> x156Sql
+    "x156_tokenizer_fertility" -> x156Sql,
+    "x158_ann_recall_floor" -> x158Sql,
+    "x161_linear_invariants" -> x161Sql
   )
 }
