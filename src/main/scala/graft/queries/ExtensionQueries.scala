@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-import graft.extensions.{Batching, Classify, Contamination, Dedup, Ensemble, HeavyHitters, IncrementalDedup, LanguageModel, LinearClassifier, Mixture, Multimodal, Sampling, Similarity, SpanDedup, TextAnalysis}
+import graft.extensions.{Batching, Classify, Contamination, Dedup, Ensemble, HeavyHitters, IncrementalDedup, LanguageModel, LinearClassifier, Mixture, Multimodal, Sampling, Similarity, SpanDedup, TextAnalysis, WordPiece}
 import graft.ops.{ShardedExport, Skew, SnapshotDiff}
 
 /** North-star extension queries (dedup / similarity / text analysis /
@@ -5562,6 +5562,165 @@ object ExtensionQueries {
       k = 5, nBits = 8)
   }
 
+  // ---------------------------------------------------------------------------
+  // X163 — WordPiece tokenizer APPLICATION (WordPiece.wordpieceEncodeProfile):
+  // per-doc token/UNK counts under a FIXED vocabulary — the BERT runtime
+  // deployment shape (x164 trains; this encodes). Unlike BPE application
+  // (x99, merge-order semantics SQL can only replay for non-interacting
+  // pairs), WordPiece encoding is greedy longest-match against the final
+  // vocabulary, and that IS general-SQL-replayable: the oracle folds the
+  // same (pos, tokens, unk) state machine per DISTINCT word with DuckDB's
+  // list_reduce (2-arg in 1.0: the init state is list_prepend'ed), the
+  // per-step longest match unrolled as a GREATEST over the vocabulary's
+  // multi-char pieces. The vocabulary's single-char cover is exactly
+  // [a-pr-z0-9] bare + ## — 'q' is deliberately OUT-of-vocabulary (the
+  // corpus alphabet is a–y, 'q' in ~0.7% of words), so the whole-word UNK
+  // path is a real, exercised branch of the hash gate alongside greedy
+  // piece interaction and the word-keyed join back; the fallback is one
+  // regex CASE over that class.
+  // ---------------------------------------------------------------------------
+  private val x163Vocab: Seq[String] = {
+    val singles = (('a' to 'z') ++ ('0' to '9')).filter(_ != 'q')
+      .map(_.toString)
+    val multi = Seq("the", "th", "he", "er", "in", "an", "re", "on")
+    val multiCont = Seq("##the", "##th", "##he", "##er", "##in", "##an",
+      "##re", "##on", "##ing", "##ed", "##es", "##nd")
+    singles ++ singles.map("##" + _) ++ multi ++ multiCont
+  }
+
+  private def x163(s: SparkSession, dir: String): DataFrame =
+    WordPiece.wordpieceEncodeProfile(docs(s, dir), col("doc_id"), col("text"),
+        x163Vocab)
+      .withColumnRenamed("id", "doc_id")
+
+  private val x163Sql: String = {
+    val multi = x163Vocab.filter(p =>
+      (if (p.startsWith("##")) p.length - 2 else p.length) > 1)
+    val terms = multi.map { p =>
+      if (p.startsWith("##"))
+        s"CASE WHEN acc // 1000000 > 1 AND substr(w, CAST(acc // 1000000 AS INT), ${p.length - 2}) = '${p.drop(2)}' THEN ${p.length - 2} ELSE 0 END"
+      else
+        s"CASE WHEN acc // 1000000 = 1 AND substr(w, CAST(acc // 1000000 AS INT), ${p.length}) = '$p' THEN ${p.length} ELSE 0 END"
+    } :+ "CASE WHEN substr(w, CAST(acc // 1000000 AS INT), 1) ~ '[a-pr-z0-9]' THEN 1 ELSE 0 END"
+    val g = terms.mkString("GREATEST(\n               ",
+      ",\n               ", ")")
+    s"""WITH t AS (SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+               x -> x <> '')) AS w
+           FROM documents),
+         dw AS (SELECT DISTINCT w FROM t),
+         enc0 AS (SELECT w, list_reduce(
+             list_prepend(CAST(1000000 AS BIGINT),
+               list_transform(range(1, CAST(length(w) AS BIGINT) + 1),
+                 i -> CAST(0 AS BIGINT))),
+             (acc, z) -> CASE
+               WHEN acc % 10 = 1 OR acc // 1000000 > length(w) THEN acc
+               WHEN $g = 0 THEN acc - (acc % 10) + 1
+               ELSE acc + $g * 1000000 + 10
+             END) AS st
+           FROM dw),
+         enc AS (SELECT w, length(w) AS chars,
+                 CASE WHEN st % 10 = 1 THEN 1
+                      ELSE st % 1000000 // 10 END AS toks,
+                 st % 10 AS unk
+               FROM enc0),
+         d AS (SELECT doc_id, count(*) AS n_words,
+                 CAST(sum(chars) AS BIGINT) AS n_word_chars,
+                 CAST(sum(toks) AS BIGINT) AS n_tokens,
+                 CAST(sum(unk) AS BIGINT) AS n_unk_words
+               FROM t JOIN enc USING (w) GROUP BY 1)
+       SELECT doc_id, coalesce(n_words, 0) AS n_words,
+              coalesce(n_word_chars, 0) AS n_word_chars,
+              coalesce(n_tokens, 0) AS n_tokens,
+              coalesce(n_unk_words, 0) AS n_unk_words
+       FROM documents LEFT JOIN d USING (doc_id)"""
+  }
+
+  // ---------------------------------------------------------------------------
+  // X164/X165 — WordPiece vocabulary TRAINING (WordPiece.wordpieceTrain):
+  // the likelihood-scored merge loop (score = cp/(ca·cb), the BERT recipe) —
+  // the third trainer beside BPE-by-count (x96) and unigram-LM EM (x148).
+  // The merge table is rows-only by contract (step r's statistics depend on
+  // applying merges 1..r-1, the sequential rewrite SQL can't replay — the
+  // x96 precedent). X165 is the oracle-checked invariant twin: step 1 IS
+  // SQL-derivable (initial symbols are the marker-split characters, no
+  // prior merges), so the oracle re-derives the first merge EXACTLY — the
+  // winning pair under the same (score desc, count desc, display-order)
+  // argmax, its counts, and the picometer-rounded score through the same
+  // one-division double shape — plus whole-table structural invariants
+  // (display-concat rule, pair_count >= minCount, pair_count <= min(ca,cb),
+  // contiguous steps). Unlike BPE, WordPiece scores are NOT monotone across
+  // steps (denominators change as symbols merge), so no order invariant is
+  // claimed.
+  // ---------------------------------------------------------------------------
+  private def x164(s: SparkSession, dir: String): DataFrame =
+    WordPiece.wordpieceTrain(docs(s, dir), col("text"), nMerges = 10,
+        minCount = 2L)
+      .withColumn("score_p12", round(col("score") * 1e12).cast("long"))
+      .drop("score")
+
+  private def x165(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // bounded collect: <= nMerges rows by construction
+    val m = WordPiece.wordpieceTrain(docs(s, dir), col("text"), nMerges = 10,
+      minCount = 2L).collect()
+    val byStep = m.sortBy(_.getAs[Long]("step"))
+    // degenerate corpus (no pair reaches minCount): empty relation, like x97
+    val rows = byStep.headOption.toSeq.map { s1 =>
+      val concatOk = byStep.forall { r =>
+        r.getAs[String]("merged") ==
+          r.getAs[String]("left") + r.getAs[String]("right").stripPrefix("##")
+      }
+      val countsOk = byStep.forall { r =>
+        val cp = r.getAs[Long]("pair_count")
+        cp >= 2L && cp <= math.min(r.getAs[Long]("left_count"),
+          r.getAs[Long]("right_count"))
+      }
+      val stepsOk = byStep.map(_.getAs[Long]("step")).toSeq ==
+        (1L to byStep.length.toLong)
+      (s1.getAs[String]("left"), s1.getAs[String]("right"),
+        s1.getAs[String]("merged"), s1.getAs[Long]("pair_count"),
+        s1.getAs[Long]("left_count"), s1.getAs[Long]("right_count"),
+        math.round(s1.getAs[Double]("score") * 1e12),
+        concatOk, countsOk, stepsOk)
+    }
+    rows.toDF("step1_left", "step1_right", "step1_merged", "step1_count",
+      "step1_left_count", "step1_right_count", "step1_score_p12",
+      "merged_concat_ok", "counts_ok", "steps_contiguous")
+  }
+
+  private val x165Sql =
+    """WITH w AS (SELECT unnest(list_filter(
+             regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS w
+           FROM documents),
+         wc AS (SELECT w, count(*) AS cnt FROM w GROUP BY 1),
+         sy AS (SELECT CASE WHEN i = 1 THEN substr(w, 1, 1)
+                       ELSE '##' || substr(w, CAST(i AS INT), 1) END AS sym,
+                  cnt
+                FROM (SELECT w, cnt, unnest(range(1, length(w) + 1)) AS i
+                      FROM wc)),
+         sc AS (SELECT sym, CAST(sum(cnt) AS BIGINT) AS c FROM sy GROUP BY 1),
+         p AS (SELECT CASE WHEN i = 1 THEN substr(w, 1, 1)
+                      ELSE '##' || substr(w, CAST(i AS INT), 1) END AS a,
+                 '##' || substr(w, CAST(i + 1 AS INT), 1) AS b, cnt
+               FROM (SELECT w, cnt, unnest(range(1, length(w))) AS i FROM wc)),
+         pc AS (SELECT a, b, CAST(sum(cnt) AS BIGINT) AS cp FROM p
+                GROUP BY 1, 2),
+         sj AS (SELECT pc.a, pc.b, pc.cp, sa.c AS ca, sb.c AS cb,
+                  CAST(pc.cp AS DOUBLE) /
+                    (CAST(sa.c AS DOUBLE) * CAST(sb.c AS DOUBLE)) AS score
+                FROM pc JOIN sc sa ON pc.a = sa.sym
+                        JOIN sc sb ON pc.b = sb.sym),
+         top AS (SELECT * FROM sj WHERE cp >= 2
+                 ORDER BY score DESC, cp DESC, a, b LIMIT 1)
+       SELECT a AS step1_left, b AS step1_right,
+              a || substr(b, 3) AS step1_merged, cp AS step1_count,
+              ca AS step1_left_count, cb AS step1_right_count,
+              CAST(round(score * 1e12) AS BIGINT) AS step1_score_p12,
+              TRUE AS merged_concat_ok, TRUE AS counts_ok,
+              TRUE AS steps_contiguous
+       FROM top"""
+
   // lazy: nbClassifyCtes is declared further down the object — a strict val
   // here would interpolate null at init order (caught by the driver-gate
   // replica: "WITH null," is a DuckDB parse error)
@@ -6480,7 +6639,10 @@ object ExtensionQueries {
     "x159_linear_train" -> x159 _,
     "x160_linear_classify" -> x160 _,
     "x161_linear_invariants" -> x161 _,
-    "x162_ann_lsh_multiprobe" -> x162 _
+    "x162_ann_lsh_multiprobe" -> x162 _,
+    "x163_wordpiece_encode" -> x163 _,
+    "x164_wordpiece_merges" -> x164 _,
+    "x165_wordpiece_invariants" -> x165 _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -6629,6 +6791,8 @@ object ExtensionQueries {
     "x155_margin_reliability" -> x155Sql,
     "x156_tokenizer_fertility" -> x156Sql,
     "x158_ann_recall_floor" -> x158Sql,
-    "x161_linear_invariants" -> x161Sql
+    "x161_linear_invariants" -> x161Sql,
+    "x163_wordpiece_encode" -> x163Sql,
+    "x165_wordpiece_invariants" -> x165Sql
   )
 }
