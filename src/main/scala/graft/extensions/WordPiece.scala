@@ -25,9 +25,16 @@ import org.apache.spark.sql.functions._
   * merges stay plain string concatenations the native
   * [[graft.functions.MergePair]] scan can apply); the exported/display form
   * maps marker-prefixed symbols to bare pieces and unmarked symbols to
-  * `##`-prefixed continuations. Corpora containing `\u0001` in tokens would
-  * alias word-initial symbols (not expressible in the whitespace-token
-  * space of any text corpus this engine ingests).
+  * `##`-prefixed continuations. Two display-space caveats, both outside
+  * the natural-text contract: corpora containing `\u0001` in tokens would
+  * alias word-initial symbols, and a corpus WORD literally starting with
+  * `#` can make a word-initial display piece collide with the continuation
+  * prefix (a bare piece displaying as `##x` is ambiguous with continuation
+  * `x` — [[wordpieceEncodeProfile]]'s own vocab validation rejects such
+  * pieces, and the trainer's display-ordered tie-break could in principle
+  * tie across the two spaces). Display form is therefore only faithful for
+  * corpora whose words don't start with `#` — true of any
+  * whitespace-tokenized natural text.
   *
   * Scale shape (the [[LanguageModel.bpeTrain]] idiom): both operators run
   * over the DISTINCT-WORD frequency relation, never the corpus — one corpus

@@ -5576,8 +5576,13 @@ object ExtensionQueries {
   // [a-pr-z0-9] bare + ## — 'q' is deliberately OUT-of-vocabulary (the
   // corpus alphabet is a–y, 'q' in ~0.7% of words), so the whole-word UNK
   // path is a real, exercised branch of the hash gate alongside greedy
-  // piece interaction and the word-keyed join back; the fallback is one
-  // regex CASE over that class.
+  // piece interaction and the word-keyed join back; the fallback regex
+  // class is GENERATED from the vocab's single-char cover (one source of
+  // truth — the generator also asserts the bare and ## covers coincide,
+  // which is what makes the closed form valid). The oracle's packed
+  // accumulator (pos·1e8 + toks·10 + unk) is exact for words up to 10^7
+  // chars — the Spark-side struct fold has no such bound; a longer single
+  // whitespace token would be an oracle-side divergence, not an engine bug.
   // ---------------------------------------------------------------------------
   private val x163Vocab: Seq[String] = {
     val singles = (('a' to 'z') ++ ('0' to '9')).filter(_ != 'q')
@@ -5594,14 +5599,26 @@ object ExtensionQueries {
       .withColumnRenamed("id", "doc_id")
 
   private val x163Sql: String = {
+    // single source of truth: the fallback char class comes from the vocab's
+    // single-char cover, and the closed form is only valid when the bare and
+    // ## single covers are the SAME set of plain alnum chars — asserted here
+    // so a future vocab edit can't silently desynchronize Spark and oracle
+    val bareSingles = x163Vocab
+      .filter(p => !p.startsWith("##") && p.length == 1).toSet
+    val contSingles = x163Vocab
+      .filter(p => p.startsWith("##") && p.length == 3).map(_.drop(2)).toSet
+    require(bareSingles == contSingles && bareSingles.nonEmpty &&
+      bareSingles.forall(s => s.head.isLetterOrDigit),
+      "x163 closed-form oracle needs identical alnum bare/## single covers")
+    val cls = "[" + bareSingles.toSeq.sorted.mkString + "]"
     val multi = x163Vocab.filter(p =>
       (if (p.startsWith("##")) p.length - 2 else p.length) > 1)
     val terms = multi.map { p =>
       if (p.startsWith("##"))
-        s"CASE WHEN acc // 1000000 > 1 AND substr(w, CAST(acc // 1000000 AS INT), ${p.length - 2}) = '${p.drop(2)}' THEN ${p.length - 2} ELSE 0 END"
+        s"CASE WHEN acc // 100000000 > 1 AND substr(w, CAST(acc // 100000000 AS INT), ${p.length - 2}) = '${p.drop(2)}' THEN ${p.length - 2} ELSE 0 END"
       else
-        s"CASE WHEN acc // 1000000 = 1 AND substr(w, CAST(acc // 1000000 AS INT), ${p.length}) = '$p' THEN ${p.length} ELSE 0 END"
-    } :+ "CASE WHEN substr(w, CAST(acc // 1000000 AS INT), 1) ~ '[a-pr-z0-9]' THEN 1 ELSE 0 END"
+        s"CASE WHEN acc // 100000000 = 1 AND substr(w, CAST(acc // 100000000 AS INT), ${p.length}) = '$p' THEN ${p.length} ELSE 0 END"
+    } :+ s"CASE WHEN substr(w, CAST(acc // 100000000 AS INT), 1) ~ '$cls' THEN 1 ELSE 0 END"
     val g = terms.mkString("GREATEST(\n               ",
       ",\n               ", ")")
     s"""WITH t AS (SELECT doc_id,
@@ -5610,18 +5627,18 @@ object ExtensionQueries {
            FROM documents),
          dw AS (SELECT DISTINCT w FROM t),
          enc0 AS (SELECT w, list_reduce(
-             list_prepend(CAST(1000000 AS BIGINT),
+             list_prepend(CAST(100000000 AS BIGINT),
                list_transform(range(1, CAST(length(w) AS BIGINT) + 1),
                  i -> CAST(0 AS BIGINT))),
              (acc, z) -> CASE
-               WHEN acc % 10 = 1 OR acc // 1000000 > length(w) THEN acc
+               WHEN acc % 10 = 1 OR acc // 100000000 > length(w) THEN acc
                WHEN $g = 0 THEN acc - (acc % 10) + 1
-               ELSE acc + $g * 1000000 + 10
+               ELSE acc + $g * 100000000 + 10
              END) AS st
            FROM dw),
          enc AS (SELECT w, length(w) AS chars,
                  CASE WHEN st % 10 = 1 THEN 1
-                      ELSE st % 1000000 // 10 END AS toks,
+                      ELSE st % 100000000 // 10 END AS toks,
                  st % 10 AS unk
                FROM enc0),
          d AS (SELECT doc_id, count(*) AS n_words,
