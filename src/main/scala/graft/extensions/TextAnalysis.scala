@@ -822,4 +822,70 @@ object TextAnalysis {
       .withColumn("boiler_ppm",
         expr("(n_boiler * 1000000) div greatest(n_grams, 1)"))
   }
+
+  /** Zipf rank–frequency fit — the corpus-naturalness audit ("does this
+    * corpus's token distribution look like text?"): per group, OLS of
+    * ln(frequency) on ln(rank) over the top `maxRank` terms. Natural
+    * language reads slope ≈ −1 with high r² (Zipf's law); machine-generated
+    * or template-heavy corpora bend the curve — the standard pre-training
+    * health check next to [[LanguageModel.tokenizerFertility]].
+    *
+    * Float contract (the [[graft.ops.TimeSeries.groupTrend]] idiom,
+    * composed onto the token-count relation): x = round(ln(rank)·1e6) and
+    * y = round(ln(count)·1e6) are integer micros, the six regression sums
+    * are EXACT (products summed in decimal(38,0) — Σy² clears 2⁶³ only
+    * there), and the closing slope/intercept/r² arithmetic is one fixed
+    * IEEE double expression per term over those exact sums — bit-identical
+    * across engines. Rank ties are impossible (row_number over count desc,
+    * term asc is total).
+    *
+    * Output per group: `group`, `n_ranks` (≤ maxRank), `slope_micro`,
+    * `intercept_micro`, `r2_micro` — micros as BIGINT; slope/intercept NULL
+    * for a single-rank group (no x spread), r2 NULL when either variance
+    * term is 0. NULL groups and token-less groups produce no row.
+    *
+    * Scale shape: ONE map-side-combined (group, term) count, a rank window
+    * over the per-group VOCABULARY relation (never the corpus), the
+    * maxRank cap bounding the fit relation, then one enum-bounded
+    * aggregate. The corpus is scanned once.
+    */
+  def zipfFit(df: DataFrame, group: Column, text: Column,
+      maxRank: Int = 1000): DataFrame = {
+    require(maxRank >= 2 && maxRank <= 100000,
+      s"maxRank must be in [2,100000], got $maxRank")
+    val counts = df.filter(group.isNotNull)
+      .select(group.cast("string").as("g"), explode(tokens(text)).as("tok"))
+      .groupBy("g", "tok").agg(count(lit(1)).as("cnt"))
+    val ranked = counts
+      .withColumn("r", row_number().over(
+        Window.partitionBy("g").orderBy(col("cnt").desc, col("tok"))))
+      .filter(col("r") <= maxRank)
+      .select(col("g"),
+        round(log(col("r").cast("double")) * 1e6).cast("long").as("x"),
+        round(log(col("cnt").cast("double")) * 1e6).cast("long").as("y"))
+    val agg = ranked.groupBy("g")
+      .agg(count(lit(1)).as("n_ranks"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"))
+    val nD = agg("n_ranks").cast("double")
+    val num = nD * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy")
+    val denX = nD * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx")
+    val denY = nD * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy")
+    // slope/intercept are in micro-log space on both axes, so slope is the
+    // dimensionless Zipf exponent scaled 1e6; intercept back-projects to
+    // the ln-frequency micro intercept at rank 1 (x = 0)
+    val slope = num / denX
+    agg.select(col("g").as("group"), col("n_ranks"),
+      when(denX > 0, round(slope * 1e6).cast("long")).as("slope_micro"),
+      when(denX > 0, round((col("sy").cast("double") -
+        slope * col("sx").cast("double")) / nD).cast("long"))
+        .as("intercept_micro"),
+      when(denX > 0 && denY > 0,
+        round(num * num / (denX * denY) * 1e6).cast("long")).as("r2_micro"))
+  }
 }

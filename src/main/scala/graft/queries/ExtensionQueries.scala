@@ -5738,6 +5738,60 @@ object ExtensionQueries {
               TRUE AS steps_contiguous
        FROM top"""
 
+  // ---------------------------------------------------------------------------
+  // X166 — Zipf rank–frequency fit (TextAnalysis.zipfFit): the corpus-
+  // naturalness audit — per language, OLS of ln(freq) on ln(rank) over the
+  // top-500 terms. Natural text reads slope ≈ −1 with high r²; template/
+  // machine-generated corpora bend the curve. Composition of the token-
+  // count relation with groupTrend's closing-arithmetic idiom (exact
+  // integer micro sums, decimal(38,0) product sums, one fixed IEEE double
+  // expression per output term), so the oracle replays every step —
+  // window rank, 6-dp ln micros, exact sums, pinned double arithmetic —
+  // and the whole fit is hash-compared.
+  // ---------------------------------------------------------------------------
+  private def x166(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.zipfFit(docs(s, dir), col("lang"), col("text"),
+      maxRank = 500)
+
+  private val x166Sql =
+    """WITH t AS (SELECT lang AS g,
+             unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+               x -> x <> '')) AS tok
+           FROM documents WHERE lang IS NOT NULL),
+         c AS (SELECT g, tok, count(*) AS cnt FROM t GROUP BY 1, 2),
+         rk AS (SELECT g, tok, cnt, row_number() OVER (
+                  PARTITION BY g ORDER BY cnt DESC, tok) AS r FROM c),
+         xy AS (SELECT g,
+                  CAST(round(ln(CAST(r AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+                  CAST(round(ln(CAST(cnt AS DOUBLE)) * 1e6) AS BIGINT) AS y
+                FROM rk WHERE r <= 500),
+         a AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                 sum(CAST(x * y AS DECIMAL(38,0))) AS sxy,
+                 sum(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+                 sum(CAST(y * y AS DECIMAL(38,0))) AS syy
+               FROM xy GROUP BY 1),
+         f AS (SELECT g, n,
+                 CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+                 CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS denx,
+                 CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS deny,
+                 CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+               FROM a)
+       SELECT g AS "group", n AS n_ranks,
+              CASE WHEN denx > 0
+                THEN CAST(round(num / denx * 1e6) AS BIGINT) END
+                AS slope_micro,
+              CASE WHEN denx > 0
+                THEN CAST(round((syd - num / denx * sxd) / n) AS BIGINT) END
+                AS intercept_micro,
+              CASE WHEN denx > 0 AND deny > 0
+                THEN CAST(round(num * num / (denx * deny) * 1e6) AS BIGINT) END
+                AS r2_micro
+       FROM f"""
+
   // lazy: nbClassifyCtes is declared further down the object — a strict val
   // here would interpolate null at init order (caught by the driver-gate
   // replica: "WITH null," is a DuckDB parse error)
@@ -6659,7 +6713,8 @@ object ExtensionQueries {
     "x162_ann_lsh_multiprobe" -> x162 _,
     "x163_wordpiece_encode" -> x163 _,
     "x164_wordpiece_merges" -> x164 _,
-    "x165_wordpiece_invariants" -> x165 _
+    "x165_wordpiece_invariants" -> x165 _,
+    "x166_zipf_fit" -> x166 _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -6810,6 +6865,7 @@ object ExtensionQueries {
     "x158_ann_recall_floor" -> x158Sql,
     "x161_linear_invariants" -> x161Sql,
     "x163_wordpiece_encode" -> x163Sql,
-    "x165_wordpiece_invariants" -> x165Sql
+    "x165_wordpiece_invariants" -> x165Sql,
+    "x166_zipf_fit" -> x166Sql
   )
 }
