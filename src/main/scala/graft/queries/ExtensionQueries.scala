@@ -5598,11 +5598,15 @@ object ExtensionQueries {
         x163Vocab)
       .withColumnRenamed("id", "doc_id")
 
-  private val x163Sql: String = {
-    // single source of truth: the fallback char class comes from the vocab's
-    // single-char cover, and the closed form is only valid when the bare and
-    // ## single covers are the SAME set of plain alnum chars — asserted here
-    // so a future vocab edit can't silently desynchronize Spark and oracle
+  /** The shared WordPiece-encode replay CTEs (dw/enc0/enc) — consumed by
+    * x163 and x167, each of which supplies its own preceding `t(..., w)`
+    * token CTE. Single source of truth: the fallback char class comes from
+    * the vocab's single-char cover, and the closed form is only valid when
+    * the bare and ## covers are the SAME set of plain alnum chars —
+    * asserted here so a future vocab edit can't silently desynchronize
+    * Spark and oracle.
+    */
+  private lazy val wpEncodeCtes: String = {
     val bareSingles = x163Vocab
       .filter(p => !p.startsWith("##") && p.length == 1).toSet
     val contSingles = x163Vocab
@@ -5621,11 +5625,7 @@ object ExtensionQueries {
     } :+ s"CASE WHEN substr(w, CAST(acc // 100000000 AS INT), 1) ~ '$cls' THEN 1 ELSE 0 END"
     val g = terms.mkString("GREATEST(\n               ",
       ",\n               ", ")")
-    s"""WITH t AS (SELECT doc_id,
-             unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
-               x -> x <> '')) AS w
-           FROM documents),
-         dw AS (SELECT DISTINCT w FROM t),
+    s"""dw AS (SELECT DISTINCT w FROM t),
          enc0 AS (SELECT w, list_reduce(
              list_prepend(CAST(100000000 AS BIGINT),
                list_transform(range(1, CAST(length(w) AS BIGINT) + 1),
@@ -5640,7 +5640,15 @@ object ExtensionQueries {
                  CASE WHEN st % 10 = 1 THEN 1
                       ELSE st % 100000000 // 10 END AS toks,
                  st % 10 AS unk
-               FROM enc0),
+               FROM enc0)"""
+  }
+
+  private lazy val x163Sql: String =
+    s"""WITH t AS (SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+               x -> x <> '')) AS w
+           FROM documents),
+         $wpEncodeCtes,
          d AS (SELECT doc_id, count(*) AS n_words,
                  CAST(sum(chars) AS BIGINT) AS n_word_chars,
                  CAST(sum(toks) AS BIGINT) AS n_tokens,
@@ -5651,7 +5659,6 @@ object ExtensionQueries {
               coalesce(n_tokens, 0) AS n_tokens,
               coalesce(n_unk_words, 0) AS n_unk_words
        FROM documents LEFT JOIN d USING (doc_id)"""
-  }
 
   // ---------------------------------------------------------------------------
   // X164/X165 — WordPiece vocabulary TRAINING (WordPiece.wordpieceTrain):
@@ -5791,6 +5798,120 @@ object ExtensionQueries {
                 THEN CAST(round(num * num / (denx * deny) * 1e6) AS BIGINT) END
                 AS r2_micro
        FROM f"""
+
+  // ---------------------------------------------------------------------------
+  // X167 — cross-tokenizer fertility comparison: the "which tokenizer fits
+  // which language" selection table — ONE relation with a row per
+  // (language, tokenizer) for whitespace / BPE (x99 merges) / WordPiece
+  // (x163 vocab), each carrying the x156 fertility metrics, so the
+  // vocabulary-allocation decision reads off a single query instead of
+  // joining three audits. Pure query-layer COMPOSITION of hash-green
+  // machinery (tokenizerFertility, wordpieceEncodeProfile, the token
+  // scan); the oracle unions x156's occ-replace arithmetic, the shared
+  // wpEncodeCtes replay, and trivial whitespace counts — every row fully
+  // hash-compared. Languages with zero words keep their rows (zeros/NULL
+  // micros) via the langs left-join, the x156 stance.
+  // ---------------------------------------------------------------------------
+  private def x167(s: SparkSession, dir: String): DataFrame = {
+    def microDiv(num: Column, den: Column): Column =
+      when(den === 0L, lit(null).cast("long"))
+        .otherwise(round(num.cast("double") / den * 1e6).cast("long"))
+    val d = docs(s, dir)
+    val base = d.filter(col("lang").isNotNull)
+    val langs = base.select(col("lang").cast("string").as("group")).distinct()
+    val bpe = LanguageModel.tokenizerFertility(d, col("lang"), col("text"),
+        x99Merges)
+      .select(col("group"), lit("bpe").as("tokenizer"), col("n_words"),
+        col("n_word_chars"), col("n_tokens"), col("fertility_micro"),
+        col("chars_per_token_micro"))
+    val wsAgg = base.select(col("lang").cast("string").as("group"),
+        explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .groupBy("group")
+      .agg(count(lit(1)).as("nw"),
+        sum(length(col("w")).cast("long")).as("nc"))
+    val ws = langs.join(broadcast(wsAgg), Seq("group"), "left")
+      .select(col("group"), lit("whitespace").as("tokenizer"),
+        coalesce(col("nw"), lit(0L)).as("n_words"),
+        coalesce(col("nc"), lit(0L)).as("n_word_chars"),
+        coalesce(col("nw"), lit(0L)).as("n_tokens"),
+        microDiv(coalesce(col("nw"), lit(0L)), coalesce(col("nw"), lit(0L)))
+          .as("fertility_micro"),
+        microDiv(coalesce(col("nc"), lit(0L)), coalesce(col("nw"), lit(0L)))
+          .as("chars_per_token_micro"))
+    val wp = WordPiece.wordpieceEncodeProfile(base, col("doc_id"),
+        col("text"), x163Vocab)
+      .join(base.select(col("doc_id").as("id"),
+        col("lang").cast("string").as("group")), Seq("id"))
+      .groupBy("group")
+      .agg(sum(col("n_words")).as("n_words"),
+        sum(col("n_word_chars")).as("n_word_chars"),
+        sum(col("n_tokens")).as("n_tokens"))
+      .select(col("group"), lit("wordpiece").as("tokenizer"), col("n_words"),
+        col("n_word_chars"), col("n_tokens"),
+        microDiv(col("n_tokens"), col("n_words")).as("fertility_micro"),
+        microDiv(col("n_word_chars"), col("n_tokens"))
+          .as("chars_per_token_micro"))
+    ws.unionByName(bpe).unionByName(wp)
+  }
+
+  private lazy val x167Sql = {
+    val occ = x99Merges.map { case (a, b) =>
+      s"- (length(w) - length(replace(w, '$a$b', ''))) // 2" }.mkString(" ")
+    val micro = (num: String, den: String) =>
+      s"CASE WHEN $den = 0 THEN NULL ELSE CAST(round($num * 1.0 / $den * 1000000) AS BIGINT) END"
+    s"""WITH t AS (SELECT doc_id, lang,
+             unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+               x -> x <> '')) AS w
+           FROM documents),
+         $wpEncodeCtes,
+         langs AS (SELECT DISTINCT lang AS g FROM documents
+                   WHERE lang IS NOT NULL),
+         wsx AS (SELECT lang AS g, CAST(count(*) AS BIGINT) AS nw,
+                   CAST(sum(length(w)) AS BIGINT) AS nc
+                 FROM t WHERE lang IS NOT NULL GROUP BY 1),
+         ws AS (SELECT g, 'whitespace' AS tokenizer,
+                  coalesce(nw, 0) AS n_words, coalesce(nc, 0) AS n_word_chars,
+                  coalesce(nw, 0) AS n_tokens,
+                  ${micro("coalesce(nw, 0)", "coalesce(nw, 0)")}
+                    AS fertility_micro,
+                  ${micro("coalesce(nc, 0)", "coalesce(nw, 0)")}
+                    AS chars_per_token_micro
+                FROM langs LEFT JOIN wsx USING (g)),
+         bpex AS (SELECT lang AS g, CAST(count(*) AS BIGINT) AS nw,
+                    CAST(sum(length(w)) AS BIGINT) AS nc,
+                    CAST(sum(length(w) $occ) AS BIGINT) AS nt
+                  FROM t WHERE lang IS NOT NULL GROUP BY 1),
+         bpe AS (SELECT g, 'bpe' AS tokenizer,
+                   coalesce(nw, 0) AS n_words, coalesce(nc, 0) AS n_word_chars,
+                   coalesce(nt, 0) AS n_tokens,
+                   ${micro("coalesce(nt, 0)", "coalesce(nw, 0)")}
+                     AS fertility_micro,
+                   ${micro("coalesce(nc, 0)", "coalesce(nt, 0)")}
+                     AS chars_per_token_micro
+                 FROM langs LEFT JOIN bpex USING (g)),
+         wpx AS (SELECT t.lang AS g, CAST(count(*) AS BIGINT) AS nw,
+                   CAST(sum(enc.chars) AS BIGINT) AS nc,
+                   CAST(sum(CASE WHEN enc.unk = 1 THEN 1
+                            ELSE enc.toks END) AS BIGINT) AS nt
+                 FROM t JOIN enc USING (w) WHERE t.lang IS NOT NULL
+                 GROUP BY 1),
+         wp AS (SELECT g, 'wordpiece' AS tokenizer,
+                  coalesce(nw, 0) AS n_words, coalesce(nc, 0) AS n_word_chars,
+                  coalesce(nt, 0) AS n_tokens,
+                  ${micro("coalesce(nt, 0)", "coalesce(nw, 0)")}
+                    AS fertility_micro,
+                  ${micro("coalesce(nc, 0)", "coalesce(nt, 0)")}
+                    AS chars_per_token_micro
+                FROM langs LEFT JOIN wpx USING (g))
+       SELECT g AS "group", tokenizer, n_words, n_word_chars, n_tokens,
+              fertility_micro, chars_per_token_micro FROM ws
+       UNION ALL
+       SELECT g, tokenizer, n_words, n_word_chars, n_tokens,
+              fertility_micro, chars_per_token_micro FROM bpe
+       UNION ALL
+       SELECT g, tokenizer, n_words, n_word_chars, n_tokens,
+              fertility_micro, chars_per_token_micro FROM wp"""
+  }
 
   // lazy: nbClassifyCtes is declared further down the object — a strict val
   // here would interpolate null at init order (caught by the driver-gate
@@ -6714,7 +6835,8 @@ object ExtensionQueries {
     "x163_wordpiece_encode" -> x163 _,
     "x164_wordpiece_merges" -> x164 _,
     "x165_wordpiece_invariants" -> x165 _,
-    "x166_zipf_fit" -> x166 _
+    "x166_zipf_fit" -> x166 _,
+    "x167_tokenizer_compare" -> x167 _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -6866,6 +6988,7 @@ object ExtensionQueries {
     "x161_linear_invariants" -> x161Sql,
     "x163_wordpiece_encode" -> x163Sql,
     "x165_wordpiece_invariants" -> x165Sql,
-    "x166_zipf_fit" -> x166Sql
+    "x166_zipf_fit" -> x166Sql,
+    "x167_tokenizer_compare" -> x167Sql
   )
 }

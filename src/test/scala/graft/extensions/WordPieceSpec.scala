@@ -146,6 +146,34 @@ class WordPieceSpec extends AnyFunSuite with SparkTestSession {
     assert(out.head.getAs[Long]("n_unk_words") == 1L)
   }
 
+  test("x167 tokenizer comparison: hand-traced rows incl. wordless language") {
+    import spark.implicits._
+    // lang aa: "the the" — whitespace 2 tokens; BPE under the x99 merges
+    // (t+h, e+r, ...) splits each "the" to [th, e] → 4 tokens; WordPiece
+    // under the x163 vocab has "the" whole → 2 tokens. lang bb is wordless.
+    val d = Seq((1L, "the the", "aa", "web", 7L),
+      (2L, "   ", "bb", "web", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("tokcmp").toString
+    d.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.SparkEntry.queries("x167_tokenizer_compare")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(out.size == 6, "2 langs x 3 tokenizers")
+    val ws = out(("aa", "whitespace"))
+    assert((ws.getLong(2), ws.getLong(3), ws.getLong(4)) == ((2L, 6L, 2L)))
+    assert(ws.getLong(5) == 1000000L && ws.getLong(6) == 3000000L)
+    val bpe = out(("aa", "bpe"))
+    assert(bpe.getLong(4) == 4L, "th+e per word under the t+h merge")
+    assert(bpe.getLong(5) == 2000000L && bpe.getLong(6) == 1500000L)
+    val wp = out(("aa", "wordpiece"))
+    assert(wp.getLong(4) == 2L, "'the' is a whole vocab piece")
+    assert(wp.getLong(5) == 1000000L && wp.getLong(6) == 3000000L)
+    val none = out(("bb", "whitespace"))
+    assert(none.getLong(2) == 0L && none.isNullAt(5) && none.isNullAt(6))
+    assert(out(("bb", "bpe")).getLong(4) == 0L)
+    assert(out(("bb", "wordpiece")).getLong(4) == 0L)
+  }
+
   test("wordpieceEncodeProfile: vocab validation") {
     import spark.implicits._
     val d = Seq((1L, "a")).toDF("doc_id", "text")
