@@ -31,10 +31,11 @@ import org.apache.spark.sql.functions._
   * `#` can make a word-initial display piece collide with the continuation
   * prefix (a bare piece displaying as `##x` is ambiguous with continuation
   * `x` — [[wordpieceEncodeProfile]]'s own vocab validation rejects such
-  * pieces, and the trainer's display-ordered tie-break could in principle
-  * tie across the two spaces). Display form is therefore only faithful for
-  * corpora whose words don't start with `#` — true of any
-  * whitespace-tokenized natural text.
+  * pieces). [[wordpieceTrain]] GUARDS that collision (round-14 advisory):
+  * a winning merge whose word-initial display form would land in the `##`
+  * continuation space fails loudly instead of emitting a silently
+  * ambiguous merge row — zero-cost for whitespace-tokenized natural text,
+  * where no word starts with `#`.
   *
   * Scale shape (the [[LanguageModel.bpeTrain]] idiom): both operators run
   * over the DISTINCT-WORD frequency relation, never the corpus — one corpus
@@ -118,6 +119,18 @@ object WordPiece {
       else {
         val r = top.head
         val (a, b) = (r.getAs[String]("a"), r.getAs[String]("b"))
+        // Display-collision guard (round-14 advisory): a word-initial merged
+        // symbol whose CONTENT starts with "##" (only possible when a corpus
+        // word starts with "##") would display as "##x" — byte-identical to
+        // the continuation piece x. Initial symbols are single chars and `a`
+        // is a prefix of every later merged form, so checking each round's
+        // winner covers all emitted rows. Fail loudly rather than emit an
+        // ambiguous merge table.
+        require(!(a + b).startsWith(Marker + "##"),
+          s"wordpieceTrain: winning merge displays as '${displayOf(a + b)}' " +
+            "— a word-initial piece rendered into the '##' continuation " +
+            "space (the corpus has words starting with '#'); display rows " +
+            "would be ambiguous. Pre-filter such words before training.")
         merges += ((step, a, b, r.getAs[Long]("cp"), r.getAs[Long]("ca"),
           r.getAs[Long]("cb"), r.getAs[Double]("score")))
         syms = syms.select(col("cnt"),

@@ -848,6 +848,33 @@ object ExtensionQueries {
     s.read.parquet(path)
   }
 
+  // Driver-side memo of the ANN model fits (round-14 verdict ask #1):
+  // seven query entries (x137/x138/x139/x140/x153/x154 + the x157 audit)
+  // refit IDENTICAL PQ codebooks and IVF cells per sweep — after the
+  // measured pqM 4→8 recall buy the m deterministic k-means runs dominate
+  // the family's cost at every scale. Results are bit-identical by the
+  // fitCentroids/pqFit determinism contract (fixed seed, bounded sample,
+  // pinned input order — the contract x87 AUDITS with a deliberately
+  // UNCACHED refit), so serving the memo moves only the cost. Keyed by
+  // CONTENT fingerprint + params (the cachedBruteTopK stance), not by sf
+  // dir: regenerated data misses the cache instead of being served stale
+  // models. TrieMap getOrElseUpdate may fit twice under a concurrent race
+  // (the ConcurrencySpec shape) — benign, both fits are the same bits.
+  private val ivfCellsCache = scala.collection.concurrent
+    .TrieMap[(Long, Long, Int), Seq[Seq[Double]]]()
+  private val pqBooksCache = scala.collection.concurrent
+    .TrieMap[(Long, Long, Int, Int), Seq[Seq[Seq[Double]]]]()
+
+  private def cachedIvfCells(e: DataFrame, fp: (Long, Long),
+      nCentroids: Int): Seq[Seq[Double]] =
+    ivfCellsCache.getOrElseUpdate((fp._1, fp._2, nCentroids),
+      Similarity.fitCentroids(e, col("embedding"), nCentroids))
+
+  private def cachedPqBooks(e: DataFrame, fp: (Long, Long), m: Int,
+      k: Int): Seq[Seq[Seq[Double]]] =
+    pqBooksCache.getOrElseUpdate((fp._1, fp._2, m, k),
+      Similarity.pqFit(e, col("embedding"), d = 64, m = m, k = k))
+
   private def x26(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = embeds(s, dir)
@@ -4987,14 +5014,15 @@ object ExtensionQueries {
 
   private def x137(s: SparkSession, dir: String): DataFrame = {
     val e = embeds(s, dir)
-    val books = Similarity.pqFit(e, col("embedding"), d = 64, m = pqM,
-      k = pqCodes)
+    val fp = corpusFingerprint(e)
+    val books = cachedPqBooks(e, fp, pqM, pqCodes)
     Similarity.pqAdcTopK(e.filter(col("vec_id") < 8), e, k = 10, books)
   }
 
   // ---------------------------------------------------------------------------
-  // X138 — PQ invariant audit (x137's oracle twin, the x87 pattern): refits
-  // the SAME bounded-sample codebooks (deterministic for fixed seed/sample),
+  // X138 — PQ invariant audit (x137's oracle twin, the x87 pattern): shares
+  // x137's content-keyed memoized codebooks (cachedPqBooks — bit-identical
+  // to a refit by the determinism contract x87 audits uncached),
   // re-derives every corpus code through the INTERPRETED HOF argmin over the
   // centroid literals (same ‖c‖²−2·v·c ranking as the native NearestCells,
   // so ties cannot split the formulations), and checks the x137 relation
@@ -5006,8 +5034,8 @@ object ExtensionQueries {
   // ---------------------------------------------------------------------------
   private def x138(s: SparkSession, dir: String): DataFrame = {
     val e = embeds(s, dir)
-    val books = Similarity.pqFit(e, col("embedding"), d = 64, m = pqM,
-      k = pqCodes)
+    val fp = corpusFingerprint(e)
+    val books = cachedPqBooks(e, fp, pqM, pqCodes)
     val sub = 64 / pqM
     val booksLit = typedLit(books)
     val enc = Similarity.pqEncode(e, col("vec_id"), col("embedding"), books)
@@ -5083,16 +5111,17 @@ object ExtensionQueries {
 
   private def x139(s: SparkSession, dir: String): DataFrame = {
     val e = embeds(s, dir)
-    val cells = Similarity.fitCentroids(e, col("embedding"), ivfPqCells)
-    val books = Similarity.pqFit(e, col("embedding"), d = 64, m = pqM,
-      k = pqCodes)
+    val fp = corpusFingerprint(e)
+    val cells = cachedIvfCells(e, fp, ivfPqCells)
+    val books = cachedPqBooks(e, fp, pqM, pqCodes)
     Similarity.ivfPqTopK(e.filter(col("vec_id") < 8), e, k = 10, cells,
       ivfPqProbe, books)
   }
 
   // ---------------------------------------------------------------------------
-  // X140 — IVF-PQ invariant audit (x139's oracle twin): refits the SAME
-  // deterministic cells + codebooks, then checks per corpus vector that the
+  // X140 — IVF-PQ invariant audit (x139's oracle twin): shares x139's
+  // content-keyed memoized cells + codebooks (bit-identical to a refit by
+  // the determinism contract), then checks per corpus vector that the
   // scan's cell assignment matches the interpreted HOF argmin (x87's
   // independent formulation, same ‖c‖²−2·v·c ranking), and over the x139
   // relation that (a) every returned neighbor sits in one of its query's
@@ -5103,9 +5132,9 @@ object ExtensionQueries {
   // ---------------------------------------------------------------------------
   private def x140(s: SparkSession, dir: String): DataFrame = {
     val e = embeds(s, dir)
-    val cells = Similarity.fitCentroids(e, col("embedding"), ivfPqCells)
-    val books = Similarity.pqFit(e, col("embedding"), d = 64, m = pqM,
-      k = pqCodes)
+    val fp = corpusFingerprint(e)
+    val cells = cachedIvfCells(e, fp, ivfPqCells)
+    val books = cachedPqBooks(e, fp, pqM, pqCodes)
     val booksLit = typedLit(books)
     val cellsLit = typedLit(cells)
     val cellNorms = typedLit(cells.map(c => c.map(x => x * x).sum))
@@ -5180,16 +5209,17 @@ object ExtensionQueries {
   // ---------------------------------------------------------------------------
   private def x153(s: SparkSession, dir: String): DataFrame = {
     val e = embeds(s, dir)
-    val cells = Similarity.fitCentroids(e, col("embedding"), ivfPqCells)
-    val books = Similarity.pqFit(e, col("embedding"), d = 64, m = pqM,
-      k = pqCodes)
+    val fp = corpusFingerprint(e)
+    val cells = cachedIvfCells(e, fp, ivfPqCells)
+    val books = cachedPqBooks(e, fp, pqM, pqCodes)
     Similarity.ivfPqRefineTopK(e.filter(col("vec_id") < 8), e, k = 5, r = 20,
       cells, ivfPqProbe, books)
   }
 
   // ---------------------------------------------------------------------------
   // X154 — refinement invariant audit (x153's oracle twin, the x140
-  // pattern): refits the SAME deterministic cells + codebooks, re-runs both
+  // pattern): shares x153's content-keyed memoized cells + codebooks
+  // (bit-identical to a refit by the determinism contract), re-runs both
   // the proposing ADC stage and the refined operator, and asserts
   //  - ok_subset: every refined (query, neighbor) pair came from the ADC
   //    top-r candidate set (anti-join empty),
@@ -5209,9 +5239,9 @@ object ExtensionQueries {
   private def x154(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = embeds(s, dir)
-    val cells = Similarity.fitCentroids(e, col("embedding"), ivfPqCells)
-    val books = Similarity.pqFit(e, col("embedding"), d = 64, m = pqM,
-      k = pqCodes)
+    val fp = corpusFingerprint(e)
+    val cells = cachedIvfCells(e, fp, ivfPqCells)
+    val books = cachedPqBooks(e, fp, pqM, pqCodes)
     val queries = e.filter(col("vec_id") < 8)
     val refined = Similarity.ivfPqRefineTopK(queries, e, k = 5, r = 20,
       cells, ivfPqProbe, books).localCheckpoint()
@@ -5396,9 +5426,9 @@ object ExtensionQueries {
     val truthCos = cachedBruteTopK(s, e, queries, k = 50, nVecs, step)
       .filter(col("rank") <= k).localCheckpoint()
     val truthL2 = Similarity.bruteForceL2TopK(queries, e, k).localCheckpoint()
-    val cells = Similarity.fitCentroids(e, col("embedding"), ivfPqCells)
-    val books = Similarity.pqFit(e, col("embedding"), d = 64, m = pqM,
-      k = pqCodes)
+    val fp = corpusFingerprint(e)
+    val cells = cachedIvfCells(e, fp, ivfPqCells)
+    val books = cachedPqBooks(e, fp, pqM, pqCodes)
     val ests: Seq[(String, DataFrame, DataFrame)] = Seq(
       ("ann_lsh", Similarity.annTopK(queries, e, k, nBits = 8), truthCos),
       ("ann_lsh_mp", Similarity.annTopKMultiProbe(queries, e, k, nBits = 8),
@@ -5580,8 +5610,9 @@ object ExtensionQueries {
   // class is GENERATED from the vocab's single-char cover (one source of
   // truth — the generator also asserts the bare and ## covers coincide,
   // which is what makes the closed form valid). The oracle's packed
-  // accumulator (pos·1e8 + toks·10 + unk) is exact for words up to 10^7
-  // chars — the Spark-side struct fold has no such bound; a longer single
+  // accumulator (pos·1e8 + toks·10 + unk) is exact for words UNDER 10^7
+  // chars (the toks field holds at most 9,999,999 before overflowing into
+  // pos) — the Spark-side struct fold has no such bound; a longer single
   // whitespace token would be an oracle-side divergence, not an engine bug.
   // ---------------------------------------------------------------------------
   private val x163Vocab: Seq[String] = {
@@ -5677,9 +5708,14 @@ object ExtensionQueries {
   // steps (denominators change as symbols merge), so no order invariant is
   // claimed.
   // ---------------------------------------------------------------------------
+  // ONE minCount for the trainer calls (x164/x165), the countsOk invariant,
+  // and (via interpolation) the x165 oracle's WHERE clause — round-14
+  // advisory: a hardcoded triplicate desynchronizes silently when edited.
+  private val wpMinCount = 2L
+
   private def x164(s: SparkSession, dir: String): DataFrame =
     WordPiece.wordpieceTrain(docs(s, dir), col("text"), nMerges = 10,
-        minCount = 2L)
+        minCount = wpMinCount)
       .withColumn("score_p12", round(col("score") * 1e12).cast("long"))
       .drop("score")
 
@@ -5687,7 +5723,7 @@ object ExtensionQueries {
     import s.implicits._
     // bounded collect: <= nMerges rows by construction
     val m = WordPiece.wordpieceTrain(docs(s, dir), col("text"), nMerges = 10,
-      minCount = 2L).collect()
+      minCount = wpMinCount).collect()
     val byStep = m.sortBy(_.getAs[Long]("step"))
     // degenerate corpus (no pair reaches minCount): empty relation, like x97
     val rows = byStep.headOption.toSeq.map { s1 =>
@@ -5697,7 +5733,7 @@ object ExtensionQueries {
       }
       val countsOk = byStep.forall { r =>
         val cp = r.getAs[Long]("pair_count")
-        cp >= 2L && cp <= math.min(r.getAs[Long]("left_count"),
+        cp >= wpMinCount && cp <= math.min(r.getAs[Long]("left_count"),
           r.getAs[Long]("right_count"))
       }
       val stepsOk = byStep.map(_.getAs[Long]("step")).toSeq ==
@@ -5713,9 +5749,9 @@ object ExtensionQueries {
       "merged_concat_ok", "counts_ok", "steps_contiguous")
   }
 
-  private val x165Sql =
-    """WITH w AS (SELECT unnest(list_filter(
-             regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS w
+  private lazy val x165Sql =
+    s"""WITH w AS (SELECT unnest(list_filter(
+             regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS w
            FROM documents),
          wc AS (SELECT w, count(*) AS cnt FROM w GROUP BY 1),
          sy AS (SELECT CASE WHEN i = 1 THEN substr(w, 1, 1)
@@ -5735,7 +5771,7 @@ object ExtensionQueries {
                     (CAST(sa.c AS DOUBLE) * CAST(sb.c AS DOUBLE)) AS score
                 FROM pc JOIN sc sa ON pc.a = sa.sym
                         JOIN sc sb ON pc.b = sb.sym),
-         top AS (SELECT * FROM sj WHERE cp >= 2
+         top AS (SELECT * FROM sj WHERE cp >= $wpMinCount
                  ORDER BY score DESC, cp DESC, a, b LIMIT 1)
        SELECT a AS step1_left, b AS step1_right,
               a || substr(b, 3) AS step1_merged, cp AS step1_count,

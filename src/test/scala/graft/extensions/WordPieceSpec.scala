@@ -174,6 +174,30 @@ class WordPieceSpec extends AnyFunSuite with SparkTestSession {
     assert(out(("bb", "wordpiece")).getLong(4) == 0L)
   }
 
+  test("wordpieceTrain: '#'-initial corpus word display collision is guarded") {
+    import spark.implicits._
+    // "##x"×3 → symbols [⟨#, #, x]; merging ⟨# + # gives a word-initial
+    // symbol whose display form is "##" + ... — byte-identical to the
+    // continuation space (round-14 advisory). The trainer must fail loudly
+    // instead of emitting the ambiguous merge row.
+    val bad = Seq((1L, "##x ##x ##x")).toDF("doc_id", "text")
+    val ex = intercept[IllegalArgumentException] {
+      WordPiece.wordpieceTrain(bad, col("text"), nMerges = 3, minCount = 2L)
+    }
+    assert(ex.getMessage.contains("continuation space"))
+    // a single '#' prefix stays unambiguous ("#t" is not a ## piece) and
+    // must keep training normally
+    val ok = Seq((1L, "#tag #tag #tag")).toDF("doc_id", "text")
+    val m = WordPiece.wordpieceTrain(ok, col("text"), nMerges = 3,
+      minCount = 2L).collect()
+    // continuation merges legitimately display as ##…; only WORD-INITIAL
+    // pieces (left not ##-prefixed) must stay out of the continuation space
+    assert(m.nonEmpty && m.forall { r =>
+      r.getAs[String]("left").startsWith("##") ||
+        !r.getAs[String]("merged").startsWith("##")
+    })
+  }
+
   test("wordpieceEncodeProfile: vocab validation") {
     import spark.implicits._
     val d = Seq((1L, "a")).toDF("doc_id", "text")
