@@ -199,16 +199,31 @@ object Similarity {
     * broadcast side grows nBits+1×). Per (query, neighbor) at most one
     * candidate row — a corpus vector has exactly one bucket and the probe
     * set is distinct — so no dedup stage is needed.
+    *
+    * `maxHamming` widens the probe set to every bucket within that Hamming
+    * radius (1 = the Lv et al. one-flip default; 2 adds the C(nBits,2)
+    * two-flip buckets — 1+nBits+nBits·(nBits−1)/2 probes, still query-side
+    * only). Measured before adoption (PROBE_recall_scale_r15.json): at
+    * nBits=8 the radius-2 set covers 37/256 of the key space for ~4× the
+    * radius-1 candidate budget; see BASELINE.md r15 for the recall/cost
+    * verdict vs IVF at the same budget.
     */
   def annTopKMultiProbe(queries: DataFrame, corpus: DataFrame, k: Int,
-      nBits: Int): DataFrame = {
+      nBits: Int, maxHamming: Int = 1): DataFrame = {
     require(nBits >= 2 && nBits <= 32, s"nBits must be in [2,32], got $nBits")
+    require(maxHamming >= 1 && maxHamming <= 2,
+      s"maxHamming must be 1 or 2, got $maxHamming")
     def flip(b: Column, i: Int): Column = concat(
       substring(b, 1, i),
       when(substring(b, i + 1, 1) === "1", lit("0")).otherwise(lit("1")),
       substring(b, i + 2, nBits - i - 1))
     val qb = lshBucket(col("embedding"), nBits)
-    val probes = array((qb +: (0 until nBits).map(i => flip(qb, i))): _*)
+    val flips1 = (0 until nBits).map(i => flip(qb, i))
+    val flips2 = if (maxHamming < 2) Seq.empty[Column]
+      else for {
+        i <- 0 until nBits; j <- (i + 1) until nBits
+      } yield flip(flip(qb, i), j)
+    val probes = array((qb +: flips1) ++ flips2: _*)
     val q = broadcast(queries.select(col("vec_id").as("query_id"),
       col("embedding").as("qv"), norm(col("embedding")).as("qn"),
       explode(probes).as("bucket")))

@@ -5202,18 +5202,25 @@ object ExtensionQueries {
   // ---------------------------------------------------------------------------
   // X153 — IVF-PQ + exact re-rank refinement (Similarity.ivfPqRefineTopK,
   // FAISS's IndexRefineFlat composition): the compressed index proposes
-  // r=20 ADC candidates per query, exact L2² re-scores only those and
-  // re-ranks to the final top-5. Rows-only BY CONTRACT (k-means-derived
+  // r=50 ADC candidates per query, exact L2² re-scores only those and
+  // re-ranks to the final top-5. r raised 20→50 in round 15 on the
+  // measured curve (PROBE_recall_scale_r15.json): recall@5 0.62→0.74 /
+  // 0.52→0.635 / 0.286→0.352 at sf0.01/sf0.1/sf1 for ZERO extra measured
+  // cost (the candidate set is |queries|·r bounded either way; the ADC
+  // proposal scan dominates). Rows-only BY CONTRACT (k-means-derived
   // cells/codebooks — the x139 family); x154 is its oracle-checked
   // invariant twin.
   // ---------------------------------------------------------------------------
+  // ONE r for the operator call, the audit's candidate re-derivation, and
+  // the x157 estimator row (the wpMinCount anti-desync stance).
+  private val refineR = 50
   private def x153(s: SparkSession, dir: String): DataFrame = {
     val e = embeds(s, dir)
     val fp = corpusFingerprint(e)
     val cells = cachedIvfCells(e, fp, ivfPqCells)
     val books = cachedPqBooks(e, fp, pqM, pqCodes)
-    Similarity.ivfPqRefineTopK(e.filter(col("vec_id") < 8), e, k = 5, r = 20,
-      cells, ivfPqProbe, books)
+    Similarity.ivfPqRefineTopK(e.filter(col("vec_id") < 8), e, k = 5,
+      r = refineR, cells, ivfPqProbe, books)
   }
 
   // ---------------------------------------------------------------------------
@@ -5243,10 +5250,10 @@ object ExtensionQueries {
     val cells = cachedIvfCells(e, fp, ivfPqCells)
     val books = cachedPqBooks(e, fp, pqM, pqCodes)
     val queries = e.filter(col("vec_id") < 8)
-    val refined = Similarity.ivfPqRefineTopK(queries, e, k = 5, r = 20,
+    val refined = Similarity.ivfPqRefineTopK(queries, e, k = 5, r = refineR,
       cells, ivfPqProbe, books).localCheckpoint()
-    val cand = Similarity.ivfPqTopK(queries, e, k = 20, cells, ivfPqProbe,
-      books).localCheckpoint()
+    val cand = Similarity.ivfPqTopK(queries, e, k = refineR, cells,
+      ivfPqProbe, books).localCheckpoint()
     // exact distances of ALL candidates in ADC order (for dominance), via
     // the independent norms-minus-dot formulation (also feeds ok_exact)
     val qv = broadcast(e.filter(col("vec_id") < 8)
@@ -5394,7 +5401,7 @@ object ExtensionQueries {
   // IVF-PQ+refine) scores against an inline exact-L2² top-5
   // (bruteForceL2TopK, self-candidates kept — the family's contract).
   // Estimator params are the registered queries' own (x06 nBits=8, x13/x26
-  // IVF 16/4, x137/x139/x153 m=8 k=16 cells=8 probe=3 r=20), so the numbers
+  // IVF 16/4, x137/x139/x153 m=8 k=16 cells=8 probe=3 r=50, mp radius 2), so the numbers
   // certify the SHIPPED configurations. k-means-derived → rows-only BY
   // CONTRACT; x158 is its oracle-checked floor twin.
   // ---------------------------------------------------------------------------
@@ -5431,15 +5438,15 @@ object ExtensionQueries {
     val books = cachedPqBooks(e, fp, pqM, pqCodes)
     val ests: Seq[(String, DataFrame, DataFrame)] = Seq(
       ("ann_lsh", Similarity.annTopK(queries, e, k, nBits = 8), truthCos),
-      ("ann_lsh_mp", Similarity.annTopKMultiProbe(queries, e, k, nBits = 8),
-        truthCos),
+      ("ann_lsh_mp", Similarity.annTopKMultiProbe(queries, e, k, nBits = 8,
+        maxHamming = 2), truthCos),
       ("ivf", Similarity.ivfTopK(queries, e, k, nCentroids = 16, nProbe = 4),
         truthCos),
       ("pq_adc", Similarity.pqAdcTopK(queries, e, k, books), truthL2),
       ("ivfpq", Similarity.ivfPqTopK(queries, e, k, cells, ivfPqProbe, books),
         truthL2),
-      ("ivfpq_refine", Similarity.ivfPqRefineTopK(queries, e, k, r = 20,
-        cells, ivfPqProbe, books), truthL2))
+      ("ivfpq_refine", Similarity.ivfPqRefineTopK(queries, e, k,
+        r = refineR, cells, ivfPqProbe, books), truthL2))
     ests.map { case (name, est, truth) =>
       Similarity.recallAtK(est, truth, k).agg(
         count(lit(1)).as("n_queries"),
@@ -5466,7 +5473,7 @@ object ExtensionQueries {
   // that the corpus breathed.
   // ---------------------------------------------------------------------------
   private val recallFloorsMicro: Seq[(String, Long)] = Seq(
-    "ann_lsh" -> 10000L, "ann_lsh_mp" -> 100000L, "ivf" -> 500000L,
+    "ann_lsh" -> 10000L, "ann_lsh_mp" -> 300000L, "ivf" -> 500000L,
     "pq_adc" -> 250000L, "ivfpq" -> 300000L, "ivfpq_refine" -> 450000L)
 
   private def x158(s: SparkSession, dir: String): DataFrame = {
@@ -5579,17 +5586,22 @@ object ExtensionQueries {
   // X162 — multi-probe sign-LSH top-k (Similarity.annTopKMultiProbe): the
   // recall fix the x157 audit motivated — single-bucket sign-LSH@8bits
   // measured recall@5 ≈ 0.02 at sf0.01, so each query also probes every
-  // Hamming-distance-1 bucket (9 probes, query-side fan-out only; the
-  // corpus is scanned and bucketed exactly once, as in x06). Same adaptive
-  // query sample as x13/x26. Engine-specific xxhash64 bucketing → rows-only
-  // BY CONTRACT; its quality twin is x158's oracle-checked ann_lsh_mp
-  // recall floor (measured 10–24× the single-probe recall).
+  // bucket within Hamming radius 2 (37 probes, query-side fan-out only;
+  // the corpus is scanned and bucketed exactly once, as in x06). Radius
+  // 1→2 adopted in round 15 on the measured curve
+  // (PROBE_recall_scale_r15.json: recall@5 0.13–0.20 → 0.365–0.48 across
+  // sf0.001/0.01/0.1, ~0.40 at honest sf1/10× density, for a ≤1.5 s
+  // estimator cost at sf1 — beating IVF-PQ@k16 and approaching IVF at
+  // about half its cost, with zero training). Same adaptive query sample
+  // as x13/x26. Engine-specific xxhash64 bucketing → rows-only BY
+  // CONTRACT; its quality twin is x158's oracle-checked ann_lsh_mp recall
+  // floor (0.30 — set under the weakest gate-scale radius-2 reading).
   // ---------------------------------------------------------------------------
   private def x162(s: SparkSession, dir: String): DataFrame = {
     val e = embeds(s, dir)
     val step = math.max(50L, e.count() / 100L)
     Similarity.annTopKMultiProbe(e.filter(col("vec_id") % step === 0), e,
-      k = 5, nBits = 8)
+      k = 5, nBits = 8, maxHamming = 2)
   }
 
   // ---------------------------------------------------------------------------

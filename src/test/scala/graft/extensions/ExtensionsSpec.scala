@@ -328,6 +328,31 @@ class ExtensionsSpec extends AnyFunSuite with SparkTestSession {
       "query-id predicate should not sit above the window")
   }
 
+  test("multi-probe LSH: Hamming-2 probe set dominates Hamming-1 per rank") {
+    import spark.implicits._
+    val rng = new scala.util.Random(19)
+    val df = (0L until 150L).map(i => (i, Array.fill(16)(rng.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") % 15 === 0)
+    def byRank(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        (r.getAs[Double]("sim"), r.getAs[Long]("neighbor_id"))).toMap
+    val h1 = byRank(Similarity.annTopKMultiProbe(queries, df, k = 3, nBits = 6))
+    val h2 = byRank(Similarity.annTopKMultiProbe(queries, df, k = 3, nBits = 6,
+      maxHamming = 2))
+    // radius-2 probes a SUPERSET of radius-1's buckets, so at every (query,
+    // rank) the radius-2 list's similarity must be >= radius-1's
+    h1.foreach { case (qr, (sim1, _)) =>
+      assert(h2.contains(qr), s"$qr vanished under wider probing")
+      assert(h2(qr)._1 >= sim1, s"$qr: h2 sim ${h2(qr)._1} < h1 sim $sim1")
+    }
+    assert(h2.size >= h1.size)
+    intercept[IllegalArgumentException] {
+      Similarity.annTopKMultiProbe(queries, df, k = 3, nBits = 6,
+        maxHamming = 3)
+    }
+  }
+
   test("IVF recall: probed cells find the planted twin; recall vs brute force") {
     import spark.implicits._
     val rng = new scala.util.Random(11)

@@ -12,8 +12,16 @@ create degenerate cross-copy duplicates:
    preserved exactly while cross-copy Jaccard drops to 0 — pair counts and
    LSH bucket sizes scale linearly like a genuinely larger corpus, not
    quadratically like a cloned one. n_chars is recomputed.
- - embeddings: copies get small deterministic Gaussian noise (seeded per
-   copy), keeping cluster/label structure without exact-tie vectors.
+ - embeddings: copy 0 keeps the original rows; copies 1..K-1 are FRESH
+   per-label Gaussian draws from the corpus's own cluster statistics
+   (per-label mean + per-dim std, one fixed seed per copy) — NOT noisy
+   duplicates of existing rows. The old noisy-copy scheme planted a
+   near-duplicate true neighbor for every query, so recall measured at
+   scale was an upper bound only (round-14 BASELINE caveat); independent
+   draws from the same mixture make scaled recall the honest
+   denser-corpus task. (Measured on sf0.1: 16-means explains ~8% of
+   variance and labels shift means by ~0.07 vs noise scale ~1.0, so the
+   per-label Gaussian IS the corpus's cluster structure.)
  - region/nation stay fixed (TPC-H dimension convention).
 
 Usage: python3 tools/gen_scaled_sf.py /root/testdata/sf0.1 /tmp/sfgen/sf1 10
@@ -101,13 +109,25 @@ for i in range(k):
     }))
 write("documents", copies, copies[0].schema)
 
-# embeddings: seeded noise per copy (copy 0 untouched)
+# embeddings: copy 0 untouched; copies 1..K-1 drawn fresh per label
 e = read("embeddings")
-emb = np.array(e.column("embedding").to_pylist(), dtype=np.float32)
+emb = np.array(e.column("embedding").to_pylist(), dtype=np.float64)
+lab = np.array(e.column("label").to_pylist(), dtype=np.int64)
+labels = np.sort(np.unique(lab))
+stats = {l: (emb[lab == l].mean(0), emb[lab == l].std(0, ddof=1))
+         for l in labels}
 copies = []
 for i in range(k):
-    m = emb if i == 0 else emb + np.random.default_rng(i).normal(
-        0, 0.05, emb.shape).astype(np.float32)
+    if i == 0:
+        m = emb.astype(np.float32)
+    else:
+        rng = np.random.default_rng(1000 + i)
+        m = np.empty_like(emb)
+        for l in labels:  # label order fixed; one rng stream per copy
+            mask = lab == l
+            mu, sd = stats[l]
+            m[mask] = rng.normal(mu, sd, (int(mask.sum()), emb.shape[1]))
+        m = m.astype(np.float32)
     copies.append(pa.table({
         "vec_id": pc.add(e.column("vec_id"), pa.scalar(i * NV, type=pa.int64())),
         "embedding": pa.array(list(m), type=pa.list_(pa.float32())),
