@@ -534,6 +534,72 @@ object Similarity {
       .select("query_id", "neighbor_id", "cell", "dist2_est", "rank")
   }
 
+  /** IVF + scalar-quantization (SQ8) top-k — the THIRD compression point on
+    * the ANN quality/size curve, between full-precision IVF (4 B/dim) and
+    * IVF-PQ (m codes per vector): each corpus vector is stored as d uint8
+    * codes (1 B/dim — 4× smaller than floats), candidates are pruned by the
+    * same coarse cells as [[ivfTopK]], and the distance is the EXACT L2²
+    * between the full-precision query and the DEQUANTIZED candidate (the
+    * asymmetric SQ-ADC convention: only the stored side is quantized).
+    *
+    * Why it exists (round-15 measured finding, PROBE_recall_scale_r15):
+    * at honest 10× corpus density the PQ family is density-limited —
+    * m=8/k=16 quantization error exceeds the 5th-vs-50th neighbor gap and
+    * recall@5 saturates at ~0.23–0.29 — while per-dim SQ8 error is bounded
+    * by half a 1/255 step ([[Quantize.quantizeWithError]]) and recall
+    * tracks full-precision IVF. The trade: SQ8 moves 1 B/dim through the
+    * probe join and costs d multiply-adds per candidate (like IVF);
+    * PQ moves m bytes and costs m lookups. At 100 TB: SQ8 when recall
+    * matters and 4× compression suffices, PQ when the index must be 32×
+    * smaller and a refine pass buys the recall back.
+    *
+    * Output: (query_id, neighbor_id, cell, dist2_est, rank), rank ≤ k per
+    * query by (round-6 dist2_est asc, neighbor_id asc) over the probed
+    * cells — the [[ivfPqTopK]] determinism contract. dist2_est is exact-to-
+    * the-reconstruction, so vectors already on the quantization grid score
+    * their true L2² exactly (pinned in PqSpec).
+    *
+    * Scale shape: ONE corpus scan assigns cells and codes (argmin over
+    * in-plan cell literals + the [[Quantize.quantize]] narrow map); the
+    * query side (nProbe rows per query, full-precision vectors) broadcasts;
+    * the probe is a broadcast equi-join ON CELL; rank ≤ k plans a
+    * WindowGroupLimit. mins/maxs ride in-plan as d-element literals (the
+    * centroid idiom) — no model join anywhere.
+    */
+  def ivfSq8TopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      cells: Seq[Seq[Double]], nProbe: Int,
+      mins: Array[Double], maxs: Array[Double]): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(cells.nonEmpty, "ivfSq8TopK needs coarse cells")
+    require(nProbe >= 1 && nProbe <= cells.size,
+      s"nProbe must be in [1,${cells.size}], got $nProbe")
+    require(mins.length == maxs.length && mins.nonEmpty,
+      "mins/maxs must be equal-length and non-empty")
+    val enc = Quantize.quantize(
+      corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding").cast("array<double>").as("__v")),
+      col("__v"), mins, maxs)
+      .select(col("neighbor_id"),
+        element_at(graft.functions.NearestCells.nearestCells(col("__v"),
+          cells, 1), 1).as("cell"),
+        col("codes"))
+    val q = queries.select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("__qv"))
+      .withColumn("cell", explode(
+        graft.functions.NearestCells.nearestCells(col("__qv"), cells,
+          nProbe)))
+    val vhat = Quantize.dequantize(col("codes"), mins, maxs)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist2_est").asc, col("neighbor_id").asc)
+    enc.join(broadcast(q), Seq("cell"))
+      .withColumn("dist2_est", round(aggregate(
+        zip_with(col("__qv"), vhat, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, d) => acc + d), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cell", "dist2_est", "rank")
+  }
+
   /** IVF-PQ with exact re-rank refinement — the production composition
     * FAISS ships as `IndexRefineFlat`: the compressed index proposes `r ≥ k`
     * candidates per query by ADC estimate ([[ivfPqTopK]]), then ONLY those

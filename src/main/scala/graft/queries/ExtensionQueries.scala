@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-import graft.extensions.{Batching, Classify, Contamination, Dedup, Ensemble, HeavyHitters, IncrementalDedup, LanguageModel, LinearClassifier, Mixture, Multimodal, Sampling, Similarity, SpanDedup, TextAnalysis, WordPiece}
+import graft.extensions.{Batching, Classify, Contamination, Dedup, Ensemble, HeavyHitters, IncrementalDedup, LanguageModel, LinearClassifier, Mixture, Multimodal, Quantize, Sampling, Similarity, SpanDedup, TextAnalysis, WordPiece}
 import graft.ops.{ShardedExport, Skew, SnapshotDiff}
 
 /** North-star extension queries (dedup / similarity / text analysis /
@@ -5446,7 +5446,11 @@ object ExtensionQueries {
       ("ivfpq", Similarity.ivfPqTopK(queries, e, k, cells, ivfPqProbe, books),
         truthL2),
       ("ivfpq_refine", Similarity.ivfPqRefineTopK(queries, e, k,
-        r = refineR, cells, ivfPqProbe, books), truthL2))
+        r = refineR, cells, ivfPqProbe, books), truthL2),
+      ("ivfsq8", {
+        val (mins, maxs) = Quantize.dimStats(e, col("embedding"))
+        Similarity.ivfSq8TopK(queries, e, k, cells, ivfPqProbe, mins, maxs)
+      }, truthL2))
     ests.map { case (name, est, truth) =>
       Similarity.recallAtK(est, truth, k).agg(
         count(lit(1)).as("n_queries"),
@@ -5474,7 +5478,8 @@ object ExtensionQueries {
   // ---------------------------------------------------------------------------
   private val recallFloorsMicro: Seq[(String, Long)] = Seq(
     "ann_lsh" -> 10000L, "ann_lsh_mp" -> 300000L, "ivf" -> 500000L,
-    "pq_adc" -> 250000L, "ivfpq" -> 300000L, "ivfpq_refine" -> 450000L)
+    "pq_adc" -> 250000L, "ivfpq" -> 300000L, "ivfpq_refine" -> 450000L,
+    "ivfsq8" -> 650000L)
 
   private def x158(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -5960,6 +5965,110 @@ object ExtensionQueries {
        SELECT g, tokenizer, n_words, n_word_chars, n_tokens,
               fertility_micro, chars_per_token_micro FROM wp"""
   }
+
+  // ---------------------------------------------------------------------------
+  // X168 — IVF + scalar-quantization top-k (Similarity.ivfSq8TopK): the
+  // third compression point on the ANN curve, added after the round-15
+  // honest-recall probe measured the PQ family density-limited at 10×
+  // (recall@5 ~0.23 — m=8/k=16 quantization error exceeds the neighbor
+  // gap) while SQ8's per-dim error is half a 1/255 step: IVF cells prune
+  // candidates, corpus vectors are stored as d uint8 codes (4× smaller),
+  // distance is exact asymmetric L2² to the dequantized candidate. Same
+  // cells/probe as the IVF-PQ family (shared cachedIvfCells memo).
+  // k-means-derived cells → rows-only BY CONTRACT; x169 is its
+  // oracle-checked invariant twin and x157/x158 carry its measured recall
+  // + floor.
+  // ---------------------------------------------------------------------------
+  private def x168(s: SparkSession, dir: String): DataFrame = {
+    val e = embeds(s, dir)
+    val fp = corpusFingerprint(e)
+    val cells = cachedIvfCells(e, fp, ivfPqCells)
+    val (mins, maxs) = Quantize.dimStats(e, col("embedding"))
+    Similarity.ivfSq8TopK(e.filter(col("vec_id") < 8), e, k = 10, cells,
+      ivfPqProbe, mins, maxs)
+  }
+
+  // ---------------------------------------------------------------------------
+  // X169 — IVF-SQ8 invariant audit (x168's oracle twin, the x140 pattern):
+  // shares x168's memoized cells + the same corpus min/max stats, then
+  // checks per corpus vector that the scan's cell assignment matches the
+  // interpreted HOF argmin, and over the x168 relation that (a) every
+  // returned neighbor sits in one of its query's re-derived nProbe probed
+  // cells AND in its own re-derived cell, (b) every dist2_est matches an
+  // INDEPENDENT exact-L2² formulation to the re-quantized reconstruction
+  // (‖q‖² + ‖v̂‖² − 2·q·v̂ via the native DotProduct — a different
+  // arithmetic path than the operator's Σ(x−y)² fold; tolerance 1.5e-6 on
+  // the round-6 values, the x154 two-formulation argument), and (c) per
+  // query the ranks are 1..n≤k with non-decreasing estimates. Any FALSE
+  // hash-fails against the all-TRUE oracle.
+  // ---------------------------------------------------------------------------
+  private def x169(s: SparkSession, dir: String): DataFrame = {
+    val e = embeds(s, dir)
+    val fp = corpusFingerprint(e)
+    val cells = cachedIvfCells(e, fp, ivfPqCells)
+    val (mins, maxs) = Quantize.dimStats(e, col("embedding"))
+    val cellsLit = typedLit(cells)
+    val cellNorms = typedLit(cells.map(c => c.map(x => x * x).sum))
+    def rankedCells(v: Column): Column = transform(array_sort(zip_with(
+      zip_with(cellsLit, cellNorms, (cvec, n2) => n2 - lit(2.0) *
+        graft.functions.DotProduct.dotProduct(v, cvec)),
+      sequence(lit(0), lit(ivfPqCells - 1)),
+      (d, i) => struct(d.as("d"), i.as("cell")))), p => p("cell"))
+    val topk = Similarity.ivfSq8TopK(e.filter(col("vec_id") < 8), e, k = 10,
+      cells, ivfPqProbe, mins, maxs)
+    val scanCells = e.select(col("vec_id"),
+      element_at(graft.functions.NearestCells.nearestCells(
+        col("embedding").cast("array<double>"), cells, 1), 1).as("__c"),
+      element_at(rankedCells(col("embedding").cast("array<double>")), 1)
+        .as("__hof"))
+    // independent estimate: re-quantize the joined raw neighbor vector,
+    // dequantize, then norms-minus-dot instead of the squared-diff fold
+    val nbrCoded = Quantize.quantize(
+      e.select(col("vec_id").as("neighbor_id"),
+        col("embedding").cast("array<double>").as("__nv")),
+      col("__nv"), mins, maxs)
+    val vhat = Quantize.dequantize(col("codes"), mins, maxs)
+    val probeOk = topk
+      .join(broadcast(e.select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("__qv"))), Seq("query_id"))
+      .join(nbrCoded.hint("shuffle_hash"), Seq("neighbor_id"))
+      .select(
+        array_contains(slice(rankedCells(col("__qv")), 1, ivfPqProbe),
+          col("cell")).as("__in_probe"),
+        (element_at(rankedCells(col("__nv")), 1) === col("cell"))
+          .as("__own_cell"),
+        (abs(col("dist2_est") - round(
+          graft.functions.DotProduct.dotProduct(col("__qv"), col("__qv"))
+            + graft.functions.DotProduct.dotProduct(vhat, vhat)
+            - lit(2.0) * graft.functions.DotProduct.dotProduct(col("__qv"),
+              vhat), 6)) < 1.5e-6).as("__est"))
+      .agg(coalesce(bool_and(col("__in_probe") && col("__own_cell") &&
+        col("__est")), lit(false)).as("__probe_ok"))
+    val rankOk = topk.groupBy("query_id")
+      .agg(array_sort(collect_list(struct(col("rank").as("r"),
+        col("dist2_est").as("d")))).as("__a"), count(lit(1)).as("__n"))
+      .select((col("__n") <= 10 &&
+        element_at(col("__a"), 1)("r") === 1 &&
+        element_at(col("__a"), col("__n").cast("int"))("r") ===
+          col("__n").cast("int") &&
+        forall(zip_with(
+          slice(col("__a"), lit(1), col("__n").cast("int") - 1),
+          slice(col("__a"), lit(2), col("__n").cast("int") - 1),
+          (a, b) => b("d") >= a("d")), x => x)).as("__ok"))
+      .agg(coalesce(bool_and(col("__ok")), lit(false)).as("__rank_ok"))
+    scanCells
+      .crossJoin(broadcast(probeOk))
+      .crossJoin(broadcast(rankOk))
+      .select(col("vec_id"),
+        (col("__c") === col("__hof")).as("ok_cell_assign"),
+        col("__probe_ok").as("ok_probe"),
+        col("__rank_ok").as("ok_rank"))
+  }
+
+  private val x169Sql =
+    """SELECT vec_id, TRUE AS ok_cell_assign, TRUE AS ok_probe,
+              TRUE AS ok_rank
+       FROM embeddings"""
 
   // lazy: nbClassifyCtes is declared further down the object — a strict val
   // here would interpolate null at init order (caught by the driver-gate
@@ -6884,7 +6993,9 @@ object ExtensionQueries {
     "x164_wordpiece_merges" -> x164 _,
     "x165_wordpiece_invariants" -> x165 _,
     "x166_zipf_fit" -> x166 _,
-    "x167_tokenizer_compare" -> x167 _
+    "x167_tokenizer_compare" -> x167 _,
+    "x168_ivfsq8_topk" -> x168 _,
+    "x169_ivfsq8_invariants" -> x169 _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -7037,6 +7148,7 @@ object ExtensionQueries {
     "x163_wordpiece_encode" -> x163Sql,
     "x165_wordpiece_invariants" -> x165Sql,
     "x166_zipf_fit" -> x166Sql,
-    "x167_tokenizer_compare" -> x167Sql
+    "x167_tokenizer_compare" -> x167Sql,
+    "x169_ivfsq8_invariants" -> x169Sql
   )
 }

