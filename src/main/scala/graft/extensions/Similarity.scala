@@ -474,8 +474,11 @@ object Similarity {
     * ships full vectors through the probe join.
     *
     * Simplification vs FAISS: codes quantize the RAW vectors, not the
-    * per-cell residuals (residual PQ needs a codebook join keyed by cell;
-    * raw-vector PQ keeps the encode scan-local — the documented trade).
+    * per-cell residuals — raw-vector PQ builds ONE ADC table per query
+    * where the residual form needs one per (query, probed cell).
+    * [[ivfPqResidualTopK]] ships the residual form (round 15) with that
+    * trade documented; both carry measured recall in
+    * PROBE_recall_scale_r15.json.
     *
     * Output: (query_id, neighbor_id, cell, dist2_est, rank), rank ≤ k per
     * query by (round-6 ADC estimate asc, neighbor_id) over the PROBED
@@ -526,6 +529,91 @@ object Similarity {
       .reduce(_ + _)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
+      .orderBy(col("dist2_est").asc, col("neighbor_id").asc)
+    enc.join(broadcast(q), Seq("cell"))
+      .withColumn("dist2_est", round(dist, 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cell", "dist2_est", "rank")
+  }
+
+  /** Per-row residual against the assigned coarse cell — the training
+    * relation for residual PQ ([[ivfPqResidualTopK]]): (vec_id, cell,
+    * residual = v − centroid_cell). One narrow corpus scan, centroids as
+    * in-plan literals, no join, no shuffle.
+    */
+  def cellResiduals(corpus: DataFrame, cells: Seq[Seq[Double]]): DataFrame = {
+    require(cells.nonEmpty, "cellResiduals needs coarse cells")
+    val cellsLit = typedLit(cells)
+    corpus.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("__v"))
+      .withColumn("cell", element_at(
+        graft.functions.NearestCells.nearestCells(col("__v"), cells, 1), 1))
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("__v"), element_at(cellsLit, col("cell") + 1),
+          (x, c) => x - c).as("residual"))
+  }
+
+  /** RESIDUAL IVF-PQ top-k — the encoding FAISS's IVFPQ actually defaults
+    * to, closing [[ivfPqTopK]]'s documented simplification: codes quantize
+    * `v − centroid(cell)` rather than the raw vector, so the codebooks
+    * spend their resolution on WITHIN-cell structure instead of re-encoding
+    * the coarse geometry the cells already captured. `codebooks` must be
+    * fit on the residual relation ([[cellResiduals]] → [[pqFit]] on
+    * `residual`).
+    *
+    * The cost of the residual trick in this plan shape: the query's m×k
+    * ADC table depends on the PROBED cell (q_res = q − centroid_cell), so
+    * it is built per (query, probed cell) AFTER the probe explode — nProbe
+    * tables per query instead of one. Still query-side bounded; the corpus
+    * side stays ONE scan (cell + residual codes, all argmins over in-plan
+    * literals) and the probe join is unchanged. dist2_est is exactly
+    * ‖q − (centroid_cell + recon(codes))‖² by the subspace decomposition
+    * (both sides of the join share the cell, so the per-subspace sums
+    * compose over q_res).
+    *
+    * Output and determinism contract identical to [[ivfPqTopK]]:
+    * (query_id, neighbor_id, cell, dist2_est, rank), rank ≤ k by (round-6
+    * estimate asc, neighbor_id asc) over probed cells only.
+    */
+  def ivfPqResidualTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      cells: Seq[Seq[Double]], nProbe: Int,
+      codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(cells.nonEmpty, "ivfPqResidualTopK needs coarse cells")
+    require(nProbe >= 1 && nProbe <= cells.size,
+      s"nProbe must be in [1,${cells.size}], got $nProbe")
+    require(codebooks.nonEmpty, "ivfPqResidualTopK needs codebooks")
+    val m = codebooks.size
+    val sub = codebooks.head.head.size
+    val booksLit = typedLit(codebooks)
+    val cellsLit = typedLit(cells)
+    val qres = col("__qres")
+    val tables = transform(booksLit, (book, j) =>
+      transform(book, cvec => aggregate(
+        zip_with(slice(qres, j * lit(sub) + 1, lit(sub)), cvec,
+          (x, c) => (x - c) * (x - c)),
+        lit(0.0), (acc, d) => acc + d)))
+    val q = queries.select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("__qv"))
+      .withColumn("cell", explode(
+        graft.functions.NearestCells.nearestCells(col("__qv"), cells,
+          nProbe)))
+      .withColumn("__qres", zip_with(col("__qv"),
+        element_at(cellsLit, col("cell") + 1), (x, c) => x - c))
+      .withColumn("__tbl", tables)
+      .drop("__qv", "__qres")
+    val enc = cellResiduals(corpus, cells)
+      .select(col("vec_id").as("neighbor_id"), col("cell"),
+        array(codebooks.zipWithIndex.map { case (book, j) =>
+          element_at(graft.functions.NearestCells.nearestCells(
+            slice(col("residual"), j * sub + 1, sub), book, 1), 1)
+        }: _*).as("codes"))
+    val dist = (0 until m).map(j =>
+      element_at(element_at(col("__tbl"), j + 1),
+        element_at(col("codes"), j + 1) + 1))
+      .reduce(_ + _)
+    val w = Window.partitionBy(col("query_id"))
       .orderBy(col("dist2_est").asc, col("neighbor_id").asc)
     enc.join(broadcast(q), Seq("cell"))
       .withColumn("dist2_est", round(dist, 6))

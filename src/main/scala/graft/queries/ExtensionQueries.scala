@@ -5450,7 +5450,9 @@ object ExtensionQueries {
       ("ivfsq8", {
         val (mins, maxs) = Quantize.dimStats(e, col("embedding"))
         Similarity.ivfSq8TopK(queries, e, k, cells, ivfPqProbe, mins, maxs)
-      }, truthL2))
+      }, truthL2),
+      ("ivfpq_res", Similarity.ivfPqResidualTopK(queries, e, k, cells,
+        ivfPqProbe, resBooks(e, fp, cells)), truthL2))
     ests.map { case (name, est, truth) =>
       Similarity.recallAtK(est, truth, k).agg(
         count(lit(1)).as("n_queries"),
@@ -5479,7 +5481,7 @@ object ExtensionQueries {
   private val recallFloorsMicro: Seq[(String, Long)] = Seq(
     "ann_lsh" -> 10000L, "ann_lsh_mp" -> 300000L, "ivf" -> 500000L,
     "pq_adc" -> 250000L, "ivfpq" -> 300000L, "ivfpq_refine" -> 450000L,
-    "ivfsq8" -> 650000L)
+    "ivfsq8" -> 650000L, "ivfpq_res" -> 250000L)
 
   private def x158(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -6066,6 +6068,124 @@ object ExtensionQueries {
   }
 
   private val x169Sql =
+    """SELECT vec_id, TRUE AS ok_cell_assign, TRUE AS ok_probe,
+              TRUE AS ok_rank
+       FROM embeddings"""
+
+  // ---------------------------------------------------------------------------
+  // X170 — RESIDUAL IVF-PQ top-k (Similarity.ivfPqResidualTopK): the
+  // encoding FAISS's IVFPQ defaults to, closing x139's documented
+  // raw-vector simplification — codes quantize v − centroid(cell), fit on
+  // the residual relation (cellResiduals → pqFit), so codebook resolution
+  // goes to within-cell structure. Same cells/probe/m/k as x139 so the two
+  // encodings are directly comparable in x157 (rows ivfpq vs ivfpq_res).
+  // The residual codebook fit is memoized like the raw one (content
+  // fingerprint + a "res" tag). k-means-derived → rows-only BY CONTRACT;
+  // x171 is its oracle-checked invariant twin.
+  // ---------------------------------------------------------------------------
+  private def resBooks(e: DataFrame, fp: (Long, Long),
+      cells: Seq[Seq[Double]]): Seq[Seq[Seq[Double]]] =
+    pqBooksCache.getOrElseUpdate((fp._1, fp._2, -pqM, pqCodes), {
+      // negative m tags the residual fit in the shared cache keyspace
+      val res = Similarity.cellResiduals(e, cells)
+      Similarity.pqFit(res, col("residual"), d = 64, m = pqM, k = pqCodes)
+    })
+
+  private def x170(s: SparkSession, dir: String): DataFrame = {
+    val e = embeds(s, dir)
+    val fp = corpusFingerprint(e)
+    val cells = cachedIvfCells(e, fp, ivfPqCells)
+    val books = resBooks(e, fp, cells)
+    Similarity.ivfPqResidualTopK(e.filter(col("vec_id") < 8), e, k = 10,
+      cells, ivfPqProbe, books)
+  }
+
+  // ---------------------------------------------------------------------------
+  // X171 — residual IVF-PQ invariant audit (x170's oracle twin, the x140
+  // pattern): shares x170's memoized cells + residual codebooks, then
+  // checks per corpus vector that the scan's cell assignment matches the
+  // interpreted HOF argmin, and over the x170 relation that (a) every
+  // returned neighbor sits in a probed cell of its query AND in its own
+  // re-derived cell, (b) every dist2_est equals the L2² between the RAW
+  // query vector and the full reconstruction centroid(cell) +
+  // book-recon(codes) — re-derived through the independent
+  // ‖q‖²+‖rec‖²−2·q·rec formulation (tolerance 1.5e-6 on round-6 values),
+  // which exercises the residual decomposition end-to-end, and (c) ranks
+  // are 1..n≤k with non-decreasing estimates. Any FALSE hash-fails against
+  // the all-TRUE oracle.
+  // ---------------------------------------------------------------------------
+  private def x171(s: SparkSession, dir: String): DataFrame = {
+    val e = embeds(s, dir)
+    val fp = corpusFingerprint(e)
+    val cells = cachedIvfCells(e, fp, ivfPqCells)
+    val books = resBooks(e, fp, cells)
+    val booksLit = typedLit(books)
+    val cellsLit = typedLit(cells)
+    val cellNorms = typedLit(cells.map(c => c.map(x => x * x).sum))
+    def rankedCells(v: Column): Column = transform(array_sort(zip_with(
+      zip_with(cellsLit, cellNorms, (cvec, n2) => n2 - lit(2.0) *
+        graft.functions.DotProduct.dotProduct(v, cvec)),
+      sequence(lit(0), lit(ivfPqCells - 1)),
+      (d, i) => struct(d.as("d"), i.as("cell")))), p => p("cell"))
+    val topk = Similarity.ivfPqResidualTopK(e.filter(col("vec_id") < 8), e,
+      k = 10, cells, ivfPqProbe, books)
+    val scanCells = e.select(col("vec_id"),
+      element_at(graft.functions.NearestCells.nearestCells(
+        col("embedding").cast("array<double>"), cells, 1), 1).as("__c"),
+      element_at(rankedCells(col("embedding").cast("array<double>")), 1)
+        .as("__hof"))
+    // full reconstruction of the joined neighbor: its own centroid + the
+    // residual-codebook reconstruction of its re-derived codes
+    val sub = 64 / pqM
+    val nbrRes = Similarity.cellResiduals(e, cells)
+      .select(col("vec_id").as("neighbor_id"), col("cell").as("__ncell"),
+        array(books.zipWithIndex.map { case (book, j) =>
+          element_at(graft.functions.NearestCells.nearestCells(
+            slice(col("residual"), j * sub + 1, sub), book, 1), 1)
+        }: _*).as("__codes"))
+    val recon = zip_with(
+      element_at(cellsLit, col("__ncell") + 1),
+      flatten(transform(sequence(lit(0), lit(pqM - 1)), j =>
+        element_at(element_at(booksLit, j + 1),
+          element_at(col("__codes"), j + 1) + 1))),
+      (c, r) => c + r)
+    val probeOk = topk
+      .join(broadcast(e.select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("__qv"))), Seq("query_id"))
+      .join(nbrRes.hint("shuffle_hash"), Seq("neighbor_id"))
+      .select(
+        array_contains(slice(rankedCells(col("__qv")), 1, ivfPqProbe),
+          col("cell")).as("__in_probe"),
+        (col("__ncell") === col("cell")).as("__own_cell"),
+        (abs(col("dist2_est") - round(
+          graft.functions.DotProduct.dotProduct(col("__qv"), col("__qv"))
+            + graft.functions.DotProduct.dotProduct(recon, recon)
+            - lit(2.0) * graft.functions.DotProduct.dotProduct(col("__qv"),
+              recon), 6)) < 1.5e-6).as("__est"))
+      .agg(coalesce(bool_and(col("__in_probe") && col("__own_cell") &&
+        col("__est")), lit(false)).as("__probe_ok"))
+    val rankOk = topk.groupBy("query_id")
+      .agg(array_sort(collect_list(struct(col("rank").as("r"),
+        col("dist2_est").as("d")))).as("__a"), count(lit(1)).as("__n"))
+      .select((col("__n") <= 10 &&
+        element_at(col("__a"), 1)("r") === 1 &&
+        element_at(col("__a"), col("__n").cast("int"))("r") ===
+          col("__n").cast("int") &&
+        forall(zip_with(
+          slice(col("__a"), lit(1), col("__n").cast("int") - 1),
+          slice(col("__a"), lit(2), col("__n").cast("int") - 1),
+          (a, b) => b("d") >= a("d")), x => x)).as("__ok"))
+      .agg(coalesce(bool_and(col("__ok")), lit(false)).as("__rank_ok"))
+    scanCells
+      .crossJoin(broadcast(probeOk))
+      .crossJoin(broadcast(rankOk))
+      .select(col("vec_id"),
+        (col("__c") === col("__hof")).as("ok_cell_assign"),
+        col("__probe_ok").as("ok_probe"),
+        col("__rank_ok").as("ok_rank"))
+  }
+
+  private val x171Sql =
     """SELECT vec_id, TRUE AS ok_cell_assign, TRUE AS ok_probe,
               TRUE AS ok_rank
        FROM embeddings"""
@@ -6995,7 +7115,9 @@ object ExtensionQueries {
     "x166_zipf_fit" -> x166 _,
     "x167_tokenizer_compare" -> x167 _,
     "x168_ivfsq8_topk" -> x168 _,
-    "x169_ivfsq8_invariants" -> x169 _
+    "x169_ivfsq8_invariants" -> x169 _,
+    "x170_ivfpq_residual" -> x170 _,
+    "x171_ivfpq_residual_invariants" -> x171 _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -7149,6 +7271,7 @@ object ExtensionQueries {
     "x165_wordpiece_invariants" -> x165Sql,
     "x166_zipf_fit" -> x166Sql,
     "x167_tokenizer_compare" -> x167Sql,
-    "x169_ivfsq8_invariants" -> x169Sql
+    "x169_ivfsq8_invariants" -> x169Sql,
+    "x171_ivfpq_residual_invariants" -> x171Sql
   )
 }

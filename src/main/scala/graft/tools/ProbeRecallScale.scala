@@ -87,6 +87,17 @@ object ProbeRecallScale {
         Similarity.ivfTopK(queries, e, k, nCentroids = 16, nProbe = p),
         truthCos)
     }
+    // residual IVF-PQ arm (round-15 ivfPqResidualTopK): codebooks fit on
+    // the cell residuals, same cells/probe/m/k as the raw ivfpq_k16 arm so
+    // the encodings compare directly
+    locally {
+      val res = Similarity.cellResiduals(e, cells)
+      val rBooks = Similarity.pqFit(res, col("residual"), d = 64, m = 8,
+        k = 16)
+      arm("ivfpq_res_k16",
+        Similarity.ivfPqResidualTopK(queries, e, k, cells, nProbe = 3,
+          rBooks), truthL2)
+    }
     // SQ8 arm (added with the round-15 ivfSq8TopK operator): same cells and
     // probe width as the shipped x168 config
     locally {

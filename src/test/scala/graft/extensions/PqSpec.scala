@@ -143,6 +143,45 @@ class PqSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("ivfPqResidualTopK: residual codes capture within-cell offsets raw PQ can't") {
+    import spark.implicits._
+    // two far-apart cells at (0,0,0,0) and (100,100,100,100), each holding
+    // vectors at the SAME within-cell offsets; residual codebooks hold
+    // exactly those shared offsets, so the residual reconstruction is
+    // EXACT and dist2_est equals the true L2² — while raw-vector PQ with
+    // these 2-code books must spend its codes on the coarse geometry
+    val offs = Seq(Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, 0.0, 0.0, 2.0))
+    val base = Seq(Seq(0.0, 0.0, 0.0, 0.0), Seq(100.0, 100.0, 100.0, 100.0))
+    val rows = for {
+      (b, bi) <- base.zipWithIndex
+      (o, oi) <- offs.zipWithIndex
+    } yield ((bi * 2 + oi).toLong, b.zip(o).map { case (x, y) => x + y })
+    val df = rows.toDF("vec_id", "embedding")
+    val cells = base
+    // residual books = the exact offset vocabulary per subspace
+    val resBooks: Seq[Seq[Seq[Double]]] = Seq(
+      Seq(Seq(1.0, 0.0), Seq(0.0, 0.0)),
+      Seq(Seq(0.0, 0.0), Seq(0.0, 2.0)))
+    val got = Similarity.ivfPqResidualTopK(df, df, k = 2, cells, nProbe = 1,
+      resBooks).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        (r.getAs[Long]("neighbor_id"), r.getAs[Double]("dist2_est"))).toMap
+    // query 0 = cell 0 offset (1,0,0,0): rank1 self dist 0 (exact recon),
+    // rank2 the other cell-0 member at true L2² = 1+4 = 5
+    assert(got((0L, 1)) == (0L, 0.0))
+    assert(got((0L, 2)) == (1L, 5.0))
+    // probed-cell contract: with nProbe=1, cell-0 queries never see the
+    // far cell's members and vice versa
+    assert(got.forall { case ((q, _), (n, _)) => (q < 2L) == (n < 2L) })
+    val q2 = got.filter { case ((q, _), _) => q == 2L }
+    assert(q2((2L, 1)) == (2L, 0.0) && q2((2L, 2)) == (3L, 5.0))
+    // cellResiduals: residual of vec 3 is exactly its offset
+    val res = Similarity.cellResiduals(df, cells).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](2).toSeq).toMap
+    assert(res(3L) == Seq(0.0, 0.0, 0.0, 2.0))
+    assert(res(1L) == Seq(0.0, 0.0, 0.0, 2.0))
+  }
+
   test("pqFit: shape contract and guards") {
     val fitted = Similarity.pqFit(corpus, col("embedding"), d = 4, m = 2,
       k = 2, maxTrainRows = 10, maxIter = 4)
