@@ -129,6 +129,13 @@ object LinearClassifier extends Serializable {
     require(classes.size >= 2,
       s"linearTrain needs >= 2 classes, got ${classes.size}")
     val c = classes.size
+    // Mirror linearClassify's C·B <= 2^22 product bound (round-15 advisory):
+    // a model too large to classify should fail at TRAIN time, not surface
+    // as a breaking asymmetry when the caller first tries to use it.
+    require(c.toLong * nBuckets <= (1L << 22),
+      s"linearTrain model too large to classify: classes×nBuckets " +
+        s"($c×$nBuckets = ${c.toLong * nBuckets} entries > 2^22); " +
+        s"reduce nBuckets or the class count")
     val yIdx = map(classes.zipWithIndex.flatMap { case (l, i) =>
       Seq(lit(l), lit(i)) }: _*)
     // The per-doc sparse feature matrix, built ONCE and persisted across

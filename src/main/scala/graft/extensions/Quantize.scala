@@ -33,18 +33,33 @@ object Quantize {
 
   private def litArr(a: Array[Double]): Column = array(a.map(lit).toSeq: _*)
 
-  /** Adds `codes ARRAY<INT>` (0..255 per dimension). */
+  /** Adds `codes ARRAY<INT>` (0..255 per dimension).
+    *
+    * Round-15 advisory hardening: a vector whose length differs from the
+    * fitted stats raises in-plan instead of zip-padding to NULL codes
+    * (NULLs would sort FIRST under an ascending distance rank — silently
+    * wrong top-k downstream); values outside the fitted [min,max] range
+    * (e.g. stats fit on a sample) clamp to the uint8 contract [0,255].
+    */
   def quantize(df: DataFrame, vec: Column, mins: Array[Double],
       maxs: Array[Double]): DataFrame = {
     require(mins.length == maxs.length && mins.nonEmpty)
     val mn = litArr(mins); val mx = litArr(maxs)
-    df.withColumn("codes",
-      zip_with(vec, sequence(lit(1), lit(mins.length)), (v, d) => {
+    val codesExpr = zip_with(vec, sequence(lit(1), lit(mins.length)),
+      (v, d) => {
         val lo = element_at(mn, d); val hi = element_at(mx, d)
         when(hi > lo,
-          floor((v.cast("double") - lo) / (hi - lo) * 255d + 0.5d).cast("int"))
+          greatest(lit(0), least(lit(255),
+            floor((v.cast("double") - lo) / (hi - lo) * 255d + 0.5d)
+              .cast("int"))))
           .otherwise(lit(0))
-      }))
+      })
+    df.withColumn("codes",
+      when(size(vec) =!= lit(mins.length),
+        raise_error(concat(lit("quantize: vector dimension "),
+          size(vec).cast("string"),
+          lit(s" != fitted stats dimension ${mins.length}"))))
+        .otherwise(codesExpr))
   }
 
   /** codes → approximate vector (`v_hat ARRAY<DOUBLE>`). */

@@ -663,6 +663,10 @@ object Similarity {
       s"nProbe must be in [1,${cells.size}], got $nProbe")
     require(mins.length == maxs.length && mins.nonEmpty,
       "mins/maxs must be equal-length and non-empty")
+    // mins.length must equal the embedding dimension; that is enforced
+    // IN-PLAN by Quantize.quantize (raise_error on the first mismatched
+    // row) so a bad fit fails loudly instead of emitting NULL codes that
+    // would sort first under the ascending rank (round-15 advisory).
     val enc = Quantize.quantize(
       corpus.select(col("vec_id").as("neighbor_id"),
         col("embedding").cast("array<double>").as("__v")),

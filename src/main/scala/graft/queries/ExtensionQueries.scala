@@ -6083,13 +6083,21 @@ object ExtensionQueries {
   // fingerprint + a "res" tag). k-means-derived → rows-only BY CONTRACT;
   // x171 is its oracle-checked invariant twin.
   // ---------------------------------------------------------------------------
+  // Residual fits get their OWN cache (round-15 advisory): the previous
+  // -pqM sentinel in the shared pqBooksCache keyspace omitted the cell
+  // identity — correct only while cells stay a pure function of the corpus
+  // fingerprint at a constant ivfPqCells. Keying the cell count explicitly
+  // makes the memo robust to future per-query cell-parameter changes.
+  private val resBooksCache = scala.collection.concurrent
+    .TrieMap[(Long, Long, Int, Int, Int), Seq[Seq[Seq[Double]]]]()
+
   private def resBooks(e: DataFrame, fp: (Long, Long),
       cells: Seq[Seq[Double]]): Seq[Seq[Seq[Double]]] =
-    pqBooksCache.getOrElseUpdate((fp._1, fp._2, -pqM, pqCodes), {
-      // negative m tags the residual fit in the shared cache keyspace
-      val res = Similarity.cellResiduals(e, cells)
-      Similarity.pqFit(res, col("residual"), d = 64, m = pqM, k = pqCodes)
-    })
+    resBooksCache.getOrElseUpdate(
+      (fp._1, fp._2, pqM, pqCodes, cells.size), {
+        val res = Similarity.cellResiduals(e, cells)
+        Similarity.pqFit(res, col("residual"), d = 64, m = pqM, k = pqCodes)
+      })
 
   private def x170(s: SparkSession, dir: String): DataFrame = {
     val e = embeds(s, dir)

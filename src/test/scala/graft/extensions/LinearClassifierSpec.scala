@@ -124,6 +124,14 @@ class LinearClassifierSpec extends AnyFunSuite with SparkTestSession {
         Seq.fill(2)(Array.empty[Double]), Array.fill(2)(0.0), Seq(0L))
       linearClassify(corpus, col("doc_id"), col("text"), big)
     }
+    // round-15 advisory: the C·B <= 2^22 product bound must also fail at
+    // TRAIN time — a legally trained model must never be unclassifiable
+    // (corpus has 3 classes; 3 × 2^21 > 2^22)
+    val trainEx = intercept[IllegalArgumentException] {
+      linearTrain(corpus, col("doc_id"), col("cat"), col("text"),
+        nBuckets = 1 << 21, iters = 1, lr = 1.0)
+    }
+    assert(trainEx.getMessage.contains("2^22"))
   }
 
   test("model relation: weights sparse, losses enumerated, bias per class") {

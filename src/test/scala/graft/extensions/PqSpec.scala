@@ -143,6 +143,26 @@ class PqSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("Quantize.quantize: out-of-range values clamp to [0,255]; dim mismatch raises") {
+    import spark.implicits._
+    // round-15 advisory: stats fit on a sample can leave corpus values
+    // outside [min,max] — codes must clamp to the uint8 contract, and a
+    // vector/stats dimension mismatch must raise in-plan rather than
+    // zip-pad to NULL codes (which would sort FIRST under an asc rank)
+    val mins = Array(0.0, 0.0); val maxs = Array(10.0, 10.0)
+    val codes = Quantize.quantize(
+        Seq((1L, Seq(-5.0, 20.0))).toDF("id", "v"), col("v"), mins, maxs)
+      .select("codes").head.getSeq[Int](0)
+    assert(codes == Seq(0, 255), s"expected clamped codes, got $codes")
+    val bad = Seq((1L, Seq(1.0, 2.0, 3.0))).toDF("id", "v")
+    val ex = intercept[Exception] {
+      Quantize.quantize(bad, col("v"), mins, maxs).collect()
+    }
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    assert(msgs.contains("dimension"), s"unexpected failure: $msgs")
+  }
+
   test("ivfPqResidualTopK: residual codes capture within-cell offsets raw PQ can't") {
     import spark.implicits._
     // two far-apart cells at (0,0,0,0) and (100,100,100,100), each holding

@@ -114,8 +114,13 @@ e = read("embeddings")
 emb = np.array(e.column("embedding").to_pylist(), dtype=np.float64)
 lab = np.array(e.column("label").to_pylist(), dtype=np.int64)
 labels = np.sort(np.unique(lab))
-stats = {l: (emb[lab == l].mean(0), emb[lab == l].std(0, ddof=1))
-         for l in labels}
+# ddof=1 is NaN for singleton labels; fall back to ddof=0 (zero spread)
+# plus a small floor so a lone vector still yields finite, non-degenerate draws.
+stats = {}
+for l in labels:
+    rows = emb[lab == l]
+    sd = rows.std(0, ddof=1) if rows.shape[0] > 1 else rows.std(0, ddof=0)
+    stats[l] = (rows.mean(0), np.maximum(sd, 1e-3))
 copies = []
 for i in range(k):
     if i == 0:
