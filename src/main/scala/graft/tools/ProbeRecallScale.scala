@@ -68,7 +68,12 @@ object ProbeRecallScale {
     }
 
     val cells = Similarity.fitCentroids(e, col("embedding"), 8)
-    Seq(16, 64, 256).foreach { codes =>
+    // k-list env-tunable: k=256 was measured OUT at sf1 (~40x cost, r15) —
+    // big-scale boots can skip re-paying it without losing the shipped-k
+    // coverage (SPARK_GRAFT_PROBE_KLIST=16)
+    val kList = sys.env.getOrElse("SPARK_GRAFT_PROBE_KLIST", "16,64,256")
+      .split(",").map(_.trim.toInt).toSeq
+    kList.foreach { codes =>
       val books = Similarity.pqFit(e, col("embedding"), d = 64, m = 8,
         k = codes)
       arm(s"pq_adc_k$codes", Similarity.pqAdcTopK(queries, e, k, books),
@@ -86,6 +91,29 @@ object ProbeRecallScale {
       arm(s"ivf_c16_p$p",
         Similarity.ivfTopK(queries, e, k, nCentroids = 16, nProbe = p),
         truthCos)
+    }
+    // m sweep at the shipped k=16 (round-15 verdict ask #1): k=256 was
+    // measured out because the per-row argmin is LINEAR in k, but m's cost
+    // is linear too (2x subspaces = 2x table lookups) while HALVING the
+    // per-subspace quantization error — the unmeasured axis for the
+    // at-scale PQ recall saturation. d=64, m=16 -> 4-dim subspaces.
+    locally {
+      val books16 = Similarity.pqFit(e, col("embedding"), d = 64, m = 16,
+        k = 16)
+      arm("pq_adc_m16_k16", Similarity.pqAdcTopK(queries, e, k, books16),
+        truthL2)
+      arm("ivfpq_m16_k16",
+        Similarity.ivfPqTopK(queries, e, k, cells, nProbe = 3, books16),
+        truthL2)
+      arm("refine_r50_m16_k16",
+        Similarity.ivfPqRefineTopK(queries, e, k, r = 50, cells, nProbe = 3,
+          books16), truthL2)
+      val res = Similarity.cellResiduals(e, cells)
+      val rBooks16 = Similarity.pqFit(res, col("residual"), d = 64, m = 16,
+        k = 16)
+      arm("ivfpq_res_m16_k16",
+        Similarity.ivfPqResidualTopK(queries, e, k, cells, nProbe = 3,
+          rBooks16), truthL2)
     }
     // residual IVF-PQ arm (round-15 ivfPqResidualTopK): codebooks fit on
     // the cell residuals, same cells/probe/m/k as the raw ivfpq_k16 arm so

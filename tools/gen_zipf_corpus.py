@@ -20,8 +20,11 @@ recipe, independently seeded), where the measured readings are pinned:
 slope -0.96..-0.99 / r2 > 0.99 at maxRank=100, linear-classifier loss
 1386294 -> ~8 micro, BPE/WordPiece merge overlap 0/10.
 
-Usage: python3 tools/gen_zipf_corpus.py /tmp/zipf_corpus [n_docs_per_lang]
+Usage: python3 tools/gen_zipf_corpus.py /tmp/zipf_corpus [n_docs_per_lang] [vocab_per_lang]
 Writes <out>/documents.parquet with the standard documents schema.
+vocab_per_lang (default 500) scales the DISTINCT-WORD relation the
+tokenizer trainers operate on — the round-15 verdict ask #5 measures the
+trainers at ~50k total distinct words (vocab_per_lang=12500, 4 langs).
 """
 import os
 import sys
@@ -32,7 +35,8 @@ import pyarrow.parquet as pq
 
 out = sys.argv[1]
 n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 60
-V, S, DOC_LEN, SEED = 500, 1.0, 90, 42
+V = int(sys.argv[3]) if len(sys.argv) > 3 else 500
+S, DOC_LEN, SEED = 1.0, 90, 42
 ALPHABETS = ["abcdef", "ghijkl", "mnopqr", "stuvwx"]
 
 os.makedirs(out, exist_ok=True)
