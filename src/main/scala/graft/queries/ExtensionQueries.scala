@@ -5470,30 +5470,48 @@ object ExtensionQueries {
 
   // ---------------------------------------------------------------------------
   // X158 — recall-floor gate (x157's oracle-checked twin): each estimator's
-  // micro-recall must clear a fixed floor, hash-compared against the
-  // all-TRUE oracle — the committed guarantee that an estimator can't
-  // silently degrade while its structural invariant twins (x26/x138/x140/
-  // x154 check subset/rank/reconstruction, not quality) stay green. Floors
-  // are set with margin under the weakest measured scale (sf0.001/0.01/0.1,
-  // see BASELINE.md r14): a red row means the estimator LOST quality, not
-  // that the corpus breathed.
+  // micro-recall must clear a floor, hash-compared against the all-TRUE
+  // oracle — the committed guarantee that an estimator can't silently
+  // degrade while its structural invariant twins (x26/x138/x140/x154 check
+  // subset/rank/reconstruction, not quality) stay green. Floors are
+  // SCALE-AWARE (round-15 verdict ask #1): the PQ-coded family's recall is
+  // density-limited at honest sf1/sf3 BY DESIGN (BASELINE.md r15 table), so
+  // a single gate-scale floor would read red at scale without any code
+  // change. Two bands, keyed to the corpus size the query actually reads:
+  // the GATE band (the driver's materialized sf0.001/0.01/0.1, nVecs <=
+  // 2000) keeps the r14/r15 floors; the AT-SCALE band floors sit with
+  // margin under the weakest measured honest-density reading (sf1/sf3,
+  // 3-rep, BASELINE.md). Either band red still means the estimator LOST
+  // quality at that density — the floor never chases a measurement down,
+  // it is re-derived only when the corpus generator or estimator params
+  // change. The oracle re-derives the band from count(*) on the same
+  // parquet, so Spark and DuckDB always gate the same contract.
   // ---------------------------------------------------------------------------
-  private val recallFloorsMicro: Seq[(String, Long)] = Seq(
-    "ann_lsh" -> 10000L, "ann_lsh_mp" -> 300000L, "ivf" -> 500000L,
-    "pq_adc" -> 250000L, "ivfpq" -> 300000L, "ivfpq_refine" -> 450000L,
-    "ivfsq8" -> 650000L, "ivfpq_res" -> 250000L)
+  private val gateScaleMaxVecs = 2000L
+  // (method, gate-band floor, at-scale-band floor)
+  private val recallFloorsMicro: Seq[(String, Long, Long)] = Seq(
+    ("ann_lsh", 10000L, 10000L), ("ann_lsh_mp", 300000L, 300000L),
+    ("ivf", 500000L, 500000L), ("pq_adc", 250000L, 150000L),
+    ("ivfpq", 300000L, 150000L), ("ivfpq_refine", 450000L, 220000L),
+    ("ivfsq8", 650000L, 650000L), ("ivfpq_res", 250000L, 150000L))
 
   private def x158(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val fl = recallFloorsMicro.toDF("method", "floor_micro")
+    val atScale = embeds(s, dir).count() > gateScaleMaxVecs
+    val fl = recallFloorsMicro
+      .map { case (m, g, a) => (m, if (atScale) a else g) }
+      .toDF("method", "floor_micro")
     annRecall(s, dir)
       .join(broadcast(fl), Seq("method"))
       .select(col("method"), col("floor_micro"),
         (col("recall_micro") >= col("floor_micro")).as("floor_met"))
   }
 
-  private lazy val x158Sql = recallFloorsMicro.map { case (m, f) =>
-    s"SELECT '$m' AS method, CAST($f AS BIGINT) AS floor_micro, TRUE AS floor_met"
+  private lazy val x158Sql = recallFloorsMicro.map { case (m, g, a) =>
+    s"""SELECT '$m' AS method,
+        CAST(CASE WHEN (SELECT count(*) FROM embeddings) > $gateScaleMaxVecs
+             THEN $a ELSE $g END AS BIGINT) AS floor_micro,
+        TRUE AS floor_met"""
   }.mkString("\n       UNION ALL ")
 
   // ---------------------------------------------------------------------------
@@ -5567,12 +5585,40 @@ object ExtensionQueries {
         .otherwise(0L)) * 1000000L / count(lit(1))).cast("long") >=
         linAccFloorMicro).as("ok"))
       .select(lit("separable_concept_learned").as("check"), col("ok"))
+    // TREE-AGGREGATION ARM (round-15 verdict ask #6): the cluster-scale
+    // treeReduce gradient path was spec-pinned but never driver-gated —
+    // this check trains the SAME corpus/params through gradAgg="tree" and
+    // gates (a) the bold-driver loss contract holding on that path and
+    // (b) prediction parity vs the pinned model on an ADAPTIVE doc sample
+    // (step = max(1, N/500) bounds the extra classify at ~500 docs at any
+    // scale; at the driver's sf0.01 gate the sample is the FULL corpus).
+    // Parity is the spec's contract (identical predictions — fan-in order
+    // may move double sums in the last ulps, never a label).
+    val tree = treeModel(s, dir)
+    val treeLossMonotone = tree.lossesMicro.sliding(2).forall {
+      case Seq(a, b) => b <= a
+      case _ => true
+    }
+    val nDocs = d.count()
+    val step = math.max(1L, nDocs / 500L)
+    val sample = d.filter(col("doc_id") % step === 0)
+    val pinnedPred = LinearClassifier.linearClassify(sample, col("doc_id"),
+      col("text"), m).select(col("id"), col("pred_label").as("p_pinned"))
+    val treePred = LinearClassifier.linearClassify(sample, col("doc_id"),
+      col("text"), tree).select(col("id"), col("pred_label").as("p_tree"))
+    val parityCheck = pinnedPred
+      .join(treePred.hint("shuffle_hash"), Seq("id"))
+      .agg((sum(when(col("p_pinned") === col("p_tree"), 0L).otherwise(1L))
+        === 0L).as("ok"))
+      .select(lit("tree_agg_matches_pinned").as("check"), col("ok"))
     Seq(
       ("loss_monotone", lossMonotone),
       ("improved_over_uniform", improved),
-      ("weights_finite", finiteModel(m) && finiteModel(sep)))
+      ("weights_finite", finiteModel(m) && finiteModel(sep)),
+      ("tree_loss_monotone", treeLossMonotone && finiteModel(tree)))
       .toDF("check", "ok")
       .unionByName(sepCheck)
+      .unionByName(parityCheck)
   }
 
   private def sepModel(s: SparkSession, dir: String) =
@@ -5583,11 +5629,19 @@ object ExtensionQueries {
         col("doc_id"), col("__sep"), col("text"),
         nBuckets = linBuckets, iters = linIters, lr = linLr))
 
+  private def treeModel(s: SparkSession, dir: String) =
+    linModelCache.getOrElseUpdate(dir + "#tree",
+      LinearClassifier.linearTrain(docs(s, dir), col("doc_id"), col("lang"),
+        col("text"), nBuckets = linBuckets, iters = linIters, lr = linLr,
+        gradAgg = "tree"))
+
   private val x161Sql =
     """SELECT 'loss_monotone' AS "check", TRUE AS ok
        UNION ALL SELECT 'improved_over_uniform', TRUE
        UNION ALL SELECT 'weights_finite', TRUE
-       UNION ALL SELECT 'separable_concept_learned', TRUE"""
+       UNION ALL SELECT 'tree_loss_monotone', TRUE
+       UNION ALL SELECT 'separable_concept_learned', TRUE
+       UNION ALL SELECT 'tree_agg_matches_pinned', TRUE"""
 
   // ---------------------------------------------------------------------------
   // X162 — multi-probe sign-LSH top-k (Similarity.annTopKMultiProbe): the
