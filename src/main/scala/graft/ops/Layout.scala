@@ -177,4 +177,73 @@ object Layout {
         ((col("__i") + 1L).cast("double") / n).as("frac"),
         round(col("bound"), 6).as("bound"))
   }
+
+  /** Per-file min/max zone maps for a SIMULATED write: rows land in files
+    * of `rowsPerFile` in (`layoutKey`, `tieBreak`) order — exactly what a
+    * `repartitionByRange(layoutKey).sortWithinPartitions` write produces —
+    * and each file reports `n_rows` plus `min_<d>`/`max_<d>` for every
+    * named stat dimension. This is the parquet/Delta/Iceberg file-footer
+    * statistic AS DATA, so a layout decision ([[zorder2]] vs a single-column
+    * sort vs arrival order) can be graded on the pruning it actually buys
+    * BEFORE paying for a 100 TB rewrite.
+    *
+    * Scale shape: the global file assignment is [[PrefixSum]]'s two-pass
+    * parallel scan (a distributed range sort — the same cost the real write
+    * pays; never a single-partition `row_number`), and the zone-map
+    * aggregate is one map-combined `groupBy(file_id)` whose output is
+    * `n_rows / rowsPerFile` files — the driver-scale footer relation every
+    * table format already keeps in its metadata layer.
+    *
+    * `layoutKey` and `tieBreak` must be non-null and totally order rows;
+    * stat dimensions are cast to long (zone maps on banded/bucketed signals
+    * — the footer convention).
+    */
+  def zoneMaps(df: DataFrame, layoutKey: Column, tieBreak: Column,
+      rowsPerFile: Int, dims: Seq[(String, Column)]): DataFrame = {
+    require(rowsPerFile >= 1, s"rowsPerFile must be >= 1, got $rowsPerFile")
+    require(dims.nonEmpty, "at least one stat dimension required")
+    val keyed = df.select(layoutKey.as("__k") +: tieBreak.as("__tb") +:
+      dims.map { case (n, c) => c.cast("long").as(s"__d_$n") }: _*)
+    val ranked = PrefixSum.withGlobalCumsum(keyed, lit(1L), "__rank",
+      col("__k"), col("__tb"))
+    val statAggs = dims.flatMap { case (n, _) => Seq(
+      min(col(s"__d_$n")).as(s"min_$n"), max(col(s"__d_$n")).as(s"max_$n")) }
+    ranked
+      .withColumn("file_id", ((col("__rank") - 1L) / rowsPerFile).cast("long"))
+      .groupBy(col("file_id"))
+      .agg(count(lit(1)).as("n_rows"), statAggs: _*)
+  }
+
+  /** Grade a zone-mapped layout against a PROBE workload: for each probe —
+    * a row of `probe_id` plus optional `lo_<d>`/`hi_<d>` bounds per stat
+    * dimension (NULL = unconstrained) — count the files whose min/max
+    * ranges overlap the probe box (the files a data-skipping scan must
+    * read) and the rows they hold. Output per probe: `n_files`,
+    * `files_scanned`, `rows_scanned`, `scan_frac_micro`
+    * (files_scanned/n_files in exact integer micros — no float division to
+    * wiggle a hash).
+    *
+    * Scale shape: zone maps and probes are both metadata-scale relations;
+    * the cross join is files × probes (what every query planner evaluates
+    * per query, here batched), never touching the data itself.
+    */
+  def pruningStats(zoneMaps: DataFrame, probes: DataFrame,
+      dims: Seq[String]): DataFrame = {
+    require(dims.nonEmpty, "at least one stat dimension required")
+    val overlap = dims.map { d =>
+      (col(s"lo_$d").isNull || col(s"max_$d") >= col(s"lo_$d")) &&
+      (col(s"hi_$d").isNull || col(s"min_$d") <= col(s"hi_$d"))
+    }.reduce(_ && _)
+    zoneMaps.crossJoin(broadcast(probes))
+      .withColumn("__scan", when(overlap, 1L).otherwise(0L))
+      .groupBy(col("probe_id"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("__scan")).as("files_scanned"),
+        sum(col("__scan") * col("n_rows")).as("rows_scanned"))
+      // integer floor-division (n_files ≤ 10⁶ by the metadata-scale
+      // contract, so the double quotient is ≥ 1e-6 away from the next
+      // integer — floor is exact, matching DuckDB's BIGINT `//`)
+      .withColumn("scan_frac_micro",
+        floor(col("files_scanned") * 1000000L / col("n_files")).cast("long"))
+  }
 }

@@ -6283,6 +6283,181 @@ object ExtensionQueries {
               TRUE AS ok_rank
        FROM embeddings"""
 
+  // ---------------------------------------------------------------------------
+  // X172 — SCD2 run compaction (ops.Scd.runCompact): collapse each user's
+  // time-ordered event_type stream into validity intervals (gaps-and-
+  // islands) — the CDC history-build every warehouse point-in-time lookup
+  // sits on, generalizing the reference's per-job status timeline
+  // (app.py:1038-1081) to keyed attribute streams. Open intervals carry the
+  // Long.MaxValue sentinel, so the hash never depends on engine NULL order.
+  // ---------------------------------------------------------------------------
+  private def x172(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Scd.runCompact(ParityQueries.events(s, dir), col("user_id"),
+        col("ts"), col("event_id"), col("event_type"))
+      .withColumnRenamed("key", "user_id")
+
+  private val x172Sql =
+    """WITH o AS (
+         SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+                lag(event_id) OVER w AS prev_tb,
+                lag(event_type) OVER w AS prev_attr
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+       f AS (
+         SELECT *, CASE WHEN prev_tb IS NULL
+                          OR prev_attr IS DISTINCT FROM event_type
+                   THEN 1 ELSE 0 END AS nf
+         FROM o),
+       r AS (
+         SELECT *, sum(nf) OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS run_idx
+         FROM f),
+       g AS (
+         SELECT user_id, run_idx, min(event_type) AS attr_val,
+                min(us) AS valid_from_us, count(*) AS n_rows
+         FROM r GROUP BY 1, 2)
+       SELECT user_id, CAST(run_idx AS BIGINT) AS run_idx, attr_val,
+              valid_from_us,
+              coalesce(lead(valid_from_us) OVER
+                  (PARTITION BY user_id ORDER BY run_idx),
+                9223372036854775807) AS valid_to_us,
+              n_rows,
+              (lead(valid_from_us) OVER
+                 (PARTITION BY user_id ORDER BY run_idx) IS NULL)
+                AS is_current
+       FROM g"""
+
+  // ---------------------------------------------------------------------------
+  // X173 — frequent event sequences (ops.SeqMining.frequentSeqs): the top
+  // contiguous event-type trigrams by support — behavioral-motif DISCOVERY,
+  // where x? funnel counts one GIVEN pattern. The only single-partition
+  // stage (the top-k rank) runs on the support-filtered gram relation,
+  // bounded by the enum-like event vocabulary (|V|³), never the corpus.
+  // ---------------------------------------------------------------------------
+  private def x173(s: SparkSession, dir: String): DataFrame =
+    graft.ops.SeqMining.frequentSeqs(ParityQueries.events(s, dir),
+      col("user_id"), col("ts"), col("event_id"), col("event_type"),
+      n = 3, minSupport = 5L, k = 60)
+
+  private val x173Sql =
+    """WITH o AS (
+         SELECT user_id, event_type AS et, epoch_us(ts) AS us, event_id
+         FROM events),
+       g AS (
+         SELECT user_id,
+                et || '>' || lead(et, 1) OVER w || '>' || lead(et, 2) OVER w
+                  AS gram
+         FROM o
+         WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+       c AS (
+         SELECT gram, count(*) AS support,
+                count(DISTINCT user_id) AS n_keys
+         FROM g WHERE gram IS NOT NULL GROUP BY 1),
+       f AS (
+         SELECT gram, CAST(support AS BIGINT) AS support,
+                CAST(n_keys AS BIGINT) AS n_keys,
+                CAST(row_number() OVER (ORDER BY support DESC, gram) AS INT)
+                  AS rank
+         FROM c WHERE support >= 5)
+       SELECT * FROM f WHERE rank <= 60"""
+
+  // ---------------------------------------------------------------------------
+  // X174 — zone-map pruning audit (ops.Layout.zoneMaps + pruningStats): the
+  // file-footer min/max statistics of three SIMULATED layouts of orders —
+  // arrival order, sorted by customer, Z-ordered on (custkey, price) — each
+  // graded against the same 4-probe workload (files/rows a data-skipping
+  // scan must read, exact integer micros). The evaluator that tells a
+  // 100 TB table which rewrite actually buys pruning, BEFORE paying for it;
+  // the oracle replays the Morton interleave bit-for-bit (x118's chain) and
+  // the file assignment by row_number over the identical total order.
+  // ---------------------------------------------------------------------------
+  private val x174RowsPerFile = 500
+
+  private def x174(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = s.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey").as("ok"), col("o_custkey").as("ck"),
+        round(col("o_totalprice")).cast("long").as("pr"))
+    val dims = Seq("ck" -> col("ck"), "pr" -> col("pr"))
+    val probes = Seq(
+      (1L, None, None, Some(100000L), Some(150000L)),
+      (2L, Some(10L), Some(40L), None, None),
+      (3L, Some(1L), Some(50L), Some(200000L), Some(300000L)),
+      (4L, None, None, Some(500000L), Some(600000L)))
+      .toDF("probe_id", "lo_ck", "hi_ck", "lo_pr", "hi_pr")
+    def arm(name: String, key: Column): DataFrame =
+      graft.ops.Layout.pruningStats(
+        graft.ops.Layout.zoneMaps(o, key, col("ok"), x174RowsPerFile, dims),
+        probes, Seq("ck", "pr"))
+        .withColumn("layout", lit(name))
+    arm("arrival", col("ok"))
+      .unionByName(arm("bycust", col("ck")))
+      .unionByName(arm("zorder", graft.ops.Layout.zorder2(col("ck"), col("pr"))))
+      .select("layout", "probe_id", "n_files", "files_scanned",
+        "rows_scanned", "scan_frac_micro")
+  }
+
+  private val x174Sql: String = {
+    // x118's Morton spread chain, replayed for the zorder arm
+    val spreads = Seq(
+      "(v | (v << 16)) & 281470681808895",
+      "(v | (v << 8)) & 71777214294589695",
+      "(v | (v << 4)) & 1085102592571150095",
+      "(v | (v << 2)) & 3689348814741910323",
+      "(v | (v << 1)) & 6148914691236517205")
+    def chain(src: String): String =
+      spreads.foldLeft(s"CAST($src AS BIGINT) & 4294967295") {
+        (acc, step) => step.replace("v", s"($acc)")
+      }
+    val zkey = s"(${chain("ck")}) | ((${chain("pr")}) << 1)"
+    def armSql(name: String, keyExpr: String): String =
+      s"""r_$name AS (
+            SELECT ck, pr,
+                   row_number() OVER (ORDER BY $keyExpr, ok) AS rn
+            FROM o),
+          f_$name AS (
+            SELECT (rn - 1) // $x174RowsPerFile AS file_id,
+                   count(*) AS n_rows,
+                   min(ck) AS min_ck, max(ck) AS max_ck,
+                   min(pr) AS min_pr, max(pr) AS max_pr
+            FROM r_$name GROUP BY 1),
+          s_$name AS (
+            SELECT '$name' AS layout, p.probe_id,
+                   count(*) AS n_files,
+                   CAST(sum(CASE WHEN
+                       (p.lo_ck IS NULL OR f.max_ck >= p.lo_ck)
+                       AND (p.hi_ck IS NULL OR f.min_ck <= p.hi_ck)
+                       AND (p.lo_pr IS NULL OR f.max_pr >= p.lo_pr)
+                       AND (p.hi_pr IS NULL OR f.min_pr <= p.hi_pr)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+                   CAST(sum(CASE WHEN
+                       (p.lo_ck IS NULL OR f.max_ck >= p.lo_ck)
+                       AND (p.hi_ck IS NULL OR f.min_ck <= p.hi_ck)
+                       AND (p.lo_pr IS NULL OR f.max_pr >= p.lo_pr)
+                       AND (p.hi_pr IS NULL OR f.min_pr <= p.hi_pr)
+                     THEN f.n_rows ELSE 0 END) AS BIGINT) AS rows_scanned
+            FROM f_$name f, probes p GROUP BY 1, 2)"""
+    s"""WITH o AS (
+         SELECT o_orderkey AS ok, o_custkey AS ck,
+                CAST(round(o_totalprice) AS BIGINT) AS pr
+         FROM orders),
+       probes(probe_id, lo_ck, hi_ck, lo_pr, hi_pr) AS (VALUES
+         (CAST(1 AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+          CAST(100000 AS BIGINT), CAST(150000 AS BIGINT)),
+         (2, 10, 40, NULL, NULL),
+         (3, 1, 50, 200000, 300000),
+         (4, NULL, NULL, 500000, 600000)),
+       ${armSql("arrival", "ok")},
+       ${armSql("bycust", "ck")},
+       ${armSql("zorder", zkey)}
+       SELECT layout, probe_id, n_files, files_scanned, rows_scanned,
+              files_scanned * 1000000 // n_files AS scan_frac_micro
+       FROM (SELECT * FROM s_arrival UNION ALL
+             SELECT * FROM s_bycust UNION ALL
+             SELECT * FROM s_zorder)"""
+  }
+
   // lazy: nbClassifyCtes is declared further down the object — a strict val
   // here would interpolate null at init order (caught by the driver-gate
   // replica: "WITH null," is a DuckDB parse error)
@@ -7210,7 +7385,10 @@ object ExtensionQueries {
     "x168_ivfsq8_topk" -> x168 _,
     "x169_ivfsq8_invariants" -> x169 _,
     "x170_ivfpq_residual" -> x170 _,
-    "x171_ivfpq_residual_invariants" -> x171 _
+    "x171_ivfpq_residual_invariants" -> x171 _,
+    "x172_scd2_compaction" -> x172 _,
+    "x173_frequent_seqs" -> x173 _,
+    "x174_zonemap_pruning" -> x174 _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -7365,6 +7543,9 @@ object ExtensionQueries {
     "x166_zipf_fit" -> x166Sql,
     "x167_tokenizer_compare" -> x167Sql,
     "x169_ivfsq8_invariants" -> x169Sql,
-    "x171_ivfpq_residual_invariants" -> x171Sql
+    "x171_ivfpq_residual_invariants" -> x171Sql,
+    "x172_scd2_compaction" -> x172Sql,
+    "x173_frequent_seqs" -> x173Sql,
+    "x174_zonemap_pruning" -> x174Sql
   )
 }

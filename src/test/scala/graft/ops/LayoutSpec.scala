@@ -146,4 +146,62 @@ class LayoutSpec extends AnyFunSuite with SparkTestSession {
     assert(out.toSeq == Seq((1L, 0.25, 25.75), (2L, 0.5, 50.5),
       (3L, 0.75, 75.25)))
   }
+
+  test("zoneMaps: file assignment follows the layout order; stats are exact") {
+    import spark.implicits._
+    // 10 rows, layout = value order, 4 rows/file → files 0,1,2 (2 rows tail)
+    val df = (1 to 10).map(i => (i.toLong, (11 - i).toLong)).toDF("id", "v")
+    val zm = Layout.zoneMaps(df, col("v"), col("id"), rowsPerFile = 4,
+        dims = Seq("v" -> col("v"), "id" -> col("id")))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(zm.size == 3)
+    // v ascending = id descending: file 0 holds v 1..4 (ids 10..7)
+    assert(zm(0L).getLong(1) == 4 && zm(0L).getLong(2) == 1L &&
+      zm(0L).getLong(3) == 4L && zm(0L).getLong(4) == 7L &&
+      zm(0L).getLong(5) == 10L)
+    assert(zm(1L).getLong(2) == 5L && zm(1L).getLong(3) == 8L)
+    assert(zm(2L).getLong(1) == 2 && zm(2L).getLong(2) == 9L &&
+      zm(2L).getLong(3) == 10L)
+  }
+
+  test("pruningStats: box overlap, NULL = unconstrained, exact micro frac") {
+    import spark.implicits._
+    val zm = Seq(
+      (0L, 4L, 1L, 4L, 7L, 10L),
+      (1L, 4L, 5L, 8L, 3L, 6L),
+      (2L, 2L, 9L, 10L, 1L, 2L))
+      .toDF("file_id", "n_rows", "min_v", "max_v", "min_id", "max_id")
+    val probes = Seq(
+      (1L, Some(5L), Some(8L), None: Option[Long], None: Option[Long]),
+      (2L, None: Option[Long], None: Option[Long], Some(1L), Some(2L)),
+      (3L, Some(9L), Some(10L), Some(5L), Some(6L)), // v hits file 2, id misses
+      (4L, Some(100L), Some(200L), None: Option[Long], None: Option[Long]))
+      .toDF("probe_id", "lo_v", "hi_v", "lo_id", "hi_id")
+    val out = Layout.pruningStats(zm, probes, Seq("v", "id"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(1L) == ((3L, 1L, 4L, 333333L)))      // only file 1 overlaps v∈[5,8]
+    assert(out(2L) == ((3L, 1L, 2L, 333333L)))      // only file 2 holds id≤2
+    assert(out(3L) == ((3L, 0L, 0L, 0L)))           // conjunctive: both dims must hit
+    assert(out(4L) == ((3L, 0L, 0L, 0L)))           // out of domain: full prune
+  }
+
+  test("a sorted layout prunes range probes that arrival order cannot") {
+    import spark.implicits._
+    // values arrive shuffled; probe a narrow value band
+    val rows = scala.util.Random.shuffle((1 to 1000).toList)
+      .zipWithIndex.map { case (v, i) => (i.toLong, v.toLong) }
+    val df = rows.toDF("arrival", "v").repartition(7)
+    val probes = Seq((1L, Some(100L), Some(140L)))
+      .toDF("probe_id", "lo_v", "hi_v")
+    def frac(key: org.apache.spark.sql.Column): Long =
+      Layout.pruningStats(
+        Layout.zoneMaps(df, key, col("arrival"), 50, Seq("v" -> col("v"))),
+        probes, Seq("v")).collect()(0).getLong(4)
+    val sortedFrac = frac(col("v"))
+    val arrivalFrac = frac(col("arrival"))
+    // [100,140] spans the 51..100 / 101..150 file boundary → 2 of 20 files
+    assert(sortedFrac == 100000L)
+    assert(arrivalFrac > 500000L)  // shuffled arrival: most files overlap
+  }
 }
