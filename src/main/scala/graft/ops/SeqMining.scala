@@ -59,4 +59,41 @@ object SeqMining {
         Window.orderBy(col("support").desc, col("gram"))))
       .filter(col("rank") <= k)
   }
+
+  /** First-order Markov transition matrix over the keyed event stream, plus
+    * the majority-class next-event baseline every sequence model must beat:
+    * one row per observed `(from_item, to_item)` with `n` (transition
+    * count), `from_total`, `p_micro` (= n·10⁶ / from_total, exact integer
+    * floor — no float division to wiggle a hash) and `rank` (1-based by n
+    * desc, to_item asc within each from_item; rank 1 IS the majority-class
+    * prediction, and its p_micro is that baseline's accuracy on this
+    * corpus).
+    *
+    * Scale shape: one `lead` window per key (the same single key shuffle as
+    * [[frequentSeqs]]), one map-combined pair aggregate, and per-`from`
+    * windows over the PAIR relation — bounded by |V|² for enum-like item
+    * vocabularies regardless of corpus size. NULL items and each key's
+    * final event contribute no transition (null-propagating pair assembly).
+    */
+  def transitionMatrix(df: DataFrame, key: Column, ts: Column,
+      tieBreak: Column, item: Column): DataFrame = {
+    val base = df.select(key.as("__key"), TimeCols.tsMicros(ts).as("__us"),
+      tieBreak.as("__tb"), item.cast("string").as("__it"))
+    val w = Window.partitionBy(col("__key")).orderBy(col("__us"), col("__tb"))
+    val pairs = base
+      .select(col("__it").as("from_item"),
+        lead(col("__it"), 1).over(w).as("to_item"))
+      .filter(col("from_item").isNotNull && col("to_item").isNotNull)
+    val counted = pairs.groupBy(col("from_item"), col("to_item"))
+      .agg(count(lit(1)).as("n"))
+    val wFrom = Window.partitionBy(col("from_item"))
+    counted
+      .withColumn("from_total", sum(col("n")).over(wFrom))
+      .withColumn("rank", row_number().over(
+        wFrom.orderBy(col("n").desc, col("to_item"))))
+      // integer DIV: exact at any long n·10⁶ (no double rounding), matching
+      // DuckDB's BIGINT `//`
+      .withColumn("p_micro", expr("n * 1000000 DIV from_total"))
+      .select("from_item", "to_item", "n", "from_total", "p_micro", "rank")
+  }
 }

@@ -6458,6 +6458,118 @@ object ExtensionQueries {
              SELECT * FROM s_zorder)"""
   }
 
+  // ---------------------------------------------------------------------------
+  // X175 — point-in-time SCD2 lookup (the CONSUMPTION side of x172's CDC
+  // history build, and the classic warehouse enrichment: "what was this
+  // entity's dimension state at time t?"): for each user session, the
+  // status that was valid 30 minutes BEFORE the session started, resolved
+  // against the compacted run history with the backward as-of join —
+  // correct point-in-time semantics because x172's intervals TILE (the
+  // latest valid_from ≤ t is exactly the run containing t). Probes that
+  // precede the user's first run carry the '<none>'/-1 sentinels. The
+  // oracle replays the lookup through DuckDB's NATIVE ASOF LEFT JOIN — an
+  // independent implementation of the same semantics, so the union+carry
+  // formulation is cross-validated, not just replayed.
+  // Scale shape: sessions and history are both ONE shuffle on the key;
+  // the as-of is the union+ordered-carry (one more key shuffle, linear,
+  // no candidate explosion).
+  // ---------------------------------------------------------------------------
+  private def x175(s: SparkSession, dir: String): DataFrame = {
+    val ev = ParityQueries.events(s, dir)
+    val probes = graft.ops.Sessionize.sessions(ev, col("user_id"), col("ts"),
+        col("event_id"), gapSeconds = 1800L, col("event_type"), col("value"))
+      .select(col("key").as("user_id"), col("session_idx"),
+        (col("start_us") - 1800L * 1000000L).as("probe_us"))
+    val hist = graft.ops.Scd.runCompact(ev, col("user_id"), col("ts"),
+        col("event_id"), col("event_type"))
+      .select(col("key").as("user_id"), col("valid_from_us"),
+        col("run_idx"), col("attr_val"))
+    graft.ops.AsOfJoin.backward(probes, hist, "user_id", "probe_us",
+        "valid_from_us", Seq("attr_val", "run_idx"), "run_idx")
+      .select(col("user_id"), col("session_idx"), col("probe_us"),
+        coalesce(col("attr_val"), lit("<none>")).as("status_before"),
+        coalesce(col("run_idx"), lit(-1L)).as("history_run_idx"))
+  }
+
+  private val x175Sql =
+    """WITH o AS (
+         SELECT user_id, event_id, event_type,
+                epoch_us(CAST(ts AS TIMESTAMP)) AS us
+         FROM events),
+       sf AS (
+         SELECT *, CASE WHEN lag(us) OVER w IS NULL
+                          OR us - lag(us) OVER w > 1800 * 1000000
+                   THEN 1 ELSE 0 END AS new_s
+         FROM o WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+       sess AS (
+         SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id
+                      ORDER BY us, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS session_idx
+         FROM sf),
+       probes AS (
+         SELECT user_id, session_idx,
+                min(us) - 1800 * 1000000 AS probe_us
+         FROM sess GROUP BY 1, 2),
+       hf AS (
+         SELECT user_id, event_type, us, event_id,
+                lag(event_id) OVER w AS prev_tb,
+                lag(event_type) OVER w AS prev_attr
+         FROM o WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+       hr AS (
+         SELECT *, sum(CASE WHEN prev_tb IS NULL
+                              OR prev_attr IS DISTINCT FROM event_type
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS run_idx
+         FROM hf),
+       hist AS (
+         SELECT user_id, CAST(run_idx AS BIGINT) AS run_idx,
+                min(event_type) AS attr_val, min(us) AS valid_from_us
+         FROM hr GROUP BY 1, 2)
+       SELECT p.user_id, p.session_idx, p.probe_us,
+              coalesce(h.attr_val, '<none>') AS status_before,
+              coalesce(h.run_idx, -1) AS history_run_idx
+       FROM probes p ASOF LEFT JOIN hist h
+         ON p.user_id = h.user_id AND p.probe_us >= h.valid_from_us"""
+
+  // ---------------------------------------------------------------------------
+  // X176 — Markov transition matrix + majority-class next-event baseline
+  // (ops.SeqMining.transitionMatrix): the conditional-probability sibling
+  // of x173's gram mining — P(next | current) in exact integer micros, with
+  // rank 1 per from_item being the majority-class prediction every sequence
+  // model must beat (its p_micro IS that baseline's accuracy). Per-from
+  // windows run over the PAIR relation (|V|² for enum vocabularies), never
+  // the corpus.
+  // ---------------------------------------------------------------------------
+  private def x176(s: SparkSession, dir: String): DataFrame =
+    graft.ops.SeqMining.transitionMatrix(ParityQueries.events(s, dir),
+      col("user_id"), col("ts"), col("event_id"), col("event_type"))
+
+  private val x176Sql =
+    """WITH o AS (
+         SELECT user_id, event_type AS et, epoch_us(ts) AS us, event_id
+         FROM events),
+       p AS (
+         SELECT et AS from_item, lead(et, 1) OVER w AS to_item
+         FROM o
+         WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+       c AS (
+         SELECT from_item, to_item, CAST(count(*) AS BIGINT) AS n
+         FROM p
+         WHERE from_item IS NOT NULL AND to_item IS NOT NULL
+         GROUP BY 1, 2)
+       SELECT from_item, to_item, n,
+              CAST(sum(n) OVER (PARTITION BY from_item) AS BIGINT)
+                AS from_total,
+              n * 1000000 //
+                CAST(sum(n) OVER (PARTITION BY from_item) AS BIGINT)
+                AS p_micro,
+              CAST(row_number() OVER (PARTITION BY from_item
+                ORDER BY n DESC, to_item) AS INT) AS rank
+       FROM c"""
+
   // lazy: nbClassifyCtes is declared further down the object — a strict val
   // here would interpolate null at init order (caught by the driver-gate
   // replica: "WITH null," is a DuckDB parse error)
@@ -7388,7 +7500,9 @@ object ExtensionQueries {
     "x171_ivfpq_residual_invariants" -> x171 _,
     "x172_scd2_compaction" -> x172 _,
     "x173_frequent_seqs" -> x173 _,
-    "x174_zonemap_pruning" -> x174 _
+    "x174_zonemap_pruning" -> x174 _,
+    "x175_pit_lookup" -> x175 _,
+    "x176_markov_transitions" -> x176 _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -7546,6 +7660,8 @@ object ExtensionQueries {
     "x171_ivfpq_residual_invariants" -> x171Sql,
     "x172_scd2_compaction" -> x172Sql,
     "x173_frequent_seqs" -> x173Sql,
-    "x174_zonemap_pruning" -> x174Sql
+    "x174_zonemap_pruning" -> x174Sql,
+    "x175_pit_lookup" -> x175Sql,
+    "x176_markov_transitions" -> x176Sql
   )
 }

@@ -81,4 +81,45 @@ class SeqMiningSpec extends AnyFunSuite with SparkTestSession {
       col("event_type"), 3, 2L, 20)
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
+
+  test("transitionMatrix: exact counts, totals, micro probabilities, ranks") {
+    val df = events(
+      (1L, 0L, 1L, "a"), (1L, 1L, 2L, "b"), (1L, 2L, 3L, "a"),
+      (1L, 3L, 4L, "b"),
+      (2L, 0L, 5L, "a"), (2L, 1L, 6L, "c"))
+    val out = SeqMining.transitionMatrix(df, col("user_id"), col("ts"),
+        col("event_id"), col("event_type"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getInt(5)))).toMap
+    // from a: a>b x2, a>c x1 (total 3); from b: b>a x1 (total 1)
+    assert(out == Map(
+      ("a", "b") -> ((2L, 3L, 666666L, 1)),
+      ("a", "c") -> ((1L, 3L, 333333L, 2)),
+      ("b", "a") -> ((1L, 1L, 1000000L, 1))))
+  }
+
+  test("transitionMatrix: null items and key boundaries emit no transition") {
+    val df = events((1L, 0L, 1L, "a"), (1L, 2L, 3L, "b"), (2L, 3L, 4L, "c"))
+      .union(events((1L, 1L, 2L, "x"))
+        .withColumn("event_type", lit(null: String)))
+    val out = SeqMining.transitionMatrix(df, col("user_id"), col("ts"),
+      col("event_id"), col("event_type")).collect()
+    assert(out.isEmpty) // a>NULL, NULL>b dropped; c is key 2's only event
+  }
+
+  test("transitionMatrix rank ties break on to_item; probabilities sum <= 1e6") {
+    val df = events(
+      (1L, 0L, 1L, "s"), (1L, 1L, 2L, "x"), (1L, 2L, 3L, "s"),
+      (1L, 3L, 4L, "y"), (1L, 4L, 5L, "s"), (1L, 5L, 6L, "z"))
+    val rows = SeqMining.transitionMatrix(df, col("user_id"), col("ts"),
+        col("event_id"), col("event_type"))
+      .filter(col("from_item") === "s")
+      .collect().map(r => (r.getString(1), r.getInt(5))).toSeq.sorted
+    assert(rows == Seq(("x", 1), ("y", 2), ("z", 3))) // equal n -> to asc
+    val ps = SeqMining.transitionMatrix(df, col("user_id"), col("ts"),
+        col("event_id"), col("event_type"))
+      .groupBy("from_item").agg(sum("p_micro")).collect()
+      .map(_.getLong(1))
+    assert(ps.forall(_ <= 1000000L)) // floor division never oversums
+  }
 }
