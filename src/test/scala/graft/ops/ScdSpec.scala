@@ -54,6 +54,7 @@ class ScdSpec extends AnyFunSuite with SparkTestSession {
     }
     val out = Scd.runCompact(events(base: _*), col("user_id"), col("ts"),
       col("event_id"), col("status")).cache()
+    try {
     // tiling: lead(valid_from) over run order equals valid_to (except last)
     val bad = out.withColumn("__next", lead(col("valid_from_us"), 1).over(
         org.apache.spark.sql.expressions.Window.partitionBy("key")
@@ -70,6 +71,7 @@ class ScdSpec extends AnyFunSuite with SparkTestSession {
     val n = out.groupBy("key").agg(sum("n_rows")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(n == base.groupBy(_._1).view.mapValues(_.size.toLong).toMap)
+    } finally out.unpersist() // shared session: CacheHygieneSpec audits leaks
   }
 
   test("result is independent of input partitioning and row order") {
