@@ -145,13 +145,27 @@ object ExtensionQueries {
         col("r_event_id"), col("r_value"))
   }
 
-  private def asofSql(op: String): String =
+  /** DuckDB's native ASOF picks an ARBITRARY right row among exact-ts ties,
+    * while the engine's rule is deterministic (backward: greatest rightOrd;
+    * forward: smallest — `AsOfJoin` scaladoc). The gate corpus has unique
+    * event timestamps so the gap never showed; the sf1 scale generator
+    * duplicates ts across copies (ids are remapped, timestamps are not) and
+    * surfaced it. Fix: dedupe the right relation per (key, ts) to the
+    * engine's tie winner FIRST (linear arg-max, not a formula change), then
+    * ASOF — a no-op wherever ts is unique, so gate hashes are unchanged. */
+  private def asofSql(op: String): String = {
+    val (pick, by) = if (op == "<=") ("max", "max_by") else ("min", "min_by")
     s"""WITH l AS (SELECT event_id, event_type, ts FROM events WHERE event_id % 2 = 1),
-            r AS (SELECT event_type, ts, event_id AS r_event_id, "value" AS r_value
-                  FROM events WHERE event_id % 2 = 0)
+            r0 AS (SELECT event_type, ts, event_id AS r_event_id, "value" AS r_value
+                   FROM events WHERE event_id % 2 = 0),
+            r AS (SELECT event_type, ts,
+                    CAST($pick(r_event_id) AS BIGINT) AS r_event_id,
+                    $by(r_value, r_event_id) AS r_value
+                  FROM r0 GROUP BY 1, 2)
        SELECT l.event_id, l.event_type, strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
               r.r_event_id, r.r_value
        FROM l ASOF LEFT JOIN r ON l.event_type = r.event_type AND r.ts $op l.ts"""
+  }
 
   private def x14(s: SparkSession, dir: String): DataFrame =
     asofQuery(s, dir, forward = false)
@@ -312,13 +326,21 @@ object ExtensionQueries {
         graft.ops.Scalars.formatTs(col("session_window.start")).as("session_start"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  // event_id tie-break in BOTH window orders: the flag window and the
+  // prefix-sum window must agree on tie order, or rows tied at a flagged
+  // timestamp can nondeterministically precede the flag in the sum window
+  // and split off a phantom session (surfaced at sf1, where the scale
+  // generator duplicates timestamps across copies; gap arithmetic is
+  // unchanged — tied rows have gap 0 under any tie order)
   private val x16Sql =
-    """WITH o AS (SELECT event_type, ts, "value",
-             CASE WHEN ts - lag(ts) OVER (PARTITION BY event_type ORDER BY ts)
+    """WITH o AS (SELECT event_type, ts, "value", event_id,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY event_type
+                       ORDER BY ts, event_id)
                        < INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
            FROM events),
          sess AS (SELECT event_type, ts, "value",
-             sum(new_session) OVER (PARTITION BY event_type ORDER BY ts
+             sum(new_session) OVER (PARTITION BY event_type
+               ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
            FROM o)
        SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
@@ -4408,20 +4430,24 @@ object ExtensionQueries {
         pmod(col("y"), lit(1 << 15)), pmod(col("z"), lit(1 << 15))))
 
   private val x121Sql = {
+    // overflow-safe spread steps: Spark's shiftleft WRAPS high bits (the
+    // mask then discards them) but DuckDB's << RAISES on int64 overflow —
+    // surfaced at sf1, where 21-bit inputs put set bits at positions where
+    // mask-after-shift overflows. Identity: (v | (v << s)) & m
+    // == (v & m) | ((v & (m >> s)) << s), and (m >> s) << s <= m < 2^63
+    // never overflows. Bit-identical to the previous chain wherever it
+    // did not overflow, so gate hashes are unchanged.
     val spread3 = Seq(
-      ("(v | (v << 32)) & 8725724278095871", ""),
-      ("(v | (v << 16)) & 8725728556220671", ""),
-      ("(v | (v << 8)) & 1157144660301377551", ""),
-      ("(v | (v << 4)) & 1207822528635744451", ""),
-      ("(v | (v << 2)) & 1317624576693539401", ""))
+      (0x1F00000000FFFFL, 32), (0x1F0000FF0000FFL, 16),
+      (0x100F00F00F00F00FL, 8), (0x10C30C30C30C30C3L, 4),
+      (0x1249249249249249L, 2))
     val spread4 = Seq(
-      ("(v | (v << 24)) & 1095216660735", ""),
-      ("(v | (v << 12)) & 4222189076152335", ""),
-      ("(v | (v << 6)) & 217020518514230019", ""),
-      ("(v | (v << 3)) & 1229782938247303441", ""))
-    def chain(steps: Seq[(String, String)], mask0: Long, src: String): String =
+      (0xFF000000FFL, 24), (0x000F000F000F000FL, 12),
+      (0x0303030303030303L, 6), (0x1111111111111111L, 3))
+    def chain(steps: Seq[(Long, Int)], mask0: Long, src: String): String =
       steps.foldLeft(s"CAST($src AS BIGINT) & $mask0") {
-        case (acc, (step, _)) => step.replace("v", s"($acc)")
+        case (acc, (m, sh)) =>
+          s"((($acc) & $m) | ((($acc) & ${m >> sh}) << $sh))"
       }
     def c3(src: String) = chain(spread3, 0x1FFFFFL, src)
     def c4(src: String) = chain(spread4, 0x7FFFL, src)
