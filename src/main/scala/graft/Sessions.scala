@@ -66,7 +66,20 @@ object Sessions {
     // the audit family. Deployments at real cluster scale should raise it
     // with executor count (it is runtime-settable); the engine default
     // targets the envelope the probes actually validated.
-    "spark.sql.adaptive.coalescePartitions.initialPartitionNum" -> "256")
+    "spark.sql.adaptive.coalescePartitions.initialPartitionNum" -> "256",
+    // Let AQE size the output partitioning of CACHED plans too. Spark pins
+    // cached-plan output partitioning by default (the conf below is false)
+    // so a persisted relation whose last exchange started at
+    // initialPartitionNum=256 materializes — and is re-read by every
+    // consumer — as 256 partitions even when the data would coalesce to a
+    // handful. The r17 profiler measured the cost on the x26 audit: five
+    // consumer stages of ~256 tasks each (~1,000 near-empty tasks per run)
+    // re-reading persisted ANN relations that hold a few hundred rows.
+    // Scale-adaptive by construction: partition count follows the SAME
+    // 64 MB advisory as uncached shuffles, so corpus-scale cached relations
+    // keep corpus-scale parallelism. Results are unaffected — only the
+    // partition count of materialized cache blocks moves.
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning" -> "true")
 
   /** Static SQL confs — only effective at session build time. */
   val staticDefaults: Seq[(String, String)] = Seq(

@@ -200,8 +200,13 @@ object Dedup {
       s"bands ($bands) must divide k ($k): integer rows-per-band would " +
         "silently leave trailing signature positions out of every band")
     val rows = k / bands
+    // r17: the signature pass (shingles + k-seed MinHash, this op's hot
+    // loop) runs scan-side — Fanout.forCpu floors its parallelism at
+    // defaultParallelism when the input file splits narrower (no-op at
+    // scale; see Fanout). Per-row sketch, order-independent downstream.
     withSketchCache(
-      df.select(id.as("id"), minhashSignature(shingles(text)).as("sig")),
+      graft.ops.Fanout.forCpu(df.select(id.as("id"), text.as("__txt")))
+        .select(col("id"), minhashSignature(shingles(col("__txt"))).as("sig")),
       materialize) { sig =>
     val banded = sig.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
@@ -316,7 +321,11 @@ object Dedup {
     require(maxDist >= 0 && maxDist <= 63)
     // sketch table feeds banding + the pair join-back — same caller-selectable
     // lifecycle contract as minhashPairs (see withSketchCache)
-    withSketchCache(df.select(id.as("id"), simhash(text).as("sk")),
+    // r17: scan-side sketch pass floored at defaultParallelism (see
+    // minhashPairs / Fanout for the rationale and the at-scale no-op)
+    withSketchCache(
+      graft.ops.Fanout.forCpu(df.select(id.as("id"), text.as("__txt")))
+        .select(col("id"), simhash(col("__txt")).as("sk")),
       materialize) { sk =>
     val bits = 64 / nChunks
     val mask = if (bits == 64) -1L else (1L << bits) - 1L
@@ -744,9 +753,20 @@ object Dedup {
     // the one-short-shingle edge would make all tiny docs mutual near-dups);
     // n > 1 is also what makes the prefix filter BITE on small-vocabulary
     // corpora: unigram DF is flat there, n-gram DF is long-tailed
-    val toks = df
-      .filter(size(TextAnalysis.tokens(text)) >= n)
-      .select(id.as("id"), explode(shingles(text, n)).as("tok"))
+    //
+    // r17: shingling is this op's heaviest per-row work and it sits
+    // scan-side, so its parallelism was the INPUT FILE's split count (one
+    // task on a single-row-group bench file — measured 31/32 cores idle).
+    // Fanout.forCpu floors it at defaultParallelism; a no-op whenever the
+    // scan already splits wide. Projected to (id, text) first so the
+    // conditional exchange never carries more than the two columns the
+    // shingle pass needs (guide §2.3). Downstream is groupBy/sorted-agg —
+    // value-independent of partitioning.
+    val src = graft.ops.Fanout.forCpu(
+      df.select(id.as("id"), text.as("__txt")))
+    val toks = src
+      .filter(size(TextAnalysis.tokens(col("__txt"))) >= n)
+      .select(col("id"), explode(shingles(col("__txt"), n)).as("tok"))
     val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("__df"))
     val sorted = toks.join(dfreq.hint("shuffle_hash"), Seq("tok"))
       .groupBy("id")

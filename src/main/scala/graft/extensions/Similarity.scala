@@ -304,9 +304,21 @@ object Similarity {
 
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       nCentroids: Int = 16, nProbe: Int = 2, seed: Long = 42L,
-      maxTrainRows: Int = 100000, maxIter: Int = 8): DataFrame = {
-    val centroidSeqsFit = fitCentroids(corpus, col("embedding"), nCentroids,
-      seed, maxTrainRows, maxIter)
+      maxTrainRows: Int = 100000, maxIter: Int = 8): DataFrame =
+    ivfTopK(queries, corpus, k,
+      fitCentroids(corpus, col("embedding"), nCentroids, seed, maxTrainRows,
+        maxIter), nProbe)
+
+  /** [[ivfTopK]] with PRE-FIT coarse cells — the overload the query layer's
+    * content-keyed model memo feeds (the x139/ivfPqTopK calling convention):
+    * callers that already hold the corpus's centroids skip the k-means
+    * refit (~maxIter driver-coordinated jobs) entirely. Value-identical to
+    * the fitting overload for centroids produced by [[fitCentroids]] with
+    * the same params — the determinism contract x87 audits.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      cells: Seq[Seq[Double]], nProbe: Int): DataFrame = {
+    val centroidSeqsFit = cells
 
     // Cell assignment is a pure expression over the centroid LITERALS (a few
     // KB shipped inside the plan as a codegen reference object): per-row

@@ -209,7 +209,11 @@ object Layout {
     val statAggs = dims.flatMap { case (n, _) => Seq(
       min(col(s"__d_$n")).as(s"min_$n"), max(col(s"__d_$n")).as(s"max_$n")) }
     ranked
-      .withColumn("file_id", ((col("__rank") - 1L) / rowsPerFile).cast("long"))
+      // exact integer division (r16 ADVICE): Column `/` on longs is double
+      // division, so floor-exactness would silently depend on row counts
+      // staying below ~2^53/rowsPerFile — DIV matches transitionMatrix's
+      // no-float-near-a-hash idiom and is exact at any count
+      .withColumn("file_id", expr(s"(__rank - 1) DIV $rowsPerFile"))
       .groupBy(col("file_id"))
       .agg(count(lit(1)).as("n_rows"), statAggs: _*)
   }

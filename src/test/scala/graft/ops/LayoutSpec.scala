@@ -188,8 +188,12 @@ class LayoutSpec extends AnyFunSuite with SparkTestSession {
 
   test("a sorted layout prunes range probes that arrival order cannot") {
     import spark.implicits._
-    // values arrive shuffled; probe a narrow value band
-    val rows = scala.util.Random.shuffle((1 to 1000).toList)
+    // values arrive shuffled; probe a narrow value band. SEEDED (r16
+    // ADVICE): this test asserts a statistical property of the permutation
+    // (arrivalFrac > 50%), so an unseeded shuffle had a ~1e-4 flake rate —
+    // the other specs' unseeded shuffles assert order-invariance and stay
+    // unseeded on purpose.
+    val rows = new scala.util.Random(42).shuffle((1 to 1000).toList)
       .zipWithIndex.map { case (v, i) => (i.toLong, v.toLong) }
     val df = rows.toDF("arrival", "v").repartition(7)
     val probes = Seq((1L, Some(100L), Some(140L)))
