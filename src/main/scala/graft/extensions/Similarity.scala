@@ -368,8 +368,17 @@ object Similarity {
     * nClusters-row centroid relation — the corpus never moves.
     */
   def topicClusters(df: DataFrame, id: Column, vec: Column, nClusters: Int = 16,
-      seed: Long = 42L, maxTrainRows: Int = 100000, maxIter: Int = 8): DataFrame = {
-    val cents = fitCentroids(df, vec, nClusters, seed, maxTrainRows, maxIter)
+      seed: Long = 42L, maxTrainRows: Int = 100000, maxIter: Int = 8): DataFrame =
+    topicClusters(df, id, vec,
+      fitCentroids(df, vec, nClusters, seed, maxTrainRows, maxIter))
+
+  /** [[topicClusters]] with PRE-FIT centroids (the r17 ivfTopK overload
+    * pattern): callers holding the corpus's centroids — e.g. the query
+    * layer's content-keyed model memo — skip the k-means refit. Identical
+    * output for centroids from [[fitCentroids]] with the same params.
+    */
+  def topicClusters(df: DataFrame, id: Column, vec: Column,
+      cents: Seq[Seq[Double]]): DataFrame = {
     val centDf = df.sparkSession
       .createDataFrame(cents.zipWithIndex.map { case (c, i) => (i, c) })
       .toDF("cluster", "centroid")

@@ -29,6 +29,14 @@ object ExtensionQueries {
     graft.ops.Fanout.forCpu(s.read.parquet(s"$dir/documents.parquet"))
   private def embeds(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
+  /** [[embeds]] with the parallelism floor, for queries whose whole pipeline
+    * is partitioning-independent (per-row projections/sketches, exact
+    * decimal/integer sums, totally-ordered windows). Queries that feed a
+    * bounded-`limit` model fit (fitCentroids/pqFit/kCenters) or sum raw
+    * doubles MUST keep the un-fanned [[embeds]].
+    */
+  private def embedsCpu(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Fanout.forCpu(embeds(s, dir))
 
   // ---------------------------------------------------------------------------
   // X1 — exact dedup: first-by-doc_id survivor per coarse content key
@@ -97,7 +105,7 @@ object ExtensionQueries {
   // step from count(*).
   // ---------------------------------------------------------------------------
   private def x5(s: SparkSession, dir: String): DataFrame = {
-    val e = embeds(s, dir)
+    val e = embedsCpu(s, dir)  // r17: per-row scoring + ordered window
     val step = math.max(50L, e.count() / 100L)
     Similarity.bruteForceTopK(e.filter(col("vec_id") % step === 0), e, k = 5)
   }
@@ -502,7 +510,7 @@ object ExtensionQueries {
     val blk = concat(col("label").cast("string"), lit("|"),
       Similarity.jlSignBucket(col("embedding"), inDims = 64, nBits = 3,
         salt = "ndp1").cast("string"))
-    Similarity.nearDupPairs(embeds(s, dir), blk, threshold = 0.3)
+    Similarity.nearDupPairs(embedsCpu(s, dir), blk, threshold = 0.3)
   }
 
   private val x11Sql =
@@ -1333,7 +1341,7 @@ object ExtensionQueries {
   // every vector's cosine to its label's prototype, outliers flagged.
   // ---------------------------------------------------------------------------
   private def x37(s: SparkSession, dir: String): DataFrame =
-    Similarity.prototypeSimilarity(embeds(s, dir), col("vec_id"), col("label"),
+    Similarity.prototypeSimilarity(embedsCpu(s, dir), col("vec_id"), col("label"),
         col("embedding"))
       .select(col("id").as("vec_id"), col("label"), col("sim"),
         (col("sim") >= 0.0).as("is_typical"))
@@ -2169,7 +2177,7 @@ object ExtensionQueries {
   // the oracle: (v*n - s) / sqrt(ss*n - s*s), no division before the sqrt.
   // ---------------------------------------------------------------------------
   private def x59(s: SparkSession, dir: String): DataFrame =
-    Similarity.standardizeEmbeddings(embeds(s, dir), col("vec_id"),
+    Similarity.standardizeEmbeddings(embedsCpu(s, dir), col("vec_id"),
       col("embedding"))
 
   private val x59Sql =
@@ -2314,7 +2322,7 @@ object ExtensionQueries {
   // no join/shuffle).
   // ---------------------------------------------------------------------------
   private def x64(s: SparkSession, dir: String): DataFrame =
-    Similarity.randomProjection(embeds(s, dir), col("vec_id"),
+    Similarity.randomProjection(embedsCpu(s, dir), col("vec_id"),
       col("embedding"), inDims = 64, outDims = 16, salt = "rp1")
 
   private val x64Sql =
@@ -2545,7 +2553,7 @@ object ExtensionQueries {
   // election, all from scratch.
   // ---------------------------------------------------------------------------
   private def x70(s: SparkSession, dir: String): DataFrame =
-    Similarity.semanticDedup(embeds(s, dir),
+    Similarity.semanticDedup(embedsCpu(s, dir),
         concat(col("label").cast("string"), lit("|"),
           Similarity.jlSignBucket(col("embedding"), inDims = 64, nBits = 3,
             salt = "sem1").cast("string")),
@@ -3256,12 +3264,20 @@ object ExtensionQueries {
   // SQL-expressible, so this row is rows-only BY CONTRACT and x87 is its
   // oracle-checked invariant twin.
   // ---------------------------------------------------------------------------
-  private def x86(s: SparkSession, dir: String): DataFrame =
-    Similarity.topicClusters(embeds(s, dir), col("vec_id"), col("embedding"))
+  private def x86(s: SparkSession, dir: String): DataFrame = {
+    // r17: centroids from the content-keyed memo (same fitCentroids params
+    // as cachedIvfCells' 16-cell fit — bit-identical by the determinism
+    // contract x87 audits with its deliberately UNCACHED refit). The input
+    // stays the UN-fanned reader: `sum(dist2)` is a raw double sum whose
+    // order must not move.
+    val e = embeds(s, dir)
+    Similarity.topicClusters(e, col("vec_id"), col("embedding"),
+        cachedIvfCells(e, corpusFingerprint(e), 16))
       .groupBy("cluster")
       .agg(count(lit(1)).as("n_vecs"),
         round(sum(col("dist2")), 6).as("inertia"),
         min(col("id")).as("sample_vec"))
+  }
 
   // ---------------------------------------------------------------------------
   // X87 — topic-cluster invariant audit (x86's oracle twin, the x25/x26/x27
@@ -3534,7 +3550,7 @@ object ExtensionQueries {
   private val x93Iters = 12
 
   private def x93(s: SparkSession, dir: String): DataFrame =
-    Similarity.pcaTopComponent(embeds(s, dir), col("vec_id"),
+    Similarity.pcaTopComponent(embedsCpu(s, dir), col("vec_id"),
         col("embedding"), dims = 64, iterations = x93Iters)
       .select(col("id").as("vec_id"), col("pc1_micro"), col("eigval_micro"))
 
