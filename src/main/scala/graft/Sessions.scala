@@ -83,7 +83,19 @@ object Sessions {
 
   /** Static SQL confs — only effective at session build time. */
   val staticDefaults: Seq[(String, String)] = Seq(
-    "spark.sql.legacy.parquet.nanosAsLong" -> "true")
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    // Generated-class cache sized to a MANY-QUERY application (r17). The
+    // default keeps only 100 compiled codegen units per JVM; an engine
+    // session that executes hundreds of distinct queries (Bench/Verify run
+    // 203, a pipeline run is query-per-operator) evicts the whole cache
+    // every sweep and pays Janino recompilation for every WholeStageCodegen
+    // unit on every pass. 10k entries ≈ the full engine query surface with
+    // headroom; compiled classes are small (the cache is count-bounded, not
+    // byte-bounded, upstream default chosen for single-query jobs). Not a
+    // local[32] tune: any long-lived session running this engine's query
+    // surface hits the same eviction wall at any data scale; results are
+    // unaffected (a cache of compiled bytecode for identical source).
+    "spark.sql.codegen.cache.maxEntries" -> "10000")
 
   /** Set the runtime-settable engine defaults on an existing session and
     * return it. For engine-owned sessions (Bench/Verify/tests) where the

@@ -32,12 +32,29 @@ object Ensemble {
     require(signals.nonEmpty, "rankEnsemble needs at least one signal")
     require(signals.map(_._1).distinct.size == signals.size,
       "signal names must be distinct")
-    val ranked = signals.map { case (name, sig) =>
+    // r17: score once, rank many. Each rank pass used to re-derive its
+    // (id, signal) projection from `df` — when the caller's signal columns
+    // are expensive (x80: tokenize + entropy + an LM likelihood join), the
+    // whole scoring pipeline re-ran once PER SIGNAL. The lazy checkpoint
+    // materializes the narrow (id, signals…) relation on first use and the
+    // remaining passes read its blocks; each signal's rank is computed from
+    // the identical per-row values, so results are unchanged (guide §1.2).
+    // EAGER checkpoint: the rank passes below run on driver threads (Par),
+    // and materializing the scored relation once up front keeps them from
+    // racing to compute it concurrently (harmless for values, wasteful for
+    // work).
+    val src = df.select(id.as("id") +:
+        signals.map { case (name, sig) => sig.as(s"__sig_$name") }: _*)
+      .localCheckpoint()
+    // r17: each rank pass constructs eagerly (PrefixSum's totals collect);
+    // the passes are independent given the materialized src, so overlap
+    // them on driver threads (guide §2.6). Result order = signal order.
+    val ranked = graft.ops.Par.seq(signals.map { case (name, _) => () =>
       Sampling.stratumPercentRank(
-        df.select(id.as("id"), sig.as("__sig")),
+        src.select(col("id"), col(s"__sig_$name").as("__sig")),
         lit("all"), col("__sig"), col("id"), outCol = s"pct_$name")
         .drop("__sig")
-    }
+    }: _*)
     val joined = ranked.reduce { (a, b) => a.join(b.hint("shuffle_hash"), Seq("id")) }
     val mean = signals.map { case (name, _) => col(s"pct_$name") }
       .reduce(_ + _) / lit(signals.size.toDouble)

@@ -64,7 +64,9 @@ object ExtensionQueries {
     // one action over the result, so the lazy contract (GC-owned sketch cache,
     // no up-front pair checkpoint job) is strictly cheaper here
     Dedup.ngramJaccardPairs(
-      docs(s, dir).filter(size(TextAnalysis.tokens(col("text"))) > 0),
+      // r17: fenced tokenizing predicate — stays above the fan-out exchange
+      docs(s, dir).filter(graft.functions.PushdownFence.fence(
+        size(TextAnalysis.tokens(col("text"))) > 0)),
       col("doc_id"), col("text"),
       concat(col("lang"), lit("|"), (col("n_chars") / 25).cast("long")),
       n = 1, threshold = 0.7, materialize = false)
@@ -1634,7 +1636,9 @@ object ExtensionQueries {
   // eval membership is derivable from the id.
   // ---------------------------------------------------------------------------
   private def x46(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir).filter(size(TextAnalysis.tokens(col("text"))) > 0)
+    // r17: fenced tokenizing predicate — stays above the fan-out exchange
+    val d = docs(s, dir).filter(graft.functions.PushdownFence.fence(
+      size(TextAnalysis.tokens(col("text"))) > 0))
     Contamination.nearDupContamination(
         train = d.filter(col("doc_id") % 10 =!= 0),
         eval = d.filter(col("doc_id") % 10 === 0),
@@ -1817,10 +1821,12 @@ object ExtensionQueries {
   // q27's artifact-chain check, built purely from already-oracled pieces.
   // ---------------------------------------------------------------------------
   private def x52(s: SparkSession, dir: String): DataFrame = {
-    val quality = docs(s, dir).filter(
+    // r17: fenced quality gate — same rationale as x56 (keep the heavy
+    // predicates on the fanned side of the docs() exchange)
+    val quality = docs(s, dir).filter(graft.functions.PushdownFence.fence(
       TextAnalysis.meanWordLen(col("text")).between(3.0, 10.0) &&
         TextAnalysis.alphaRatio(col("text")) >= 0.6 &&
-        TextAnalysis.dupLineFrac(col("text")) <= 0.3)
+        TextAnalysis.dupLineFrac(col("text")) <= 0.3))
     val survivors = Dedup.exact(quality, col("text"), col("doc_id"))
     val capped = Sampling.tokenBudgetCap(
       survivors.select(col("doc_id"), col("source"), col("text"),
@@ -1990,11 +1996,19 @@ object ExtensionQueries {
   // which cluster member survives.
   // ---------------------------------------------------------------------------
   private def x56(s: SparkSession, dir: String): DataFrame = {
-    val quality = docs(s, dir).filter(
+    // r17: the quality gate is fenced (PushdownFence) so its tokenize/regex
+    // predicates run ABOVE the docs() fan-out exchange instead of being
+    // pushed onto the narrow-split scan task (profiler: a 2.5 s single-task
+    // scan+filter stage, 31 cores idle); and the exact-dedup survivor
+    // relation is checkpointed lazily because BOTH the pair generator and
+    // the cluster-survivor election consume it — uncheckpointed, the whole
+    // scan→quality→exact prefix ran twice per execution (guide §1.2).
+    val quality = docs(s, dir).filter(graft.functions.PushdownFence.fence(
       TextAnalysis.meanWordLen(col("text")).between(3.0, 10.0) &&
         TextAnalysis.alphaRatio(col("text")) >= 0.6 &&
-        TextAnalysis.dupLineFrac(col("text")) <= 0.3)
+        TextAnalysis.dupLineFrac(col("text")) <= 0.3))
     val exactSurv = Dedup.exact(quality, col("text"), col("doc_id"))
+      .localCheckpoint(eager = false)
     // round-11 scale fix: the near-dup stage used the BLOCKED pair join on
     // a lang|length-band key — but those blocks grow linearly with the
     // corpus, so the in-block self-join is quadratic in scale factor (the
@@ -6508,9 +6522,16 @@ object ExtensionQueries {
         graft.ops.Layout.zoneMaps(o, key, col("ok"), x174RowsPerFile, dims),
         probes, Seq("ck", "pr"))
         .withColumn("layout", lit(name))
-    arm("arrival", col("ok"))
-      .unionByName(arm("bycust", col("ck")))
-      .unionByName(arm("zorder", graft.ops.Layout.zorder2(col("ck"), col("pr"))))
+    // r17: the three layout arms are independent and each constructs
+    // EAGERLY (zoneMaps' PrefixSum collects per-partition totals on the
+    // driver) — built sequentially they serialized three small job chains;
+    // Par overlaps them (guide §2.6). Per-arm values unchanged, union
+    // order fixed by argument order.
+    val arms = graft.ops.Par.seq(
+      () => arm("arrival", col("ok")),
+      () => arm("bycust", col("ck")),
+      () => arm("zorder", graft.ops.Layout.zorder2(col("ck"), col("pr"))))
+    arms.reduce(_.unionByName(_))
       .select("layout", "probe_id", "n_files", "files_scanned",
         "rows_scanned", "scan_frac_micro")
   }
