@@ -11,6 +11,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Sessions.quietPinnedWarnings()   // r18: bounded-window warning class, spec-pinned
     // Warm-up (untimed): session/codegen/scan initialization costs ~4s and
     // would land entirely on whichever query happens to run first, making
     // per-query numbers non-comparable. Steady-state is what the bench

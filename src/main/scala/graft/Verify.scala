@@ -14,6 +14,7 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Sessions.quietPinnedWarnings()   // r18: bounded-window warning class, spec-pinned
     new java.io.File(outDir).mkdirs()
     // dev knob (same semantics as Bench): SPARK_GRAFT_ONLY=x103,x116 dumps
     // just the named queries AND their oracle rows, for a targeted local

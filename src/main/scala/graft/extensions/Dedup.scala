@@ -783,12 +783,31 @@ object Dedup {
     // boundary position the shortened prefix dropped).
     val prefLen =
       col("sz") - floor((lit(t) * col("sz") + 99L) / 100L).cast("long") + 1L
+    // r18 (VERDICT #8, guide §3 join-input reduction), two lossless cuts to
+    // the candidate stage feeding the CPU-bound array_intersect verify:
+    //  1. POSITIONAL prefix filter (ppjoin, Xiao et al.): for a true pair,
+    //     its FIRST common token minimizes the (0-based) position in BOTH
+    //     sorted arrays, so overlap ≤ min(sz_l − pos_l, sz_r − pos_r) holds
+    //     there; jaccard ≥ t/100 ⟺ overlap·(100+t) ≥ t·(sz_l+sz_r). A pair
+    //     is kept if ANY matching token passes the bound — the first common
+    //     token gives the loosest bound, so every qualifying pair survives
+    //     (keep-if-any ⊇ keep-at-first-match); integer arithmetic, exact.
+    //  2. candidates join on xxhash64(tok), not the shingle STRING — 8
+    //     bytes per row through the self-join exchange instead of the
+    //     n-gram text (§2.3). Hash collisions only ADD candidates; the
+    //     exact verify below removes them, so the output pair set is
+    //     unchanged either way.
     val pre = sorted.select(col("id"), col("sz"),
-      explode(slice(col("toks"), lit(1), prefLen.cast("int"))).as("tok"))
-    val cand = pre.as("l").join(pre.as("r").hint("shuffle_hash"), Seq("tok"))
+        posexplode(slice(col("toks"), lit(1), prefLen.cast("int")))
+          .as(Seq("__pos", "tok")))
+      .select(col("id"), col("sz"), col("__pos").cast("long").as("__pos"),
+        xxhash64(col("tok")).as("__th"))
+    val cand = pre.as("l").join(pre.as("r").hint("shuffle_hash"), Seq("__th"))
       .filter(col("l.id") < col("r.id") &&
         col("l.sz") * t <= col("r.sz") * 100L &&
-        col("r.sz") * t <= col("l.sz") * 100L)
+        col("r.sz") * t <= col("l.sz") * 100L &&
+        least(col("l.sz") - col("l.__pos"), col("r.sz") - col("r.__pos")) *
+          (100L + t) >= lit(t) * (col("l.sz") + col("r.sz")))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .distinct()
     cand

@@ -68,32 +68,39 @@ object LinkGraph {
       .distinct()
       .localCheckpoint(eager = false)    // contribution join every round
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("out_deg"))
-    val degById = outDeg.withColumnRenamed("src", "id")
-      .localCheckpoint(eager = false)    // rank⋈deg join every round
+    // r18 (VERDICT #5): the iterated state CARRIES out_deg instead of
+    // re-joining rank⋈degree every round — the loop-invariant (id, out_deg)
+    // relation is checkpointed once and is the join-back target, so each
+    // round runs TWO hinted hash joins (edge contribution + join-back)
+    // instead of three, and the final output join disappears. Arithmetic
+    // per round is unchanged (same contributions, same dangling mass, same
+    // integral divisions) — only which relation supplies out_deg moves.
+    val nDeg = n
+      .join(outDeg.withColumnRenamed("src", "id").hint("shuffle_hash"),
+        Seq("id"), "left")
+      .localCheckpoint(eager = false)    // join-back target every round
     val base = scale / nCount                        // positive: floor == trunc
     val baseTerm = ((100L - dampingPct) * base) / 100L
-    var ranks = n.withColumn("rank", lit(base))
+    var ranks = nDeg.withColumn("rank", lit(base))
     for (_ <- 1 to iterations) {
-      val withDeg = ranks.join(degById.hint("shuffle_hash"), Seq("id"), "left")
       // dangling mass: in-plan 1-row aggregate, broadcast below — no action
-      val dangling = withDeg.filter(col("out_deg").isNull)
+      val dangling = ranks.filter(col("out_deg").isNull)
         .agg(coalesce(sum(col("rank")), lit(0L)).as("__dang"))
-      val inSums = withDeg.filter(col("out_deg").isNotNull)
+      val inSums = ranks.filter(col("out_deg").isNotNull)
         .join(e.hint("shuffle_hash"), col("id") === col("src"))
         .select(col("dst"), expr("rank div out_deg").as("__contrib"))
         .groupBy("dst").agg(sum(col("__contrib")).as("in_sum"))
-      ranks = n
+      ranks = nDeg
         .join(inSums.withColumnRenamed("dst", "id").hint("shuffle_hash"),
           Seq("id"), "left")
         .crossJoin(broadcast(dangling))
-        .select(col("id"),
+        .select(col("id"), col("out_deg"),
           (lit(baseTerm) +
             expr(s"($dampingPct * (coalesce(in_sum, 0L) + (__dang div $nCount))) div 100")
           ).as("rank"))
         .localCheckpoint(eager = false)              // truncate per-round lineage
     }
     ranks
-      .join(degById.hint("shuffle_hash"), Seq("id"), "left")
       .select(col("id").as("node_id"),
         coalesce(col("out_deg"), lit(0L)).as("out_deg"),
         col("rank").as("rank_micro"))
@@ -156,35 +163,42 @@ object LinkGraph {
         s"overflow-safe bound $degBound for scale=$scale — the half-round " +
         "sums would overflow 2^63; lower scale or thin the densest nodes")
     val base = scale / nCount
-    var hubs = n.withColumn("h", lit(base))
-    var auths = n.withColumn("a", lit(base))
+    // r18 (VERDICT #5): the iterated score relations are kept SPARSE — a
+    // node absent from `hubs`/`auths` has score 0, and a zero score
+    // contributes 0 to every half-round sum, so dropping the per-half-round
+    // join-back to the node set changes no value:
+    //   - the norm (sum of __raw) is identical — absent rows summed 0;
+    //   - the next half-round's e⋈state join loses only edges whose
+    //     endpoint scored 0, whose contribution was 0.
+    // After round 1 the supports are stable anyway (every edge endpoint has
+    // the relevant degree ≥ 1 by construction), so the joins drop nothing.
+    // The node set is joined back ONCE at the end with coalesce-to-0 —
+    // two hinted hash joins per round instead of four.
+    var hubs = n.withColumn("h", lit(base))      // round 1 reads a dense state
+    var auths: DataFrame = n.withColumn("a", lit(base))
     for (_ <- 1 to iterations) {
-      val aRaw = n
-        .join(e.join(hubs.hint("shuffle_hash"), col("src") === col("id"))
-          .groupBy("dst").agg(sum(col("h")).as("__raw"))
-          .withColumnRenamed("dst", "id").hint("shuffle_hash"),
-          Seq("id"), "left")
-        .select(col("id"), coalesce(col("__raw"), lit(0L)).as("__raw"))
+      val aRaw = e.join(hubs.hint("shuffle_hash"), col("src") === col("id"))
+        .groupBy("dst").agg(sum(col("h")).as("__raw"))
+        .withColumnRenamed("dst", "id")
       val aNorm = aRaw.agg(
         greatest(expr(s"sum(__raw) div $scale"), lit(1L)).as("__div"))
       auths = aRaw.crossJoin(broadcast(aNorm))
         .select(col("id"), expr("__raw div __div").as("a"))
         .localCheckpoint(eager = false)
-      val hRaw = n
-        .join(e.join(auths.hint("shuffle_hash"), col("dst") === col("id"))
-          .groupBy("src").agg(sum(col("a")).as("__raw"))
-          .withColumnRenamed("src", "id").hint("shuffle_hash"),
-          Seq("id"), "left")
-        .select(col("id"), coalesce(col("__raw"), lit(0L)).as("__raw"))
+      val hRaw = e.join(auths.hint("shuffle_hash"), col("dst") === col("id"))
+        .groupBy("src").agg(sum(col("a")).as("__raw"))
+        .withColumnRenamed("src", "id")
       val hNorm = hRaw.agg(
         greatest(expr(s"sum(__raw) div $scale"), lit(1L)).as("__div"))
       hubs = hRaw.crossJoin(broadcast(hNorm))
         .select(col("id"), expr("__raw div __div").as("h"))
         .localCheckpoint(eager = false)
     }
-    hubs.join(auths.hint("shuffle_hash"), Seq("id"))
-      .select(col("id").as("node_id"), col("h").as("hub_micro"),
-        col("a").as("auth_micro"))
+    n.join(hubs.hint("shuffle_hash"), Seq("id"), "left")
+      .join(auths.hint("shuffle_hash"), Seq("id"), "left")
+      .select(col("id").as("node_id"),
+        coalesce(col("h"), lit(0L)).as("hub_micro"),
+        coalesce(col("a"), lit(0L)).as("auth_micro"))
   }
 
   /** Co-citation counts — the classic "related pages" signal: two targets
@@ -265,7 +279,14 @@ object LinkGraph {
         .join(labels.hint("shuffle_hash"), col("nbr") === col("id"))
         .select(col("v"), col("lab"))
         .union(labels.select(col("id").as("v"), col("lab")))   // self-vote
+      // r18 (VERDICT #5, guide §2.4 "share one exchange"): both per-round
+      // aggregates are keyed by v — repartitioning the votes by v once lets
+      // the (v, lab) count AND the per-v argmax run exchange-free
+      // (HashPartitioning(v) satisfies both clusterings), replacing two
+      // chained exchanges per round with one. Aggregation values are
+      // partitioning-independent (exact counts, total-order argmax).
       labels = votes
+        .repartition(col("v"))
         .groupBy(col("v"), col("lab"))
         .agg(count(lit(1)).as("__cnt"))
         .groupBy(col("v"))

@@ -54,10 +54,17 @@ object SeqMining {
       .agg(count(lit(1)).as("support"),
         countDistinct(col("__key")).as("n_keys"))
       .filter(col("support") >= minSupport)
-    counted
+    // r18 (VERDICT #6): `counted` is one row per distinct gram — it GROWS
+    // with the corpus, so ranking it with a global single-partition window
+    // was the one unbounded Window.orderBy in the engine. Top-k first via
+    // orderBy+limit (plans as TakeOrderedAndProject — per-partition heaps,
+    // no single-partition stage), then rank the ≤ k survivors with a window
+    // that is bounded at any scale. (support desc, gram) is a total order
+    // (gram is unique in `counted`), so top-k-then-rank is value-identical
+    // to rank-then-filter(rank <= k).
+    counted.orderBy(col("support").desc, col("gram")).limit(k)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("support").desc, col("gram"))))
-      .filter(col("rank") <= k)
   }
 
   /** First-order Markov transition matrix over the keyed event stream, plus

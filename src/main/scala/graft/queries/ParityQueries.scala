@@ -27,12 +27,18 @@ object ParityQueries {
   // re-running schema inference on every one of the suite's reader call
   // sites, every construction, every rep. Every action still computes from
   // the parquet inputs.
+  // r18 (VERDICT #7 stance): the key includes the on-disk state signature so
+  // an in-session regeneration of a table at the same path misses the memo
+  // instead of serving a stale file listing.
   private val readerCache =
-    scala.collection.concurrent.TrieMap[(SparkSession, String, String), DataFrame]()
+    scala.collection.concurrent.TrieMap[(SparkSession, String, String, String), DataFrame]()
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    readerCache.getOrElseUpdate((s, dir, name),
-      s.read.parquet(s"$dir/$name.parquet"))
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    readerCache.getOrElseUpdate(
+      (s, dir, name, graft.queries.ExtensionQueries.fsSignature(path)),
+      s.read.parquet(path))
+  }
 
   /** events.parquet stores TIMESTAMP(NANOS); under
     * `spark.sql.legacy.parquet.nanosAsLong=true` (set by Verify/Bench) `ts` arrives
@@ -333,8 +339,14 @@ object ParityQueries {
   // ---------------------------------------------------------------------------
   private def q13Renumber(s: SparkSession, dir: String): DataFrame =
     // global numbering via the two-phase SeqNumber op — a raw
-    // Window.orderBy(doc_id) would collapse to a single partition
-    graft.ops.SeqNumber.withGlobalSeq(t(s, dir, "documents"), "rn", col("doc_id"))
+    // Window.orderBy(doc_id) would collapse to a single partition.
+    // r18 (guide §2.3): projected to the two columns the query emits before
+    // the numbering — the zipWithIndex boundary is opaque to Catalyst, so an
+    // un-projected input shipped the full text column through the range
+    // exchange and row conversion. Same rows, same order, same rn.
+    graft.ops.SeqNumber.withGlobalSeq(
+      t(s, dir, "documents").select(col("doc_id"), col("source")),
+      "rn", col("doc_id"))
       .select(col("doc_id"),
         Scalars.renumberToken(
           concat(lit("entry 000000001 of "), col("source"), lit(" [000000001]")),
@@ -504,9 +516,14 @@ object ParityQueries {
   private def q20ArchiveSort(s: SparkSession, dir: String): DataFrame = {
     val priOrNull = when(col("o_orderkey") % 10 === 0, lit(null).cast("string"))
       .otherwise(col("o_orderpriority"))
+    // r18 (VERDICT #4, guide §2.3): project to the two output columns BEFORE
+    // the global numbering — SeqNumber's rdd.zipWithIndex boundary is opaque
+    // to Catalyst, so an un-projected input shipped all 9 orders columns
+    // (o_comment included) through the range exchange, the sampling pass and
+    // the row conversion. Same rows, same sort keys, same ranks.
     graft.ops.SeqNumber.withGlobalSeq(
-      t(s, dir, "orders").withColumn("sort_key", priOrNull), "rank",
-      col("sort_key").asc_nulls_last, col("o_orderkey").asc)
+      t(s, dir, "orders").select(col("o_orderkey"), priOrNull.as("sort_key")),
+      "rank", col("sort_key").asc_nulls_last, col("o_orderkey").asc)
       .select(col("o_orderkey"), col("sort_key"), col("rank").cast("int").as("rank"))
   }
 

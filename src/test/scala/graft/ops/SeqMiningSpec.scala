@@ -122,4 +122,27 @@ class SeqMiningSpec extends AnyFunSuite with SparkTestSession {
       .map(_.getLong(1))
     assert(ps.forall(_ <= 1000000L)) // floor division never oversums
   }
+
+  test("r18: rank window runs over the take-ordered k rows, not the gram table") {
+    // frequentSeqs' gram relation grows with the corpus; the rank must come
+    // from TakeOrderedAndProject (per-partition heaps) with the global
+    // window above it bounded at k rows — never a single-partition pass
+    // over every gram (the r17 VERDICT #6 scale-killer class).
+    val df = events(
+      (1L, 0L, 1L, "a"), (1L, 1L, 2L, "b"), (1L, 2L, 3L, "a"), (1L, 3L, 4L, "b"),
+      (2L, 0L, 5L, "b"), (2L, 1L, 6L, "c"), (2L, 2L, 7L, "d"),
+      (3L, 0L, 8L, "c"), (3L, 1L, 9L, "d"))
+    val out = SeqMining.frequentSeqs(df, col("user_id"), col("ts"),
+      col("event_id"), col("event_type"), n = 2, minSupport = 1L, k = 2)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must plan as TakeOrderedAndProject:\n$plan")
+    assert(plan.indexOf("Window") >= 0 &&
+      plan.indexOf("Window") < plan.indexOf("TakeOrderedAndProject"),
+      "the rank window must sit ABOVE the k-row TakeOrdered relation")
+    // value check at the k boundary: a>b sup2 and c>d sup2 (users 2+3) beat
+    // the sup-1 grams; equal supports order by gram asc
+    val rows = out.collect().map(r => (r.getString(0), r.getInt(3))).toSeq
+    assert(rows == Seq(("a>b", 1), ("c>d", 2)))
+  }
 }
