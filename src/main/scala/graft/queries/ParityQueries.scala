@@ -300,7 +300,12 @@ object ParityQueries {
   // the lenient-repair path is exercised by Q18 and unit tests).
   // ---------------------------------------------------------------------------
   private def q11Json(s: SparkSession, dir: String): DataFrame =
-    events(s, dir)
+    // r18 (guide §2, parallelism floor): per-row JSON extraction is this
+    // query's cost and it sat at the scan's split count (one task on the
+    // single-row-group bench file). Fanout is conditional — a no-op at real
+    // scale — and every aggregate here is exact (long sum/count/min/max),
+    // so values are partitioning-independent.
+    graft.ops.Fanout.forCpu(events(s, dir))
       .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
       .groupBy("event_type")
       .agg(sum("k").as("sum_k"),
@@ -406,7 +411,11 @@ object ParityQueries {
   // ---------------------------------------------------------------------------
   private def q16Elapsed(s: SparkSession, dir: String): DataFrame = {
     val secs = (col("event_id") * 97L) % 200000L
-    events(s, dir)
+    // r18 (guide §2, parallelism floor): q16 is a pure per-row
+    // format/parse projection — the q-suite's most serial query (r17
+    // scaling 0.96) because the whole roundtrip ran on the scan's single
+    // split. Per-row values are partitioning-independent by construction.
+    graft.ops.Fanout.forCpu(events(s, dir))
       .select(col("event_id"), secs.as("secs"),
         Scalars.formatElapsed(secs).as("elapsed"))
       .withColumn("parsed_secs", Scalars.parseElapsedSeconds(col("elapsed")).cast("long"))
@@ -459,7 +468,9 @@ object ParityQueries {
       .when(col("event_id") % 4 === 2, lit("no json here at all"))
       .otherwise(concat(lit("{\"broken\": "), col("event_id").cast("string")))
     val candidate = Scalars.lenientJsonCandidate(raw)
-    events(s, dir)
+    // r18: same parallelism-floor rationale as q16 — per-row regex/JSON
+    // repair, no aggregation, partitioning-independent values.
+    graft.ops.Fanout.forCpu(events(s, dir))
       .select(col("event_id"), candidate.as("candidate"),
         Scalars.jsonParseOk(candidate).as("parse_ok"))
   }
